@@ -1,0 +1,750 @@
+"""Relational operator surface (SURVEY.md §2.B) as Spark-first queries.
+
+The reference framework's advertised query capability is a raw-SQL
+pass-through to SQLite (``src/connectors/sqlite_connector.py:80-115``),
+so its effective surface is "whatever SQLite SQL expresses over the
+ingested table".  This module re-expresses every one of those SQL
+families natively on Spark: declarative DataFrame plans that Catalyst
+optimizes (predicate pushdown, column pruning, join selection,
+whole-stage codegen) — no custom physical work.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` registered in
+``QUERIES`` with a matching DuckDB oracle in ``ORACLES`` (same column
+aliases, deterministic ordering/rounding so value hashes match).
+
+Scale notes (100 TB):
+- Dimension joins (region/nation/customer/supplier/part) are explicitly
+  ``F.broadcast`` — at TPC-H scale those stay far below the broadcast
+  threshold while orders/lineitem shuffle only when keys require it.
+- Aggregations rely on partial (map-side) aggregation — all are
+  expressed via ``groupBy().agg`` so Catalyst plans hash-aggregate with
+  partial combine.
+- Rounding of floating-point aggregates is part of the *query contract*
+  here (deterministic cross-engine results), not a workaround: at 100 TB
+  FP sum order is nondeterministic in any engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one test table (predicate/column pushdown applies).
+
+    The ``events`` table is written with parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read nanos as long and convert to
+    a microsecond timestamp (integer div — no double precision loss).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return lambda name: load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan→filter→agg→sort)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + hash-aggregate + sort over lineitem.
+
+    Mirrors the reference's end state (a full-table aggregation the user
+    would run through ``execute_query``); exercises partial aggregation
+    and parquet predicate pushdown.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 2)                                          AS avg_qty,
+       round(avg(l_extendedprice), 2)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (broadcast dim) + aggregate + deterministic top-10."""
+    t = _t(spark, sf_dir)
+    cust = t("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t("orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t("lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem against a broadcast dim chain."""
+    t = _t(spark, sf_dir)
+    dims = (
+        t("customer")
+        .join(F.broadcast(t("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        t("lineitem")
+        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+_Q5_ORACLE = """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scan / preview / filter (SURVEY §2 A15-A19, §2.B filter family)
+# ---------------------------------------------------------------------------
+
+def preview_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 preview: `SELECT * FROM t LIMIT n` made deterministic by key."""
+    return load_table(spark, sf_dir, "region").orderBy("r_regionkey").limit(3)
+
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE with IN / BETWEEN / LIKE / IS NOT NULL (§2.B filter row)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000.0, 50000.0)
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+def param_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 parameterized equality predicate (`WHERE id = ?`) via sql args."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer_v WHERE c_custkey = :ck",
+        args={"ck": 42},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.B join family: inner/left/semi/anti)
+# ---------------------------------------------------------------------------
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    )
+
+
+def join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders."""
+    t = _t(spark, sf_dir)
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (no row multiplication, early-out)."""
+    t = _t(spark, sf_dir)
+    big = t("orders").filter(F.col("o_totalprice") > 40000.0)
+    return (
+        t("customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (customers with no high-value order)."""
+    t = _t(spark, sf_dir)
+    big = t("orders").filter(F.col("o_totalprice") > 450000.0)
+    return (
+        t("customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (COUNT/SUM/AVG/MIN/MAX, HAVING, DISTINCT, GROUP_CONCAT,
+# grouping sets / rollup / cube)
+# ---------------------------------------------------------------------------
+
+def agg_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+def group_concat_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite GROUP_CONCAT ≡ sorted collect_list + array_join."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"))
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (a Spark superset of SQLite's GROUP BY)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: COUNT(*) over the fact table."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.B window family)
+# ---------------------------------------------------------------------------
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        )
+    )
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wr = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
+            F.expr(
+                "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+                "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+            ).alias("n_within_1000"),
+        )
+    )
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer — the distributed top-k idiom."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / offset, set ops, subqueries (§2.B)
+# ---------------------------------------------------------------------------
+
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t("customer").select(F.col("c_nationkey").alias("nationkey"))
+        .union(t("supplier").select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t("customer").select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t("supplier").select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t("customer").select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(t("supplier").select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def subquery_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + scalar subquery + IN subquery, all in Spark SQL."""
+    t = _t(spark, sf_dir)
+    t("orders").createOrReplaceTempView("orders_v")
+    t("customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH building AS (
+          SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v) * 1.5
+          AND o_custkey IN (SELECT c_custkey FROM building)
+        """
+    )
+
+
+def union_all_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 union across heterogeneous inputs: unionByName with missing
+    columns null-filled (the reference concatenates dict-lists with
+    differing keys, `src/core/application.py:71-97`)."""
+    t = _t(spark, sf_dir)
+    cust = t("customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = t("supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (string / math / date / JSON — §2.B)
+# ---------------------------------------------------------------------------
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("type_trim"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.format_string("%s|%03d", F.col("p_brand"), F.col("p_size")).alias("brand_size"),
+    )
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs("c_acctbal"), 2).alias("abs_bal"),
+        F.round("c_acctbal", 0).alias("bal_round"),
+        F.floor("c_acctbal").alias("bal_floor"),
+        F.ceil("c_acctbal").alias("bal_ceil"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        F.least("c_acctbal", F.lit(0.0)).alias("neg_part"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_part"),
+        F.round(F.sqrt(F.abs("c_acctbal")), 4).alias("sqrt_bal"),
+    )
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("age_days"),
+    )
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite json1-equivalent path access over a JSON-string column
+    (`json_extract` ≡ `get_json_object`), then aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-flavored queries (A7 normalization, A9 lineage, A20 md5,
+# A21 error summary) expressed over the shared test tables
+# ---------------------------------------------------------------------------
+
+def normalize_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 TEXT-parity projection: every column cast to string, NULL→''
+    (`src/processors/json_processor.py:73-104` semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in ["doc_id", "text", "lang", "source"]]
+    )
+
+
+def lineage_source_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 lineage: `_source_file` = basename of the input file
+    (`src/core/application.py:92-94`), via input_file_name()."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "_source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .groupBy("_source_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def md5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 content hashing (`FileHandler._calculate_md5`,
+    `src/handlers/file_handler.py:361-371`) as a distributed column op."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+def error_summary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 error-log aggregation: count by type, top-5 by count desc
+    (`src/handlers/error_handler.py:47-95`) — deterministic tiebreak."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "preview_limit": preview_limit,
+    "filter_predicates": filter_predicates,
+    "param_eq_filter": param_eq_filter,
+    "join_inner": join_inner,
+    "join_left_agg": join_left_agg,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "agg_having_distinct": agg_having_distinct,
+    "group_concat_names": group_concat_names,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "distinct_scan": distinct_scan,
+    "count_rows": count_rows,
+    "window_rank": window_rank,
+    "window_frames": window_frames,
+    "top_k_per_group": top_k_per_group,
+    "sort_limit_offset": sort_limit_offset,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "subquery_cte": subquery_cte,
+    "union_all_missing_cols": union_all_missing_cols,
+    "string_funcs": string_funcs,
+    "math_funcs": math_funcs,
+    "date_funcs": date_funcs,
+    "json_funcs": json_funcs,
+    "normalize_text_parity": normalize_text_parity,
+    "lineage_source_file": lineage_source_file,
+    "md5_fingerprint": md5_fingerprint,
+    "error_summary_topk": error_summary_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": _Q1_ORACLE,
+    "q3_shipping_priority": _Q3_ORACLE,
+    "q5_region_revenue": _Q5_ORACLE,
+    "preview_limit": "SELECT * FROM region ORDER BY r_regionkey LIMIT 3",
+    "filter_predicates": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+          AND o_totalprice BETWEEN 1000.0 AND 50000.0
+          AND o_orderpriority LIKE '1-%'
+          AND o_custkey IS NOT NULL
+    """,
+    "param_eq_filter": "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42",
+    "join_inner": """
+        SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_left_agg": """
+        SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 40000.0)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+    """,
+    "agg_having_distinct": """
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               round(sum(o_totalprice), 2) AS total_spent,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_custkey HAVING count(*) > 10
+    """,
+    "group_concat_names": """
+        SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer GROUP BY c_nationkey
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "distinct_scan": "SELECT DISTINCT p_brand, p_type FROM part",
+    "count_rows": "SELECT count(*) AS n FROM lineitem",
+    "window_rank": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               round(lag(o_totalprice, 1)  OVER w, 2) AS prev_price,
+               round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "window_frames": """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000
+        FROM orders
+    """,
+    "top_k_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2
+    """,
+    "sort_limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10
+    """,
+    "set_union": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier
+    """,
+    "set_except": """
+        SELECT DISTINCT nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL SELECT s_nationkey FROM supplier)
+    """,
+    "subquery_cte": """
+        WITH building AS (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+          AND o_custkey IN (SELECT c_custkey FROM building)
+    """,
+    "union_all_missing_cols": """
+        SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer
+        UNION ALL
+        SELECT s_name, s_acctbal, NULL FROM supplier
+    """,
+    "string_funcs": """
+        SELECT p_partkey,
+               length(p_name)                          AS name_len,
+               upper(p_name)                           AS name_upper,
+               lower(p_brand)                          AS brand_lower,
+               substr(p_name, 1, 5)                    AS name_pfx,
+               trim('  ' || p_type || '  ')            AS type_trim,
+               replace(p_name, ' ', '_')               AS name_snake,
+               instr(p_name, 'widget')                 AS widget_pos,
+               printf('%s|%03d', p_brand, p_size)      AS brand_size
+        FROM part
+    """,
+    "math_funcs": """
+        SELECT c_custkey,
+               round(abs(c_acctbal), 2)                AS abs_bal,
+               round(c_acctbal, 0)                     AS bal_round,
+               CAST(floor(c_acctbal) AS BIGINT)        AS bal_floor,
+               CAST(ceil(c_acctbal) AS BIGINT)         AS bal_ceil,
+               c_custkey % 7                           AS key_mod7,
+               least(c_acctbal, 0.0)                   AS neg_part,
+               greatest(c_acctbal, 0.0)                AS pos_part,
+               round(sqrt(abs(c_acctbal)), 4)          AS sqrt_bal
+        FROM customer
+    """,
+    "date_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT)     AS yr,
+               CAST(month(o_orderdate) AS INT)    AS mo,
+               CAST(day(o_orderdate) AS INT)      AS dom,
+               CAST(quarter(o_orderdate) AS INT)  AS qtr,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               strftime(o_orderdate, '%Y-%m')     AS ym,
+               CAST(o_orderdate AS DATE) + 30     AS due_date,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+        FROM orders
+    """,
+    "json_funcs": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "normalize_text_parity": """
+        SELECT coalesce(CAST(doc_id AS VARCHAR), '') AS doc_id,
+               coalesce(text, '')   AS text,
+               coalesce(lang, '')   AS lang,
+               coalesce(source, '') AS source
+        FROM documents
+    """,
+    "lineage_source_file": """
+        SELECT 'documents.parquet' AS _source_file, count(*) AS n FROM documents
+    """,
+    "md5_fingerprint": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    "error_summary_topk": """
+        SELECT event_type, count(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+    """,
+}

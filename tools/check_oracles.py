@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and an order-insensitive multiset of stringified rows.
+
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from generic_data_ingestor_framework_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    passed, failed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failed.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle, rows-only check)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            failed.append((name, f"DUCKDB ERROR: {ex}"))
+            print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
+            continue
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sm = rows_to_multiset(srows, scols)
+            dm = rows_to_multiset(drows, dcols)
+            if sm != dm:
+                diffs = [(a, b) for a, b in zip(sm, dm) if a != b]
+                problems.append(
+                    f"values differ in {len(diffs)}/{len(sm)} rows; first: "
+                    f"spark={diffs[0][0][:200]!r} duckdb={diffs[0][1][:200]!r}"
+                )
+        dt = time.time() - t0
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)[:500]}")
+        else:
+            passed.append(name)
+            print(f"PASS  {name} ({len(srows)} rows, {dt:.1f}s)")
+
+    print(f"\n== {len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only ==")
+    if failed:
+        print("Failed:", [n for n, _ in failed])
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
