@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from generic_data_ingestor_framework_spark import relational
+from generic_data_ingestor_framework_spark import llm, relational
 
-_MODULES = [relational]
+_MODULES = [relational, llm]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,313 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, each a distributed DataFrame plan:
+
+- **exact**: md5-content groupBy (one shuffle on the hash key).
+- **MinHash signatures**: word-3-gram shingles → k portable min-hashes.
+- **MinHash LSH pairs**: band the signature, bucket-join candidates —
+  the scale path: candidate generation is a shuffle on (band, sig),
+  never an O(n²) cross join.
+- **n-gram Jaccard pairs**: exact set-overlap join on shared shingles
+  (inverted-index join — only docs sharing a shingle ever meet).
+- **SimHash**: 32-bit sign-aggregated fingerprint per doc.
+
+Portability contract: the shingle hash is the first 8 hex digits of
+md5, so Spark and the DuckDB oracle compute bit-identical signatures
+(``F.conv(substr(md5, 1, 8), 16, 10)`` ≡ ``CAST('0x' || ... AS
+BIGINT)``). In production you'd swap in ``xxhash64`` (JVM-side, no
+md5 cost); the plan shape is identical.
+
+Scale notes (100 TB): every stage is explode → hash-partition →
+partial-agg; no driver-side state, no collects. Shingle explosion is
+the dominant cost — `array_distinct` before explode cuts the shuffle
+by the per-doc repeat factor. Skewed shingles (stop-phrases) would be
+salted or frequency-capped at real scale; LSH bucket join is bounded
+by band-bucket size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.relational import load_table
+
+MOD = 1_000_000_007
+A = [2, 3, 5, 7, 11, 13, 17, 19]
+B = [7919 * (j + 1) for j in range(8)]
+N_PERM = 8
+BANDS = 4  # rows-per-band = 2
+
+
+def portable_hash32(col):
+    """First 8 hex digits of md5 as a bigint — identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_HASH_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
+
+
+def tokens_col(text_col="text"):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def shingles_col(text_col="text", k: int = 3):
+    """Distinct word k-gram shingles as an array column (no UDF)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(n >= k, grams).otherwise(empty))
+
+
+# Shared DuckDB CTE: doc_id → exploded distinct shingles
+_SHINGLES_CTE = """
+tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(ts) - 1, 1)),
+           i -> concat_ws(' ', ts[i], ts[i + 1], ts[i + 2])))) AS shingle
+  FROM tok
+)
+"""
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(shingles_col()).alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep min doc_id.
+
+    One shuffle on a 128-bit key; at 100 TB this is the cheapest dedup
+    (combine-ahead partial aggregation, no payload movement — only the
+    hash and the candidate keeper id shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based exact dedup (lang, source): keep first doc per group."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_in_group"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _exploded_shingles(spark, sf_dir)
+    h = portable_hash32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(A[j]) * h + F.lit(B[j])) % MOD).alias(f"mh{j}")
+        for j in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (8 portable permutations) per document."""
+    return _minhash_sig_df(spark, sf_dir)
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
+    signature become a candidate pair (doc_a < doc_b).
+
+    The join key is (band_idx, band_sig) — candidate generation scales
+    with bucket sizes, never with the number of document pairs."""
+    sig = _minhash_sig_df(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over word-3-gram shingle sets for candidate pairs.
+
+    Inverted-index join: explode shingles, self-join on the shingle, so
+    only documents sharing at least one shingle are ever compared."""
+    sh = _exploded_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over distinct tokens.
+
+    bit b of the fingerprint = sign of Σ_tokens (±1 by bit b of the
+    token hash); near-duplicate docs land at small Hamming distance."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    ).withColumn("h", portable_hash32(F.col("tok")))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    contrib = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_by_key": dedup_exact_by_key,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+_MINHASH_MINS = ",\n         ".join(
+    f"CAST(min(({A[j]} * h + {B[j]}) % {MOD}) AS BIGINT) AS mh{j}" for j in range(N_PERM)
+)
+
+_SIG_CTE = f"""
+hashed AS (
+  SELECT doc_id, {_HASH_SQL.format(c='shingle')} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed GROUP BY doc_id
+)
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_exact_by_key": """
+        SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_in_group
+        FROM documents GROUP BY lang, source
+    """,
+    "dedup_minhash_sig": f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE}
+        SELECT * FROM sig
+    """,
+    "dedup_minhash_lsh_pairs": f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        banded AS (
+          SELECT doc_id, 0 AS band_idx, concat_ws('_', mh0, mh1) AS band_sig FROM sig
+          UNION ALL
+          SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+          UNION ALL
+          SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+          UNION ALL
+          SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_inter,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    """,
+    "dedup_simhash": f"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, {_HASH_SQL.format(c='tok')} AS h
+          FROM (SELECT doc_id, unnest(list_distinct(ts)) AS tok FROM tok)
+        ),
+        contrib AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM toks, range(0, 32) t(b)
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM contrib GROUP BY doc_id
+    """,
+}

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video ride through the engine as ``binary`` columns with
+typed metadata alongside. The Spark-side plumbing — schema, batch
+shape, Arrow transfer, partition-parallel decode via ``mapInPandas`` —
+is real and tested; the actual codec step is STUBBED (image/audio
+libraries are not available in this environment) behind
+``decode_stub``, which derives deterministic fake features from the
+raw bytes so results are reproducible and oracle-checkable.
+
+Scale notes (100 TB): binary payloads never shuffle — metadata is
+extracted in a map-only stage (``mapInPandas``, Arrow record batches),
+and downstream joins/aggregations carry only the small typed columns.
+Real deployments read payloads with the ``binaryFile`` source and
+partition by file; here we synthesize payloads from ``documents.text``
+to exercise the identical plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from generic_data_ingestor_framework_spark.relational import load_table
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary column (synthesized from text here; in
+    production this is the ``content`` column of a binaryFile read)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column: byte length + md5 —
+    the A20 file-metadata op (`src/handlers/file_handler.py:52-103`)
+    recast as a distributed column computation."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.substring(F.hex(F.col("payload")), 1, 8).alias("magic_hex"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder (no image libs in this env): derives deterministic
+    fake image properties from the payload bytes. A real deployment
+    replaces the body with e.g. PIL/ffmpeg calls — the Arrow batch
+    shape, schema, and partitioning are exactly what production uses.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        first = payloads.map(lambda b: b[0] if len(b) > 0 else 0)
+        second = payloads.map(lambda b: b[1] if len(b) > 1 else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (64 + (first % 64)).astype("int32"),
+                "height": (64 + (second % 64)).astype("int32"),
+                "n_frames": (1 + (payloads.map(len) % 8)).astype("int32"),
+                "mean_intensity": payloads.map(
+                    lambda b: round(sum(b[:16]) / max(len(b[:16]), 1) / 255.0, 6)
+                ),
+            }
+        )
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel decode via mapInPandas (Arrow batches).
+
+    The stub derives width/height/frames/intensity deterministically
+    from the payload bytes, so the DuckDB oracle can recompute them
+    from the source text's code units."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return d.mapInPandas(decode_stub, schema=_DECODE_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_decode_features": multimodal_decode_features,
+}
+
+ORACLES = {
+    "multimodal_binary_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               md5(text) AS payload_md5,
+               substr(upper(hex(encode(text))), 1, 8) AS magic_hex
+        FROM documents
+    """,
+    # Text is ASCII in this corpus, so byte k == code unit k.
+    "multimodal_decode_features": """
+        SELECT doc_id,
+               CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+               CAST(64 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
+               CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames,
+               round(list_reduce(list_transform(range(1, least(octet_length(encode(text)), 16) + 1),
+                       i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS DOUBLE)),
+                     (a, b) -> a + b)
+                 / least(octet_length(encode(text)), 16) / 255.0, 6) AS mean_intensity
+        FROM documents
+    """,
+}

@@ -1,0 +1,182 @@
+"""Text analysis operators over the ``documents`` table.
+
+Language-ID (character-class + stopword heuristic), quality scoring,
+token counting, document fingerprinting, corpus n-gram frequency —
+all pure built-in column expressions (JVM-side, codegen'd; no UDFs).
+
+Scale notes (100 TB): every query is a narrow projection or a single
+hash-aggregate; the corpus bigram query is explode → partial-count →
+shuffle-on-gram → top-k, the canonical skew-tolerant counting plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
+from generic_data_ingestor_framework_spark.relational import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish word-piece count
+    (alnum runs) + char length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("n_pieces"),
+        F.length("text").alias("n_chars_calc"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: length saturation × stopword-density prior.
+
+    quality = min(1, n_tokens/100) * (0.5 + 0.5 * stopword_ratio),
+    computed arithmetically so any engine reproduces it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    stop_ratio = n_stop / n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.least(F.lit(1.0), n / F.lit(100.0)) * (0.5 + 0.5 * stop_ratio), 6).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-range + stopword language-ID heuristic.
+
+    Char-class probes (CJK / Cyrillic / Arabic unicode ranges) decide
+    script; Latin text falls back to an English-stopword-density test."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / F.size(toks)
+    guess = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[Ѐ-ӿ]"), "ru")
+        .when(F.col("text").rlike("[؀-ۿ]"), "ar")
+        .when(stop_ratio >= 0.05, "en")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id", "lang", guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set (robust to shuffling words, cf. rolling-hash dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(tokens_col()))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+        F.size(toks).alias("n_unique_tokens"),
+    )
+
+
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams (explode → count → top-k)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "quality_score": quality_score,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "corpus_bigram_topk": corpus_bigram_topk,
+}
+
+_TOKS = "string_split_regex(lower(text), '\\s+')"
+_STOP_IN = "','".join(STOPWORDS)
+
+ORACLES = {
+    "token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INT) AS n_tokens,
+               CAST(len(string_split_regex(lower(text), '[^a-z0-9]+')) AS INT) AS n_pieces,
+               CAST(length(text) AS INT) AS n_chars_calc,
+               CAST(len(list_distinct({_TOKS})) AS INT) AS n_unique_tokens
+        FROM documents
+    """,
+    "quality_score": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({_TOKS}) AS n,
+                 len(list_filter({_TOKS}, x -> x IN ('{_STOP_IN}'))) AS n_stop
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS INT) AS n_tokens,
+               CAST(n_stop AS INT) AS n_stopwords,
+               round(n_stop / n, 6) AS stopword_ratio,
+               round(least(1.0, n / 100.0) * (0.5 + 0.5 * (n_stop / n)), 6) AS quality
+        FROM t
+    """,
+    "lang_id_heuristic": f"""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 len(list_filter({_TOKS}, x -> x IN ('{_STOP_IN}')))
+                   / len({_TOKS}) AS stop_ratio
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                    WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+                    WHEN regexp_matches(text, '[\\x{{0600}}-\\x{{06ff}}]') THEN 'ar'
+                    WHEN stop_ratio >= 0.05 THEN 'en'
+                    ELSE 'unknown' END AS lang_guess,
+               (CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                    WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+                    WHEN regexp_matches(text, '[\\x{{0600}}-\\x{{06ff}}]') THEN 'ar'
+                    WHEN stop_ratio >= 0.05 THEN 'en'
+                    ELSE 'unknown' END) = lang AS agrees_with_label
+        FROM t
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+               CAST(len(list_sort(list_distinct({_TOKS}))) AS INT) AS n_unique_tokens
+        FROM documents
+    """,
+    "corpus_bigram_topk": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                 i -> concat_ws(' ', ts[i], ts[i + 1]))) AS bigram
+          FROM tok
+        )
+        SELECT bigram, count(*) AS n FROM bg
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+}
