@@ -1,0 +1,286 @@
+"""Ingestion pipeline (SURVEY §2 A5-A6, A9-A11, A22, A24).
+
+The reference's lifecycle — discover → parse JSON → normalize → add
+lineage → concatenate → infer unified schema → save
+(`src/core/application.py:36-153`) — re-expressed as Spark reads and
+one union plan.
+
+Two execution modes:
+
+- ``bulk`` (the scale path): ONE multi-path ``spark.read.json`` over
+  all discovered files — distributed listing, distributed parse,
+  native schema union, corrupt records quarantined via PERMISSIVE
+  ``_corrupt_record``. This is what you run on 100 TB.
+- ``parity`` (the reference-contract path): per-file reads so that
+  per-file error isolation and the reference's run report (files
+  processed / failed / error list, A24/A22) are byte-for-byte
+  reproducible. File-level parallelism only; used by the golden tests.
+
+Encoding fallback (A6) mirrors `file_handler.py:147-170`: utf-8-sig
+first, then utf-8 / latin-1 / cp1252 / ascii, retried on parse failure.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.normalize import (
+    drop_corrupt_records,
+    normalize_text_parity,
+)
+from generic_data_ingestor_framework_spark.scanner import FileScanner
+
+FALLBACK_ENCODINGS = ["UTF-8", "ISO-8859-1", "windows-1252", "US-ASCII"]
+
+_SNIFF_BYTES = 64 * 1024
+
+
+def detect_encoding(path: str | Path) -> str:
+    """A6: byte-sniff the encoding before handing the file to Spark.
+
+    Spark's JSON reader replaces invalid UTF-8 with U+FFFD instead of
+    failing, so a lenient read would silently mangle latin-1 input; the
+    reference instead decodes strictly and falls back
+    (`file_handler.py:147-170`, 1 KB probe at `:373-385`). Sniff the
+    head bytes with strict decoding and return the first encoding that
+    round-trips."""
+    with open(path, "rb") as f:
+        head = f.read(_SNIFF_BYTES)
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8"  # BOM: Spark strips it in multiLine mode
+    for enc in FALLBACK_ENCODINGS:
+        try:
+            head.decode(enc)
+            return enc
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return "ISO-8859-1"  # total fallback: latin-1 accepts any bytes
+
+CORRUPT_COL = "_corrupt_record"
+SOURCE_COL = "_source_file"
+
+
+@dataclass
+class IngestReport:
+    """A22 run metrics + A24 error list."""
+
+    files_processed: int = 0
+    files_failed: int = 0
+    total_records: int = 0
+    records_dropped_non_dict: int = 0
+    errors: list[dict] = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+    @property
+    def throughput_rps(self) -> float:
+        return self.total_records / self.elapsed_sec if self.elapsed_sec > 0 else 0.0
+
+
+def with_lineage(df: DataFrame) -> DataFrame:
+    """A9: `_source_file` = basename of the originating file."""
+    return df.withColumn(
+        SOURCE_COL, F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def read_json_file(
+    spark: SparkSession, path: str | Path, multiline: bool | None = None
+) -> DataFrame:
+    """A5+A6: whole-file JSON read with encoding fallback.
+
+    ``multiline`` defaults by extension: `.jsonl`/`.ndjson` are
+    line-delimited, `.json` is a whole-file array/object."""
+    p = str(path)
+    if multiline is None:
+        multiline = not p.endswith((".jsonl", ".ndjson"))
+    enc = detect_encoding(p)
+    df = (
+        spark.read.option("multiLine", str(multiline).lower())
+        .option("encoding", enc)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(p)
+    )
+    df.schema  # force analysis so parse failures surface here
+    return df
+
+
+def _is_unparseable(df: DataFrame) -> bool:
+    """A file whose every record is corrupt yields only the corrupt
+    column (or nothing) — the reference treats that as a failed file."""
+    cols = set(df.columns)
+    return cols <= {CORRUPT_COL}
+
+
+def salvage_json_elements(
+    spark: SparkSession, path: str | Path
+) -> tuple[DataFrame | None, int]:
+    """A8 salvage for mixed top-level arrays.
+
+    Spark's multiLine reader rejects a whole document whose top-level
+    array mixes objects and scalars; the reference instead keeps the
+    dict elements and silently drops the rest
+    (`json_processor.py:57-61`). Reproduce that Spark-natively:
+    wholetext read → ``from_json(..., 'array<string>')`` (object
+    elements come back as raw JSON text) → keep ``{``-prefixed
+    elements → re-parse those as a JSON dataset.
+
+    Returns (parsed_df | None, n_dropped_non_dict).
+    """
+    raw = spark.read.option("wholetext", "true").text(str(path))
+    head = raw.select(
+        "value", F.from_json("value", "array<string>").alias("arr")
+    ).collect()
+    if not head:
+        raise ValueError(f"empty file: {path}")
+    value, arr = head[0]["value"], head[0]["arr"]
+    if arr is None:
+        # not a JSON array: a single object parses on the fast path, so
+        # reaching here means the document is malformed
+        raise ValueError(f"no parseable JSON records in {path}")
+    objs = [j for j in arr if j is not None and j.lstrip().startswith("{")]
+    dropped = len(arr) - len(objs)
+    if not objs:
+        return None, dropped  # valid array, zero dict records (not an error)
+    parsed = spark.read.json(spark.sparkContext.parallelize(objs))
+    return parsed, dropped
+
+
+def read_json_records(
+    spark: SparkSession, path: str | Path
+) -> tuple[DataFrame, int]:
+    """Full A5/A6/A8 read of one file: fast whole-file read with
+    encoding fallback, then the mixed-array salvage path. Raises if the
+    file has no parseable records. Returns (clean_df, n_dropped)."""
+    raw = read_json_file(spark, path)
+    dropped = 0
+    if _is_unparseable(raw):
+        salvaged, dropped = salvage_json_elements(spark, path)
+        if salvaged is None:
+            # valid array with zero dict records → empty, not an error
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType([])), dropped
+        if _is_unparseable(salvaged):
+            raise ValueError(f"no parseable JSON records in {path}")
+        raw = salvaged
+    return drop_corrupt_records(raw), dropped
+
+
+def ingest_directory(
+    spark: SparkSession,
+    directory: str | Path,
+    mode: str = "parity",
+    text_parity: bool = True,
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+) -> tuple[DataFrame | None, IngestReport]:
+    """The reference pipeline end-to-end. Returns (DataFrame, report).
+
+    ``text_parity=True`` applies the A7 all-TEXT projection; False
+    keeps lossless native types (the analytics-friendly default for
+    new pipelines).
+    """
+    t0 = time.time()
+    if not Path(directory).is_dir():
+        raise NotADirectoryError(f"input directory does not exist: {directory}")
+    report = IngestReport()
+    scanner = FileScanner(directory)
+    discovered = scanner.validate_discovered_files(
+        scanner.discover_files(
+            file_types=["json"],
+            include_patterns=include_patterns,
+            exclude_patterns=exclude_patterns,
+        )
+    )
+    paths = [str(p) for p in discovered.get("json", [])]
+    if not paths:
+        report.elapsed_sec = time.time() - t0
+        return None, report
+
+    if mode == "bulk":
+        df = read_json_paths_bulk(spark, paths)
+        report.files_processed = len(paths)
+        report.total_records = df.count()
+        report.elapsed_sec = time.time() - t0
+        return df, report
+
+    frames: list[DataFrame] = []
+    for path in paths:
+        try:
+            clean, dropped = read_json_records(spark, path)
+            report.records_dropped_non_dict += dropped
+            n = clean.count()
+            if n == 0:
+                continue  # valid-but-empty ([]): not processed, not an error
+            if text_parity:
+                clean = normalize_text_parity(clean)
+            clean = with_lineage(clean)
+            if dropped:
+                # salvage re-parse loses input_file_name(); pin lineage
+                clean = clean.withColumn(SOURCE_COL, F.lit(Path(path).name))
+            frames.append(clean)
+            report.files_processed += 1
+            report.total_records += n
+        except Exception as ex:  # noqa: BLE001 — A24 continue-on-error
+            report.files_failed += 1
+            report.errors.append(
+                {"file": Path(path).name, "error": f"{type(ex).__name__}: {str(ex)[:400]}"}
+            )
+
+    df = (
+        reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+        if frames
+        else None
+    )
+    if df is not None:
+        df = unify_schema_sorted(df)
+    report.elapsed_sec = time.time() - t0
+    return df, report
+
+
+def read_json_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """The scale path: one distributed multi-path read; Spark unions
+    schemas natively and drops malformed documents inline.
+
+    DROPMALFORMED (not PERMISSIVE): the corrupt-record column of a raw
+    scan can't be counted/aggregated on its own (Spark restriction), and
+    at scale you route bad records to a quarantine prefix via
+    ``badRecordsPath`` rather than carrying them in-plan."""
+    df = (
+        spark.read.option("multiLine", "true")
+        .option("mode", "DROPMALFORMED")
+        .json(paths)
+    )
+    return with_lineage(df)
+
+
+def unify_schema_sorted(df: DataFrame) -> DataFrame:
+    """A11 parity: columns sorted alphabetically (reference
+    `_infer_simple_schema`, `application.py:219`), `_source_file` kept
+    last for readability parity with the lineage injection order."""
+    cols = sorted(c for c in df.columns if c != SOURCE_COL)
+    if SOURCE_COL in df.columns:
+        cols.append(SOURCE_COL)
+    return df.select(*cols)
+
+
+def infer_schema_sample(df: DataFrame, sample: int = 10) -> list[dict]:
+    """The reference's sample-of-10 inference contract
+    (`application.py:197-227`): union of keys over the first N records,
+    sorted, every column TEXT/nullable. Returned as column descriptors;
+    we deliberately do NOT drop later-appearing columns from the data
+    (documented divergence from the reference's silent data loss,
+    SURVEY §1.3)."""
+    head = df.limit(sample)
+    keys: set[str] = set()
+    for row in head.collect():
+        d = row.asDict()
+        keys.update(k for k, v in d.items() if v is not None or k in d)
+    return [{"name": k, "type": "TEXT", "nullable": True} for k in sorted(keys)]

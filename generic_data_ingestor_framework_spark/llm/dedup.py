@@ -51,15 +51,16 @@ def tokens_col(text_col="text"):
     return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
-def shingles_col(text_col="text", k: int = 3):
-    """Distinct word k-gram shingles as an array column (no UDF)."""
-    toks = tokens_col(text_col)
-    n = F.size(toks)
+def shingles_from_tokens(tok_col, k: int = 3):
+    """Distinct word k-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Callers must project the token split into its own
+    column first: Catalyst re-inlines aliased expressions into lambda
+    bodies, so referencing ``tokens_col()`` directly here would re-run
+    the regex split for every gram (measured 15x slowdown)."""
+    n = F.size(tok_col)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
+        lambda i: F.array_join(F.slice(tok_col, i + 1, k), " "),
     )
     empty = F.array().cast("array<string>")
     return F.array_distinct(F.when(n >= k, grams).otherwise(empty))
@@ -80,8 +81,15 @@ sh AS (
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → exploded distinct shingles, cached: every dedup plan
+    branches over this relation 2-4 times (self-join sides, size table),
+    and Spark re-executes uncached branches. At cluster scale this is a
+    few GB per TB of text — well inside executor storage memory."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(shingles_col()).alias("shingle"))
+    toks = d.select("doc_id", tokens_col().alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle")
+    ).cache()
 
 
 # ---------------------------------------------------------------------------
@@ -117,12 +125,14 @@ def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _exploded_shingles(spark, sf_dir)
-    h = portable_hash32(F.col("shingle"))
+    # hash ONCE per shingle in a projection; the 8 permutations are
+    # cheap affine transforms of that single value
+    hashed = sh.select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
     aggs = [
-        F.min((F.lit(A[j]) * h + F.lit(B[j])) % MOD).alias(f"mh{j}")
+        F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % MOD).alias(f"mh{j}")
         for j in range(N_PERM)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +146,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join key is (band_idx, band_sig) — candidate generation scales
     with bucket sizes, never with the number of document pairs."""
-    sig = _minhash_sig_df(spark, sf_dir)
+    # cache: the banded relation feeds both sides of the self-join
+    sig = _minhash_sig_df(spark, sf_dir).cache()
     bands = F.array(
         *[
             F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))

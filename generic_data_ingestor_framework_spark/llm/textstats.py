@@ -91,17 +91,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word bigrams (explode → count → top-k)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n = F.size(toks)
+    toks_df = d.select(tokens_col().alias("toks"))
+    # note: bigrams here are NOT de-duplicated per doc in the oracle, so
+    # use the raw gram transform rather than the distinct shingle helper
+    n = F.size(F.col("toks"))
     bigrams = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        toks_df.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")

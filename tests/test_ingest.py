@@ -1,0 +1,86 @@
+"""Golden-contract E2E: the reference integration expectations
+(`tests/integration/test_end_to_end_processing.py`) reproduced on the
+Spark pipeline."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.ingest import (
+    ingest_directory,
+    read_json_file,
+)
+
+
+def test_golden_counts(spark, integration_dir):
+    df, report = ingest_directory(spark, integration_dir)
+    assert report.files_processed == 3        # customers, orders, edge_cases
+    assert report.files_failed == 1           # malformed.json
+    assert report.total_records == 4          # 2 + 1 + 1
+    assert report.errors[0]["file"] == "malformed.json"
+    assert df.count() == 4
+
+
+def test_lineage_and_schema_union(spark, integration_dir):
+    df, _ = ingest_directory(spark, integration_dir)
+    cols = set(df.columns)
+    # unified schema must contain fields from every processed file
+    assert {"customer_id", "name", "email"} <= cols
+    assert {"order_id", "shipping_address", "items"} <= cols
+    assert {"unicode_text", "special_chars"} <= cols
+    assert "_source_file" in cols
+    srcs = {r["_source_file"] for r in df.select("_source_file").collect()}
+    assert srcs == {"customers.json", "orders.json", "edge_cases.json"}
+    # A11 parity: data columns sorted alphabetically, lineage last
+    data_cols = [c for c in df.columns if c != "_source_file"]
+    assert data_cols == sorted(data_cols)
+    assert df.columns[-1] == "_source_file"
+
+
+def test_text_parity_normalization_applied(spark, integration_dir):
+    df, _ = ingest_directory(spark, integration_dir)
+    assert all(t == "string" for _, t in df.dtypes)
+    row = df.filter(F.col("order_id") == "ORD-2024-001").collect()[0]
+    addr = json.loads(row["shipping_address"])
+    assert addr["city"] == "Springfield"
+    assert addr["coordinates"]["latitude"] == 39.78
+    items = json.loads(row["items"])
+    assert items[0]["quantity"] == 2
+
+
+def test_empty_file_is_not_an_error(spark, integration_dir):
+    _, report = ingest_directory(spark, integration_dir)
+    # empty.json ([]) is neither processed nor failed
+    assert report.files_processed + report.files_failed == 4
+
+
+def test_bulk_mode_reads_all_valid_records(spark, integration_dir):
+    df, report = ingest_directory(spark, integration_dir, mode="bulk")
+    # bulk mode quarantines the malformed file's record inline
+    assert df.filter(F.col("customer_id") == "CUST-001").count() >= 1
+    assert report.total_records >= 4
+
+
+def test_lossless_mode_keeps_types(spark, integration_dir):
+    df, _ = ingest_directory(spark, integration_dir, text_parity=False)
+    dtypes = dict(df.dtypes)
+    assert dtypes["shipping_address"].startswith("struct")
+    assert dtypes["items"].startswith("array")
+
+
+def test_encoding_fallback_reads_latin1(spark, tmp_path):
+    p = tmp_path / "latin.json"
+    p.write_bytes('[{"name": "café"}]'.encode("latin-1"))
+    df = read_json_file(spark, p)
+    # the byte-sniff must pick latin-1 and decode the VALUE correctly —
+    # a lenient UTF-8 read would silently produce caf�
+    assert df.collect()[0]["name"] == "café"
+
+
+def test_missing_directory_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(NotADirectoryError):
+        ingest_directory(spark, tmp_path / "not_there")

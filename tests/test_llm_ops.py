@@ -1,0 +1,59 @@
+"""Sanity tests for the LLM-pipeline operators (full correctness is the
+DuckDB oracle gate, tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.llm import dedup, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_contains_jaccard_pairs(spark):
+    """High-Jaccard pairs must appear among LSH candidates (recall)."""
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, SF).filter(F.col("jaccard") > 0.9).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh_pairs(spark, SF).collect()
+    }
+    assert jac, "corpus should contain planted near-duplicates"
+    missed = jac - cand
+    assert len(missed) <= max(1, len(jac) // 5), f"LSH missed too many: {missed}"
+
+
+def test_minhash_signature_deterministic(spark):
+    a = dedup.dedup_minhash_sig(spark, SF).orderBy("doc_id").limit(5).collect()
+    b = dedup.dedup_minhash_sig(spark, SF).orderBy("doc_id").limit(5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_simhash_identical_for_same_token_set(spark):
+    sh = dedup.dedup_simhash(spark, SF)
+    fp = textstats.doc_fingerprint(spark, SF)
+    joined = sh.join(fp, "doc_id").groupBy("fingerprint").agg(
+        F.countDistinct("simhash").alias("n_sim")
+    )
+    # same token set ⇒ same simhash (simhash is a function of the set)
+    assert joined.filter(F.col("n_sim") > 1).count() == 0
+
+
+def test_cosine_topk_bounds(spark):
+    rows = similarity.ann_cosine_topk(spark, SF).collect()
+    assert len(rows) == similarity.N_QUERY * similarity.TOP_K
+    for r in rows:
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        assert r["neighbor_id"] >= similarity.N_QUERY
+
+
+def test_quality_score_range(spark):
+    rows = textstats.quality_score(spark, SF).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_exact_dedup_partitions_docs(spark):
+    d = dedup.dedup_exact(spark, SF)
+    assert d.agg(F.sum("n_copies")).collect()[0][0] == 500

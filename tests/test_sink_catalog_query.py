@@ -1,0 +1,57 @@
+"""Sink / catalog / query surface tests (A12-A19)."""
+
+from __future__ import annotations
+
+import pytest
+
+from generic_data_ingestor_framework_spark import catalog, query, sink
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, name string"
+    )
+
+
+def test_create_table_if_not_exists_and_insert(spark, small_df):
+    t = "t_sink_roundtrip"
+    assert sink.create_table(spark, small_df, t)
+    assert sink.create_table(spark, small_df, t)  # idempotent (IF NOT EXISTS)
+    n = sink.insert_data(spark, small_df, t)
+    assert n == 3
+    n2 = sink.insert_data(spark, small_df, t)
+    assert n2 == 6  # append semantics, batched by partition
+
+
+def test_catalog_introspection(spark, small_df):
+    t = "t_catalog_probe"
+    sink.create_table(spark, small_df, t)
+    assert catalog.table_exists(spark, t)
+    assert not catalog.table_exists(spark, "definitely_absent")
+    cols = catalog.describe_table(spark, t)
+    assert [c["name"] for c in cols] == ["id", "name"]
+    assert t in catalog.list_tables(spark)
+
+
+def test_preview_and_count(spark, small_df):
+    t = "t_preview"
+    sink.create_table(spark, small_df, t)
+    sink.insert_data(spark, small_df, t)
+    assert query.preview(spark, t, limit=2).count() == 2
+    assert query.count_rows(spark, t) == 3
+
+
+def test_execute_query_with_params(spark, small_df):
+    small_df.createOrReplaceTempView("t_param")
+    out = query.execute_query(
+        spark, "SELECT name FROM t_param WHERE id = :id", params={"id": 2}
+    )
+    assert [r["name"] for r in out.collect()] == ["b"]
+
+
+def test_execute_query_swallow_errors(spark):
+    # reference contract: bad SQL → [] instead of raising
+    assert query.execute_query(spark, "SELECT FROM nowhere", swallow_errors=True) is None
+    with pytest.raises(Exception):
+        query.execute_query(spark, "SELECT FROM nowhere")
