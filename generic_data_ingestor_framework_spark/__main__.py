@@ -1,0 +1,72 @@
+"""CLI entry point — the reference's `main.py` contract on Spark.
+
+    python -m generic_data_ingestor_framework_spark DATA_DIR \
+        --table processed_data [--warehouse DIR] [--preview N] \
+        [--mode parity|bulk] [--lossless] [--types json,csv,parquet]
+
+Mirrors the reference CLI (`main.py:24-118`): validate directory →
+ingest → save to table → print run report → optional preview.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from generic_data_ingestor_framework_spark import query as query_mod
+from generic_data_ingestor_framework_spark import sink
+from generic_data_ingestor_framework_spark.ingest import ingest_directory
+from generic_data_ingestor_framework_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="generic_data_ingestor_framework_spark",
+        description="Ingest a directory of JSON/CSV/Parquet files into a Spark table.",
+    )
+    ap.add_argument("directory", help="input directory to scan recursively")
+    ap.add_argument("--table", default="processed_data", help="output table name")
+    ap.add_argument("--warehouse", default=None, help="spark.sql.warehouse.dir")
+    ap.add_argument("--preview", type=int, default=0, help="show N rows after ingest")
+    ap.add_argument("--mode", choices=["parity", "bulk"], default="parity")
+    ap.add_argument("--lossless", action="store_true", help="keep native types (no all-TEXT projection)")
+    ap.add_argument("--types", default=None, help="comma list of formats (json,csv,parquet)")
+    args = ap.parse_args(argv)
+
+    extra = {"spark.sql.warehouse.dir": args.warehouse} if args.warehouse else None
+    spark = get_spark("gdif-ingest", extra_conf=extra)
+    try:
+        df, report = ingest_directory(
+            spark,
+            args.directory,
+            mode=args.mode,
+            text_parity=not args.lossless,
+            file_types=args.types.split(",") if args.types else None,
+        )
+    except NotADirectoryError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 2
+
+    print(f"Files processed:  {report.files_processed}")
+    print(f"Files failed:     {report.files_failed}")
+    print(f"Total records:    {report.total_records}")
+    print(f"Dropped non-dict: {report.records_dropped_non_dict}")
+    print(f"Elapsed:          {report.elapsed_sec:.2f}s "
+          f"({report.throughput_rps:.0f} records/s)")
+    for err in report.errors:
+        print(f"  error: {err['file']}: {err['error']}")
+
+    if df is None:
+        print("No valid data found; nothing written.")
+        return 1
+
+    sink.create_table(spark, df, args.table)
+    n = sink.insert_data(spark, df, args.table)
+    print(f"Table '{args.table}' now holds {n} rows.")
+    if args.preview:
+        query_mod.preview(spark, args.table, args.preview).show(truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

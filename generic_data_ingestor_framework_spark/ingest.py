@@ -173,11 +173,46 @@ def read_json_records(
     return drop_corrupt_records(raw), dropped
 
 
+_CSV_SEPARATORS = {".csv": ",", ".tsv": "\t", ".psv": "|"}
+
+
+def read_csv_file(
+    spark: SparkSession, path: str | Path, header: bool = True
+) -> DataFrame:
+    """CSV/TSV/PSV read (declared in the reference scanner,
+    `file_scanner.py:22-29`, but never implemented there). All columns
+    read as string — the reference's all-TEXT data model natively."""
+    p = str(path)
+    sep = _CSV_SEPARATORS.get(Path(p).suffix.lower(), ",")
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(p)
+    )
+
+
+def read_any_file(
+    spark: SparkSession, path: str | Path, ftype: str
+) -> tuple[DataFrame, int]:
+    """Format dispatch (A2 classification → reader). Returns
+    (clean_df, n_dropped_non_record)."""
+    if ftype == "json":
+        return read_json_records(spark, path)
+    if ftype == "csv":
+        return drop_corrupt_records(read_csv_file(spark, path)), 0
+    if ftype == "parquet":
+        return spark.read.parquet(str(path)), 0
+    raise ValueError(f"unsupported file type: {ftype}")
+
+
 def ingest_directory(
     spark: SparkSession,
     directory: str | Path,
     mode: str = "parity",
     text_parity: bool = True,
+    file_types: list[str] | None = None,
     include_patterns: list[str] | None = None,
     exclude_patterns: list[str] | None = None,
 ) -> tuple[DataFrame | None, IngestReport]:
@@ -185,7 +220,9 @@ def ingest_directory(
 
     ``text_parity=True`` applies the A7 all-TEXT projection; False
     keeps lossless native types (the analytics-friendly default for
-    new pipelines).
+    new pipelines). ``file_types`` defaults to every supported format
+    (json/csv/parquet) — a superset of the reference, which classifies
+    csv/parquet but only ever ingests json (SURVEY §2.C).
     """
     t0 = time.time()
     if not Path(directory).is_dir():
@@ -194,27 +231,30 @@ def ingest_directory(
     scanner = FileScanner(directory)
     discovered = scanner.validate_discovered_files(
         scanner.discover_files(
-            file_types=["json"],
+            file_types=file_types or ["json", "csv", "parquet"],
             include_patterns=include_patterns,
             exclude_patterns=exclude_patterns,
         )
     )
-    paths = [str(p) for p in discovered.get("json", [])]
-    if not paths:
+    typed_paths = [
+        (str(p), ftype) for ftype, ps in sorted(discovered.items()) for p in ps
+    ]
+    if not typed_paths:
         report.elapsed_sec = time.time() - t0
         return None, report
 
     if mode == "bulk":
-        df = read_json_paths_bulk(spark, paths)
-        report.files_processed = len(paths)
+        json_paths = [p for p, t in typed_paths if t == "json"]
+        df = read_json_paths_bulk(spark, json_paths)
+        report.files_processed = len(json_paths)
         report.total_records = df.count()
         report.elapsed_sec = time.time() - t0
         return df, report
 
     frames: list[DataFrame] = []
-    for path in paths:
+    for path, ftype in typed_paths:
         try:
-            clean, dropped = read_json_records(spark, path)
+            clean, dropped = read_any_file(spark, path, ftype)
             report.records_dropped_non_dict += dropped
             n = clean.count()
             if n == 0:

@@ -105,7 +105,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t("lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -140,7 +140,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t("lineitem")
         .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy("r_name")
@@ -199,7 +199,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t("orders")
-        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .join(t("customer"), F.col("o_custkey") == F.col("c_custkey"), "inner")
         .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
     )
 

@@ -1,0 +1,67 @@
+"""CLI entry + CSV/Parquet format ingestion tests."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from generic_data_ingestor_framework_spark.ingest import ingest_directory
+
+
+def test_csv_and_parquet_ingest(spark, tmp_path):
+    (tmp_path / "t.csv").write_text("id,name\n1,ann\n2,bob\n")
+    (tmp_path / "t2.tsv").write_text("id\tname\n3\tcid\n")
+    spark.createDataFrame([(4, "dee")], "id bigint, name string").write.parquet(
+        str(tmp_path / "t3.parquet")
+    )
+    (tmp_path / "j.json").write_text(json.dumps([{"id": 5, "name": "eve"}]))
+    df, report = ingest_directory(spark, tmp_path)
+    assert report.files_processed == 4
+    assert report.total_records == 5
+    names = {r["name"] for r in df.select("name").collect()}
+    assert names == {"ann", "bob", "cid", "dee", "eve"}
+    srcs = {r["_source_file"] for r in df.select("_source_file").distinct().collect()}
+    assert "t.csv" in srcs and "j.json" in srcs
+
+
+def test_cli_end_to_end(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "a.json").write_text(json.dumps([{"x": 1}, {"x": 2}]))
+    (data / "broken.json").write_text("{nope")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "generic_data_ingestor_framework_spark",
+            str(data),
+            "--table",
+            "cli_out",
+            "--warehouse",
+            str(tmp_path / "wh"),
+            "--preview",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Files processed:  1" in out.stdout
+    assert "Files failed:     1" in out.stdout
+    assert "Total records:    2" in out.stdout
+    assert "cli_out" in out.stdout
+
+
+def test_cli_missing_dir_exit_code(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "generic_data_ingestor_framework_spark", str(tmp_path / "nope")],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 2
+    assert "does not exist" in out.stderr
