@@ -10,10 +10,16 @@ work is genuinely imperative.
 
 from __future__ import annotations
 
-from generic_data_ingestor_framework_spark.llm import dedup, multimodal, similarity, textstats
+from generic_data_ingestor_framework_spark.llm import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 
 QUERIES = {}
 ORACLES = {}
-for _m in (dedup, similarity, textstats, multimodal):
+for _m in (dedup, similarity, textstats, multimodal, sampling):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,110 @@
+"""Deterministic sampling / split / pseudonymization operators.
+
+Training-data pipelines need reproducible subset selection at scale:
+hash-mod sampling (every executor agrees on membership without
+coordination), stratified per-group sampling, train/val/test splits
+that are stable across reruns, and key pseudonymization. All are pure
+column expressions over the portable md5 hash, so membership is
+identical on any engine and any cluster size — the property that makes
+a 100 TB sample auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+from generic_data_ingestor_framework_spark.relational import load_table
+
+_HASH_SQL = "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def _doc_hash():
+    return portable_hash32(F.col("doc_id").cast("string"))
+
+
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: hash(doc_id) % 10 == 0. Unlike
+    ``df.sample()`` this is reproducible across runs, engines, and
+    partitionings — the only kind of sample you can re-join later."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_doc_hash() % 10 == 0).select("doc_id", "lang", "source")
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 split assignment + per-split counts."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _doc_hash() % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 docs per language by hash order: a deterministic
+    stratified sample (equal allocation per stratum)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(_doc_hash().asc(), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key pseudonymization: stable md5 surrogate for user_id, with the
+    event payload intact — referential integrity preserved (same user
+    → same pseudonym) without exposing the raw key."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.md5(F.col("user_id").cast("string")).alias("user_pseudo"),
+            "event_type",
+        )
+    )
+
+
+QUERIES = {
+    "sample_hash_mod": sample_hash_mod,
+    "train_val_test_split": train_val_test_split,
+    "stratified_sample_per_lang": stratified_sample_per_lang,
+    "pseudonymize_users": pseudonymize_users,
+}
+
+ORACLES = {
+    "sample_hash_mod": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_HASH_SQL.format(c='doc_id')} % 10 = 0
+    """,
+    "train_val_test_split": f"""
+        WITH b AS (
+          SELECT CASE WHEN {_HASH_SQL.format(c='doc_id')} % 100 < 80 THEN 'train'
+                      WHEN {_HASH_SQL.format(c='doc_id')} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, count(*) AS n FROM b GROUP BY split ORDER BY split
+    """,
+    "stratified_sample_per_lang": f"""
+        SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {_HASH_SQL.format(c='doc_id')}, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 5
+    """,
+    "pseudonymize_users": """
+        SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS user_pseudo, event_type
+        FROM events
+    """,
+}

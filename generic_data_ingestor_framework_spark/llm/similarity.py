@@ -129,10 +129,77 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+SEED_LO, SEED_HI = N_QUERY, N_QUERY + N_CENTROIDS  # vec_ids [5, 13) are IVF seeds
+
+
+def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): posexplode →
+    hash-aggregate — the distributed element-wise mean that a k-means
+    iteration or class-prototype computation uses."""
+    vecs = _vectors(spark, sf_dir)
+    return (
+        vecs.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every candidate to its nearest seed
+    centroid (coarse quantizer), probe only the query's cell.
+
+    The scale path: candidate pruning happens via an equi-join on
+    ``centroid_id`` (a shuffle on a small key), so the expensive dot
+    products run over one cell instead of the whole corpus. Seeds here
+    are a deterministic slice of the data (vec_ids 5..12); production
+    would broadcast trained centroids the same way."""
+    from pyspark.sql import Window as W
+
+    vecs = _vectors(spark, sf_dir)
+    seeds = vecs.filter((F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_HI)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    others = vecs.filter(F.col("vec_id") >= SEED_HI).select(
+        F.col("vec_id").alias("point_id"), F.col("v").alias("pv")
+    )
+    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def nearest_centroid(df, vec_col, id_col):
+        scored = df.crossJoin(F.broadcast(seeds)).withColumn(
+            "sim",
+            F.round(_dot(F.col(vec_col), F.col("cv")) / (_norm(F.col(vec_col)) * _norm(F.col("cv"))), 6),
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+        )
+
+    assigned = nearest_centroid(others, "pv", "point_id")
+    probed = nearest_centroid(qs, "qv", "query_id")
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
+    return (
+        probed.join(assigned, "cell")
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("qv"), F.col("pv")) / (_norm(F.col("qv")) * _norm(F.col("pv"))), 6),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("cell").alias("probe_centroid"), F.col("point_id").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embed_norms": embed_norms,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "label_centroid_dims": label_centroid_dims,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -166,6 +233,54 @@ ORACLES = {
                round({_NORM.format(a='(embedding::DOUBLE[])')}, 6) AS l2_norm,
                label
         FROM embeddings
+    """,
+    "label_centroid_dims": """
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        idx AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+        SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(v[i]), 6) AS mean_x
+        FROM idx GROUP BY label, i
+    """,
+    "ann_ivf_topk": f"""
+        WITH vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        seeds AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM vecs
+          WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+        ),
+        assigned AS (
+          SELECT point_id, pv, cell FROM (
+            SELECT o.vec_id AS point_id, o.v AS pv, s.centroid_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY o.vec_id
+                     ORDER BY round({_DOT.format(a='o.v', b='s.cv')}
+                        / ({_NORM.format(a='o.v')} * {_NORM.format(a='s.cv')}), 6) DESC,
+                        s.centroid_id) AS rn
+            FROM vecs o, seeds s WHERE o.vec_id >= {SEED_HI})
+          WHERE rn = 1
+        ),
+        probed AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, s.centroid_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_DOT.format(a='q.v', b='s.cv')}
+                        / ({_NORM.format(a='q.v')} * {_NORM.format(a='s.cv')}), 6) DESC,
+                        s.centroid_id) AS rn
+            FROM vecs q, seeds s WHERE q.vec_id < {N_QUERY})
+          WHERE rn = 1
+        )
+        SELECT query_id, probe_centroid, neighbor_id, cos_sim, rank FROM (
+          SELECT p.query_id, p.cell AS probe_centroid, a.point_id AS neighbor_id,
+                 round({_DOT.format(a='p.qv', b='a.pv')}
+                   / ({_NORM.format(a='p.qv')} * {_NORM.format(a='a.pv')}), 6) AS cos_sim,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round({_DOT.format(a='p.qv', b='a.pv')}
+                     / ({_NORM.format(a='p.qv')} * {_NORM.format(a='a.pv')}), 6) DESC,
+                     a.point_id) AS rank
+          FROM probed p JOIN assigned a ON p.cell = a.cell)
+        WHERE rank <= {TOP_K}
     """,
     "ann_lsh_bucketed": f"""
         WITH vecs AS (

@@ -533,6 +533,69 @@ def error_summary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (Spark superset of SQLite's GROUP BY): order counts per
+    status, one column per priority bucket."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed(
+            {
+                "1-URGENT": "p1",
+                "2-HIGH": "p2",
+                "3-MEDIUM": "p3",
+                "4-NOT SPECIFIED": "p4",
+                "5-LOW": "p5",
+            }
+        )
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def case_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif / ifnull family over customer."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("healthy")
+        .alias("balance_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.nvl2(F.nullif(F.col("c_nationkey").cast("string"), F.lit("0")), F.lit("has_nation"), F.lit("zero")).alias(
+            "nation_flag"
+        ),
+    )
+
+
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: match test, extract, replace (RE2-safe patterns)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike("^[a-z]+ widget$").alias("is_widget"),
+        F.regexp_extract("p_name", "^([a-z]+) ", 1).alias("first_word"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -571,6 +634,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineage_source_file": lineage_source_file,
     "md5_fingerprint": md5_fingerprint,
     "error_summary_topk": error_summary_topk,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "grouping_sets_agg": grouping_sets_agg,
+    "case_null_funcs": case_null_funcs,
+    "regexp_funcs": regexp_funcs,
 }
 
 ORACLES: dict[str, str] = {
@@ -746,5 +813,38 @@ ORACLES: dict[str, str] = {
     "error_summary_topk": """
         SELECT event_type, count(*) AS n FROM events
         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+    """,
+    "pivot_status_by_priority": """
+        SELECT o_orderstatus,
+               count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+               count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+               count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+               count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+               count(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "grouping_sets_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "case_null_funcs": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 1000 THEN 'low'
+                    ELSE 'healthy' END AS balance_band,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+               CASE WHEN nullif(CAST(c_nationkey AS VARCHAR), '0') IS NOT NULL
+                    THEN 'has_nation' ELSE 'zero' END AS nation_flag
+        FROM customer
+    """,
+    "regexp_funcs": """
+        SELECT p_partkey,
+               regexp_matches(p_name, '^[a-z]+ widget$') AS is_widget,
+               coalesce(regexp_extract(p_name, '^([a-z]+) ', 1), '') AS first_word,
+               regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
+        FROM part
     """,
 }
