@@ -86,7 +86,12 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Spark re-executes uncached branches. At cluster scale this is a
     few GB per TB of text — well inside executor storage memory."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens_col().alias("toks"))
+    # small single-file inputs arrive as ONE partition; spread the
+    # CPU-heavy gram explosion across the cluster before computing it
+    # (a big corpus already has enough input splits — repartition of a
+    # thin (id, tokens) projection is cheap either way)
+    par = spark.sparkContext.defaultParallelism
+    toks = d.select("doc_id", tokens_col().alias("toks")).repartition(par)
     return toks.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle")
     ).cache()

@@ -1,0 +1,85 @@
+"""Scale patterns: skew salting, bucketed co-located joins, partitioned
+writes.
+
+These are the techniques that keep the engine's plans viable at 100 TB
+where AQE alone isn't enough. Each helper is a plain DataFrame
+transform; tests assert the resulting PLAN SHAPE (no exchange on the
+bucketed join, salt fan-out on the skewed side), not just results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str | None = None,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equi-join: salt the skewed side's key, replicate
+    the other side once per salt bucket.
+
+    A hot key that would concentrate on one reducer is spread across
+    ``salt_buckets`` partitions; the dim side is exploded ×buckets
+    (cheap when the dim is small — for dim-side skew use AQE's skew
+    join instead). Result is identical to the plain join.
+    """
+    dim_key = dim_key or key
+    salted_fact = skewed.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    cond = (salted_fact[key] == replicated_dim[dim_key]) & (
+        salted_fact["__salt"] == replicated_dim["__salt"]
+    )
+    return salted_fact.join(replicated_dim, cond, how).drop("__salt")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort_key: str | None = None,
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) — joins and
+    aggregations on ``bucket_key`` between co-bucketed tables run
+    WITHOUT a shuffle (Exchange elided by the planner). This is the
+    batch analogue of co-partitioned storage and the single biggest
+    shuffle saver for repeated fact-fact joins at scale."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table)
+
+
+def repartitioned_write(
+    df: DataFrame, path: str, partition_col: str, target_files_per_partition: int = 1
+) -> None:
+    """Partition-pruned layout: directory-partition by a low-cardinality
+    column, with a repartition to bound small files. Readers filtering
+    on ``partition_col`` scan only matching directories."""
+    (
+        df.repartition(target_files_per_partition, F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def explain_string(df: DataFrame, mode: str = "simple") -> str:
+    """The physical plan as text (for plan-shape assertions/audits)."""
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan."""
+    return explain_string(df).count("Exchange hashpartitioning")

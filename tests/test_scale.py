@@ -1,0 +1,79 @@
+"""Plan-shape tests for the scale patterns: results equal the naive
+plan AND the physical plan has the promised structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.scale import (
+    count_exchanges,
+    explain_string,
+    salted_join,
+    write_bucketed_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
+    )
+    salted = (
+        salted_join(orders, cust, "o_custkey", "c_custkey", salt_buckets=8)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
+    )
+    a = {(r["c_custkey"], r["n"], r["t"]) for r in plain.collect()}
+    b = {(r["c_custkey"], r["n"], r["t"]) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one hot key joined against a tiny dim: the salted fact side must
+    # carry >1 distinct salt for the hot key
+    hot = spark.range(0, 10000).select(F.lit(7).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(7, "x")], "k bigint, v string")
+    out = salted_join(hot, dim, "k")
+    assert out.count() == 10000
+    fact = hot.withColumn("__salt", (F.rand(seed=7) * 16).cast("int"))
+    assert fact.select("__salt").distinct().count() > 1
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed_table(orders, "orders_b", "o_orderkey", n_buckets=4)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "lo_orderkey"), "lineitem_b", "lo_orderkey", 4
+    )
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    # disable broadcast so the join NEEDS the bucket distribution (at
+    # real scale neither side would broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.lo_orderkey).groupBy("o_orderkey").count()
+        plan = explain_string(joined)
+        # co-bucketed join + agg on the same key: ZERO shuffles
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert count_exchanges(joined) == 0
+        assert "Bucketed: true" in plan
+        assert joined.count() == lb.select("lo_orderkey").distinct().count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    from generic_data_ingestor_framework_spark.scale import repartitioned_write
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    repartitioned_write(docs, out, "lang")
+    reread = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = explain_string(reread)
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert reread.count() == docs.filter(F.col("lang") == "en").count()
