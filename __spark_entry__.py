@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from generic_data_ingestor_framework_spark import llm, relational, streaming
+from generic_data_ingestor_framework_spark import functions, llm, relational, streaming
 
-_MODULES = [relational, llm, streaming]
+_MODULES = [relational, llm, streaming, functions]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -533,6 +533,32 @@ def error_summary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per order status."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.median("o_totalprice"), 2).alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via integer binning (map-side combinable)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (Spark superset of SQLite's GROUP BY): order counts per
     status, one column per priority bucket."""
@@ -634,6 +660,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineage_source_file": lineage_source_file,
     "md5_fingerprint": md5_fingerprint,
     "error_summary_topk": error_summary_topk,
+    "percentile_stats": percentile_stats,
+    "histogram_bins": histogram_bins,
     "pivot_status_by_priority": pivot_status_by_priority,
     "grouping_sets_agg": grouping_sets_agg,
     "case_null_funcs": case_null_funcs,
@@ -813,6 +841,18 @@ ORACLES: dict[str, str] = {
     "error_summary_topk": """
         SELECT event_type, count(*) AS n FROM events
         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+    """,
+    "percentile_stats": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+               round(median(o_totalprice), 2) AS med,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "histogram_bins": """
+        SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bin, count(*) AS n
+        FROM orders GROUP BY bin ORDER BY bin
     """,
     "pivot_status_by_priority": """
         SELECT o_orderstatus,
