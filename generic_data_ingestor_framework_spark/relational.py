@@ -533,6 +533,34 @@ def error_summary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+sum — the pushdown showcase (every
+    predicate reaches the parquet scan; no shuffle at all beyond the
+    single-row final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode (the json_each/table-function family):
+    split part names into words, count word frequency."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+    )
+
+
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles + median per order status."""
     return (
@@ -660,6 +688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineage_source_file": lineage_source_file,
     "md5_fingerprint": md5_fingerprint,
     "error_summary_topk": error_summary_topk,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "explode_lateral": explode_lateral,
     "percentile_stats": percentile_stats,
     "histogram_bins": histogram_bins,
     "pivot_status_by_priority": pivot_status_by_priority,
@@ -841,6 +871,19 @@ ORACLES: dict[str, str] = {
     "error_summary_topk": """
         SELECT event_type, count(*) AS n FROM events
         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "explode_lateral": """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        GROUP BY word ORDER BY n DESC, word
     """,
     "percentile_stats": """
         SELECT o_orderstatus,

@@ -148,6 +148,84 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stateful_user_counts(
+    spark: SparkSession, sf_dir: str, timeout_ms: int = 0
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running event counter with explicit state management —
+    the extension point for operators Spark's built-ins can't express
+    (custom sessionization, CEP-ish patterns, online aggregates).
+
+    State is partitioned by user_id and lives in the state store, so
+    memory scales with #keys per executor, not stream length. Returns
+    the started query's final memory-sink table (availableNow).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    sink = "stream_stateful_user_counts_sink"
+    # streaming state partitioning is fixed by shuffle.partitions at the
+    # first checkpoint and AQE never coalesces it — bound it explicitly
+    # so a driver-default session (200) doesn't run 200 state tasks for
+    # a handful of keys
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            events.groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # with `update` mode the sink holds one row per state update; the
+    # LAST row per user is the final counter
+    from pyspark.sql import Window as W
+
+    t = spark.table(sink)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 def stream_ingest_json(
     spark: SparkSession,
     src_dir: str,

@@ -56,6 +56,27 @@ def test_tumbling_windows_cover_all_events(spark):
     assert total == 1000  # every event in exactly one window
 
 
+def test_stateful_user_counts_matches_batch(spark):
+    from generic_data_ingestor_framework_spark.streaming import (
+        stream_stateful_user_counts,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    out = stream_stateful_user_counts(spark, SF)
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    # counts must agree exactly; totals to the cent
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.02
+
+
 def test_session_windows_respect_gap(spark):
     sess = session_window_10m(spark, SF).collect()
     assert len(sess) > 0
