@@ -102,6 +102,7 @@ def read_json_file(
     enc = detect_encoding(p)
     df = (
         spark.read.option("multiLine", str(multiline).lower())
+        .option("allowSingleQuotes", "false")  # Python json.load parity
         .option("encoding", enc)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
@@ -134,8 +135,14 @@ def salvage_json_elements(
     Returns (parsed_df | None, n_dropped_non_dict).
     """
     raw = spark.read.option("wholetext", "true").text(str(path))
+    # from_json has its OWN parser options — without the explicit
+    # allowSingleQuotes=false it would accept (and silently rewrite)
+    # single-quoted pseudo-JSON that the strict fast path just rejected
     head = raw.select(
-        "value", F.from_json("value", "array<string>").alias("arr")
+        "value",
+        F.from_json(
+            "value", "array<string>", {"allowSingleQuotes": "false"}
+        ).alias("arr"),
     ).collect()
     if not head:
         raise ValueError(f"empty file: {path}")
@@ -148,7 +155,9 @@ def salvage_json_elements(
     dropped = len(arr) - len(objs)
     if not objs:
         return None, dropped  # valid array, zero dict records (not an error)
-    parsed = spark.read.json(spark.sparkContext.parallelize(objs))
+    parsed = spark.read.option("allowSingleQuotes", "false").json(
+        spark.sparkContext.parallelize(objs)
+    )
     return parsed, dropped
 
 
@@ -295,6 +304,7 @@ def read_json_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
     ``badRecordsPath`` rather than carrying them in-plan."""
     df = (
         spark.read.option("multiLine", "true")
+        .option("allowSingleQuotes", "false")
         .option("mode", "DROPMALFORMED")
         .json(paths)
     )

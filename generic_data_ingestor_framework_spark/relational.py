@@ -533,6 +533,43 @@ def error_summary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join → per-customer count → distribution
+    of counts (two-level aggregation, the classic double groupBy)."""
+    t = _t(spark, sf_dir)
+    per_cust = (
+        t("customer")
+        .join(
+            t("orders").filter(~F.col("o_orderpriority").like("4-%")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average
+    (decorrelated by Catalyst into a join+agg)."""
+    t = _t(spark, sf_dir)
+    t("orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_cs o
+        WHERE o_totalprice > 1.8 * (
+          SELECT avg(o_totalprice) FROM orders_cs i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter+sum — the pushdown showcase (every
     predicate reaches the parquet scan; no shuffle at all beyond the
@@ -688,6 +725,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineage_source_file": lineage_source_file,
     "md5_fingerprint": md5_fingerprint,
     "error_summary_topk": error_summary_topk,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
     "percentile_stats": percentile_stats,
@@ -871,6 +910,21 @@ ORACLES: dict[str, str] = {
     "error_summary_topk": """
         SELECT event_type, count(*) AS n FROM events
         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4-%'
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "correlated_subquery": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.8 * (
+          SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
     """,
     "q6_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
