@@ -624,6 +624,25 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB-scale profiling: HyperLogLog++
+    distinct counts and quantile sketches — constant memory per group
+    regardless of input size. No SQL oracle by design (sketch results
+    are algorithm-specific); the driver records a rows-only check.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("nd_orders"),
+            F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2).alias("p50_price"),
+            F.round(F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)), 2).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (Spark superset of SQLite's GROUP BY): order counts per
     status, one column per priority bucket."""
@@ -731,6 +750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explode_lateral": explode_lateral,
     "percentile_stats": percentile_stats,
     "histogram_bins": histogram_bins,
+    "approx_sketches": approx_sketches,
     "pivot_status_by_priority": pivot_status_by_priority,
     "grouping_sets_agg": grouping_sets_agg,
     "case_null_funcs": case_null_funcs,
