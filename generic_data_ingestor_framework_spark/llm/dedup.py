@@ -239,8 +239,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph: every doc gets
+    a cluster id (min doc_id in its component); dedup keeps one doc per
+    CLUSTER, not per pair.
+
+    Spark has no recursive CTE, so this is the idiomatic substitute: an
+    iterative min-label propagation as a driver-controlled DataFrame
+    loop (each iteration fully distributed; iterations ≈ component
+    diameter, which for near-dup clusters is tiny). The DuckDB oracle
+    computes the same components with WITH RECURSIVE transitive closure.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(12):  # bound ≥ max component diameter
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.a)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_exact_by_key": dedup_exact_by_key,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
@@ -264,6 +311,33 @@ sig AS (
 """
 
 ORACLES = {
+    "dedup_cluster_assign": f"""
+        WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+        banded AS (
+          SELECT doc_id, 0 AS band_idx, concat_ws('_', mh0, mh1) AS band_sig FROM sig
+          UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+          UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+          UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id,
+               (src = min(dst)) AS is_keeper
+        FROM reach GROUP BY src
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                min(doc_id) AS keep_id, count(*) AS n_copies
