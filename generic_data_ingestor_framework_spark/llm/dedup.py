@@ -273,13 +273,16 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
+        new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels = new_labels.cache()
+        if labels is not docs:  # free the superseded iteration's cache
+            labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
