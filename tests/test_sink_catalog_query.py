@@ -50,6 +50,23 @@ def test_execute_query_with_params(spark, small_df):
     assert [r["name"] for r in out.collect()] == ["b"]
 
 
+def test_write_json_roundtrip(spark, small_df, tmp_path):
+    out = str(tmp_path / "j")
+    sink.write_json(small_df, out)
+    back = spark.read.json(out)
+    assert back.count() == 3
+    assert {r["name"] for r in back.collect()} == {"a", "b", "c"}
+
+
+def test_write_text_roundtrip(spark, small_df, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "t")
+    sink.write_text(small_df.select(F.concat_ws("|", "id", "name").alias("line")), out)
+    lines = {r["value"] for r in spark.read.text(out).collect()}
+    assert lines == {"1|a", "2|b", "3|c"}
+
+
 def test_execute_query_swallow_errors(spark):
     # reference contract: bad SQL → [] instead of raising
     assert query.execute_query(spark, "SELECT FROM nowhere", swallow_errors=True) is None
