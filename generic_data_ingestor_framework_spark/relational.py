@@ -627,17 +627,37 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB-scale profiling: HyperLogLog++
     distinct counts and quantile sketches — constant memory per group
-    regardless of input size. No SQL oracle by design (sketch results
-    are algorithm-specific); the driver records a rows-only check.
+    regardless of input size.
+
+    Raw sketch outputs are algorithm-specific, so the query emits
+    *bounded-error booleans* instead: each approximate value is checked
+    against the exact value computed in the same aggregation, with a
+    tolerance far wider than the sketch's guarantee (HLL++ rsd=2% →
+    10% bound; percentile_approx accuracy=1000 → ±0.01 rank bound).
+    The DuckDB oracle is the same group keys with constant-true flags,
+    so any sketch drifting out of tolerance hash-mismatches.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_parts"),
+        F.count_distinct("l_partkey").alias("ex_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("apx_orders"),
+        F.count_distinct("l_orderkey").alias("ex_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("apx_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("apx_p99"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("p50_lo"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("p50_hi"),
+        F.percentile("l_extendedprice", F.lit(0.98)).alias("p99_lo"),
+        F.max("l_extendedprice").alias("p99_hi"),
+    )
+    within = lambda apx, ex: F.abs(F.col(apx) - F.col(ex)) / F.col(ex) <= 0.1
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("nd_orders"),
-            F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2).alias("p50_price"),
-            F.round(F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)), 2).alias("p99_price"),
+        agg.select(
+            "l_returnflag",
+            within("apx_parts", "ex_parts").alias("nd_parts_ok"),
+            within("apx_orders", "ex_orders").alias("nd_orders_ok"),
+            F.col("apx_p50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_ok"),
+            F.col("apx_p99").between(F.col("p99_lo"), F.col("p99_hi")).alias("p99_ok"),
         )
         .orderBy("l_returnflag")
     )
@@ -706,6 +726,100 @@ def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min over suppliers per part.
+
+    The testdata has no partsupp table, so lineitem is the part↔supplier
+    link and unit cost is min(l_extendedprice / l_quantity) per
+    (part, supplier).  Scale choices: the selective part filter is
+    broadcast-semi-joined into lineitem *before* any aggregation (at
+    100 TB this discards ~99% of the fact scan up front), and the
+    correlated "= min per part" is a window min over the already
+    part-partitioned aggregate — one shuffle fewer than a self-join
+    decorrelation.
+    """
+    t = _t(spark, sf_dir)
+    part = t("part").filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
+    li = t("lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "semi",
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = ps.withColumn("min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: avg-quantity correlated filter.
+
+    Decorrelated as groupBy-per-part then broadcast join back (the
+    Brand#4/ECONOMY part set is tiny, so its lineitems — and hence the
+    per-part aggregate — stay broadcastable even at 100 TB).
+    """
+    t = _t(spark, sf_dir)
+    part = t("part").filter((F.col("p_brand") == "Brand#4") & (F.col("p_type") == "ECONOMY"))
+    li = t("lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "semi",
+    )
+    caps = li.groupBy(F.col("l_partkey").alias("cap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(caps), F.col("l_partkey") == F.col("cap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain
+    (part-name filter → heavy (supplier, part) volumes → supplier).
+
+    Every IN becomes a semi join; the part list and nation list are
+    broadcast, and the fact scan is reduced by the part semi join
+    before the HAVING aggregation.
+    """
+    t = _t(spark, sf_dir)
+    parts = t("part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = t("lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "semi"
+    )
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    nations = t("nation").filter(F.col("n_name").like("NATION_1%")).select("n_nationkey")
+    return (
+        t("supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"), "semi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -745,6 +859,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "md5_fingerprint": md5_fingerprint,
     "error_summary_topk": error_summary_topk,
     "q13_order_count_distribution": q13_order_count_distribution,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q20_supplier_part_chain": q20_supplier_part_chain,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -939,6 +1056,42 @@ ORACLES: dict[str, str] = {
           GROUP BY c_custkey)
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC
     """,
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+               round(unit_cost, 2) AS unit_cost
+        FROM ps
+        JOIN part     ON p_partkey = partkey
+        JOIN supplier ON s_suppkey = suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_type = 'ECONOMY' AND p_size <= 10
+          AND unit_cost = (SELECT min(unit_cost) FROM ps i WHERE i.partkey = ps.partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    "q17_small_quantity_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4' AND p_type = 'ECONOMY'
+          AND l_quantity < 0.5 * (
+            SELECT avg(l_quantity) FROM lineitem i WHERE i.l_partkey = lineitem.l_partkey
+          )
+    """,
+    "q20_supplier_part_chain": """
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 100
+        )
+        AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+        ORDER BY s_name
+    """,
     "correlated_subquery": """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders o
@@ -970,6 +1123,12 @@ ORACLES: dict[str, str] = {
     "histogram_bins": """
         SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bin, count(*) AS n
         FROM orders GROUP BY bin ORDER BY bin
+    """,
+    "approx_sketches": """
+        SELECT l_returnflag,
+               true AS nd_parts_ok, true AS nd_orders_ok,
+               true AS p50_ok, true AS p99_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "pivot_status_by_priority": """
         SELECT o_orderstatus,
