@@ -20,12 +20,19 @@ md5 cost); the plan shape is identical.
 Scale notes (100 TB): every stage is explode → hash-partition →
 partial-agg; no driver-side state, no collects. Shingle explosion is
 the dominant cost — `array_distinct` before explode cuts the shuffle
-by the per-doc repeat factor. Skewed shingles (stop-phrases) would be
-salted or frequency-capped at real scale; LSH bucket join is bounded
-by band-bucket size, not corpus size.
+by the per-doc repeat factor. The exact-Jaccard join frequency-caps
+skewed shingles (document frequency > ``DF_CAP``) before the
+self-join: a stop-phrase shared by 1% of a 100 TB corpus would make
+its join bucket quadratic, and a shingle that common carries no
+similarity signal anyway. The hot-shingle list is tiny by
+construction, so removal is a broadcast anti-join (no extra shuffle
+of the inverted index). LSH bucket join is bounded by band-bucket
+size, not corpus size.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +44,7 @@ A = [2, 3, 5, 7, 11, 13, 17, 19]
 B = [7919 * (j + 1) for j in range(8)]
 N_PERM = 8
 BANDS = 4  # rows-per-band = 2
+DF_CAP = 100  # max document frequency for a shingle to join on
 
 
 def portable_hash32(col):
@@ -181,8 +189,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over word-3-gram shingle sets for candidate pairs.
 
     Inverted-index join: explode shingles, self-join on the shingle, so
-    only documents sharing at least one shingle are ever compared."""
-    sh = _exploded_shingles(spark, sf_dir)
+    only documents sharing at least one shingle are ever compared.
+
+    Hot shingles (document frequency > ``DF_CAP``) are dropped before
+    the self-join via a broadcast anti-join — the one key class that
+    would otherwise make a bucket quadratic at corpus scale. Jaccard is
+    then computed over the capped shingle space on BOTH sides of the
+    ratio (sizes and intersections), so the metric stays internally
+    consistent and the DuckDB oracle applies the identical cap."""
+    raw = _exploded_shingles(spark, sf_dir)
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(hot), "shingle", "anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -258,6 +280,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    changed = 0
     for _ in range(12):  # bound ≥ max component diameter
         neighbor_min = (
             labels.join(edges, labels.doc_id == edges.a)
@@ -285,6 +308,16 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # a component with diameter > the iteration bound would yield
+        # silently-wrong cluster ids; surface it instead of returning
+        warnings.warn(
+            f"dedup_cluster_assign: min-label propagation did not converge "
+            f"({changed} labels still changing after 12 iterations); "
+            f"cluster_id/is_keeper may split large components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
 
 
@@ -372,10 +405,16 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM sh
+          WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {DF_CAP}
+          )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b, n_inter,

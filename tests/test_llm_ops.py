@@ -57,3 +57,27 @@ def test_quality_score_range(spark):
 def test_exact_dedup_partitions_docs(spark):
     d = dedup.dedup_exact(spark, SF)
     assert d.agg(F.sum("n_copies")).collect()[0][0] == 500
+
+
+def test_ngram_jaccard_hot_shingle_cap_is_broadcast_anti(spark):
+    """The DF_CAP filter must reach the plan as a broadcast anti-join so
+    the inverted index is never reshuffled to remove hot shingles."""
+    from generic_data_ingestor_framework_spark.scale import explain_string
+
+    plan = explain_string(dedup.dedup_ngram_jaccard(spark, SF))
+    assert "LeftAnti" in plan, plan
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert any("Broadcast" in ln for ln in anti_lines), anti_lines
+
+
+def test_ngram_jaccard_cap_drops_hot_shingles(spark):
+    """With the cap forced to 1, every shared shingle is 'hot' and the
+    candidate set must be empty; with the default cap the planted
+    near-duplicates survive."""
+    orig = dedup.DF_CAP
+    try:
+        dedup.DF_CAP = 1
+        assert dedup.dedup_ngram_jaccard(spark, SF).count() == 0
+    finally:
+        dedup.DF_CAP = orig
+    assert dedup.dedup_ngram_jaccard(spark, SF).count() > 0
