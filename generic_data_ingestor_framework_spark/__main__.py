@@ -2,7 +2,8 @@
 
     python -m generic_data_ingestor_framework_spark DATA_DIR \
         --table processed_data [--warehouse DIR] [--preview N] \
-        [--mode parity|bulk] [--lossless] [--types json,csv,parquet]
+        [--mode parity|bulk] [--lossless] [--types json,csv,parquet] \
+        [--schema-mode sorted|first_record] [--sqlite out.db]
 
 Mirrors the reference CLI (`main.py:24-118`): validate directory →
 ingest → save to table → print run report → optional preview.
@@ -31,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", choices=["parity", "bulk"], default="parity")
     ap.add_argument("--lossless", action="store_true", help="keep native types (no all-TEXT projection)")
     ap.add_argument("--types", default=None, help="comma list of formats (json,csv,parquet)")
+    ap.add_argument(
+        "--schema-mode", choices=["sorted", "first_record"], default="sorted",
+        help="sorted = CLI-path schema (union of keys); first_record = web-path parity",
+    )
+    ap.add_argument(
+        "--sqlite", default=None, metavar="DB_PATH",
+        help="also emit a portable sqlite .db (the reference's out.db hand-off)",
+    )
     args = ap.parse_args(argv)
 
     extra = {"spark.sql.warehouse.dir": args.warehouse} if args.warehouse else None
@@ -42,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             text_parity=not args.lossless,
             file_types=args.types.split(",") if args.types else None,
+            schema_mode=args.schema_mode,
         )
     except NotADirectoryError as ex:
         print(f"error: {ex}", file=sys.stderr)
@@ -62,7 +72,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sink.create_table(spark, df, args.table)
     n = sink.insert_data(spark, df, args.table)
-    print(f"Table '{args.table}' now holds {n} rows.")
+    print(f"Wrote {n} rows to table '{args.table}'.")
+    if args.sqlite:
+        n_db = sink.write_sqlite(df, args.sqlite, args.table)
+        print(f"Wrote {n_db} rows to sqlite artifact {args.sqlite}.")
     if args.preview:
         query_mod.preview(spark, args.table, args.preview).show(truncate=False)
     return 0

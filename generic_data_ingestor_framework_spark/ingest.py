@@ -128,36 +128,56 @@ def salvage_json_elements(
     array mixes objects and scalars; the reference instead keeps the
     dict elements and silently drops the rest
     (`json_processor.py:57-61`). Reproduce that Spark-natively:
-    wholetext read → ``from_json(..., 'array<string>')`` (object
-    elements come back as raw JSON text) → keep ``{``-prefixed
-    elements → re-parse those as a JSON dataset.
+    binary read → ``decode`` with the sniffed encoding (the text
+    source has no encoding option and would U+FFFD-mangle latin-1) →
+    ``from_json(..., 'array<string>')`` (object elements come back as
+    raw JSON text) → keep ``{``-prefixed elements → re-parse them as
+    a distributed JSON dataset.
+
+    Only scalar COUNTS ever reach the driver; the file's contents stay
+    in executors end-to-end, so a multi-GB malformed file cannot OOM
+    the driver (the old implementation collected the whole document).
 
     Returns (parsed_df | None, n_dropped_non_dict).
     """
-    raw = spark.read.option("wholetext", "true").text(str(path))
+    enc = detect_encoding(path)
+    # detect_encoding only ever returns UTF-8 or ISO-8859-1 (latin-1
+    # accepts every byte sequence, so later fallbacks are unreachable) —
+    # both are charsets F.decode supports
+    raw = spark.read.format("binaryFile").load(str(path)).select(
+        F.decode(F.col("content"), enc).alias("value")
+    )
     # from_json has its OWN parser options — without the explicit
     # allowSingleQuotes=false it would accept (and silently rewrite)
     # single-quoted pseudo-JSON that the strict fast path just rejected
-    head = raw.select(
-        "value",
+    arr_df = raw.select(
+        F.length(F.trim(F.col("value"))).alias("n_chars"),
         F.from_json(
             "value", "array<string>", {"allowSingleQuotes": "false"}
         ).alias("arr"),
-    ).collect()
-    if not head:
+    )
+    is_obj = lambda j: j.isNotNull() & F.ltrim(j).startswith("{")
+    stats = arr_df.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("n_chars") > 0, 1).otherwise(0)).alias("n_nonempty"),
+        F.sum(F.when(F.col("arr").isNotNull(), 1).otherwise(0)).alias("n_arrays"),
+        F.sum(F.coalesce(F.size("arr"), F.lit(0))).alias("n_elems"),
+        F.sum(F.coalesce(F.size(F.filter("arr", is_obj)), F.lit(0))).alias("n_objs"),
+    ).collect()[0]
+    if stats["n_rows"] == 0 or not stats["n_nonempty"]:
         raise ValueError(f"empty file: {path}")
-    value, arr = head[0]["value"], head[0]["arr"]
-    if arr is None:
+    if not stats["n_arrays"]:
         # not a JSON array: a single object parses on the fast path, so
         # reaching here means the document is malformed
         raise ValueError(f"no parseable JSON records in {path}")
-    objs = [j for j in arr if j is not None and j.lstrip().startswith("{")]
-    dropped = len(arr) - len(objs)
-    if not objs:
+    dropped = int(stats["n_elems"]) - int(stats["n_objs"])
+    if not stats["n_objs"]:
         return None, dropped  # valid array, zero dict records (not an error)
-    parsed = spark.read.option("allowSingleQuotes", "false").json(
-        spark.sparkContext.parallelize(objs)
+    obj_strings = (
+        arr_df.select(F.explode(F.filter("arr", is_obj)).alias("elem"))
+        .rdd.map(lambda r: r.elem)
     )
+    parsed = spark.read.option("allowSingleQuotes", "false").json(obj_strings)
     return parsed, dropped
 
 
@@ -224,6 +244,7 @@ def ingest_directory(
     file_types: list[str] | None = None,
     include_patterns: list[str] | None = None,
     exclude_patterns: list[str] | None = None,
+    schema_mode: str = "sorted",
 ) -> tuple[DataFrame | None, IngestReport]:
     """The reference pipeline end-to-end. Returns (DataFrame, report).
 
@@ -232,6 +253,10 @@ def ingest_directory(
     new pipelines). ``file_types`` defaults to every supported format
     (json/csv/parquet) — a superset of the reference, which classifies
     csv/parquet but only ever ingests json (SURVEY §2.C).
+    ``schema_mode`` picks the reference frontend being reproduced:
+    ``"sorted"`` = CLI path (sorted union of all keys + lineage),
+    ``"first_record"`` = Streamlit path (record-0 keys only, no
+    lineage — see ``unify_schema_first_record``).
     """
     t0 = time.time()
     if not Path(directory).is_dir():
@@ -254,6 +279,21 @@ def ingest_directory(
 
     if mode == "bulk":
         json_paths = [p for p, t in typed_paths if t == "json"]
+        # bulk is a json-only fast path; anything else discovered must
+        # surface in the report, not vanish silently
+        for p, t in typed_paths:
+            if t != "json":
+                report.files_failed += 1
+                report.errors.append(
+                    {
+                        "file": Path(p).name,
+                        "error": f"SkippedInBulkMode: {t} files are read per-file; "
+                        "use mode='parity' or file_types=['json']",
+                    }
+                )
+        if not json_paths:
+            report.elapsed_sec = time.time() - t0
+            return None, report
         df = read_json_paths_bulk(spark, json_paths)
         report.files_processed = len(json_paths)
         report.total_records = df.count()
@@ -289,7 +329,11 @@ def ingest_directory(
         else None
     )
     if df is not None:
-        df = unify_schema_sorted(df)
+        df = (
+            unify_schema_first_record(df)
+            if schema_mode == "first_record"
+            else unify_schema_sorted(df)
+        )
     report.elapsed_sec = time.time() - t0
     return df, report
 
@@ -309,6 +353,28 @@ def read_json_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
         .json(paths)
     )
     return with_lineage(df)
+
+
+def unify_schema_first_record(df: DataFrame) -> DataFrame:
+    """A11, second frontend mode: the reference's Streamlit path infers
+    the table schema from the FIRST processed record only
+    (`app.py:168-175`) — later-appearing columns are silently dropped
+    and no ``_source_file`` lineage exists on that path. Reproduced as
+    an opt-in mode so a web-path user sees the same table shape.
+
+    Divergences forced by the engine (documented, SURVEY §1.3 path 2):
+    Spark column order is its JSON-inference order rather than the
+    record-0 dict insertion order, and a key that is null (or, after
+    the A7 text projection, collapsed to ``""``) in record 0 is
+    indistinguishable from an absent key — all are dropped."""
+    first = df.limit(1).collect()  # one row by contract, like the reference
+    if not first:
+        return df.select([c for c in df.columns if c != SOURCE_COL])
+    row = first[0].asDict()
+    cols = [
+        c for c in df.columns if c != SOURCE_COL and row.get(c) not in (None, "")
+    ]
+    return df.select(*cols)
 
 
 def unify_schema_sorted(df: DataFrame) -> DataFrame:

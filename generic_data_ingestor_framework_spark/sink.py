@@ -17,7 +17,14 @@ one writer. ``maxRecordsPerFile`` bounds file sizes without a shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import shutil
+import sqlite3
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def create_table(
@@ -35,24 +42,127 @@ def insert_data(
 ) -> int:
     """A13: batched append. Partition-parallel; the task-commit
     protocol gives the reference's rollback-on-error semantics
-    (failed tasks leave no visible output). Returns rows written."""
-    writer = df.write.mode("append")
+    (failed tasks leave no visible output). Returns the number of rows
+    written by THIS call (counted with an Observation on the written
+    plan — no second scan, and unaffected by pre-existing table rows)."""
+    obs = Observation("insert_data_rows")
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.saveAsTable(table)
-    return spark.table(table).count() if spark.catalog.tableExists(table) else 0
+    return int(obs.get["n"])
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def backup_existing(path: str | Path) -> str | None:
+    """Reference ``_create_backup`` parity (`file_handler.py:387-392`):
+    before an overwrite, copy the existing output to a timestamped
+    sibling (``out.backup_YYYYmmdd_HHMMSS.json``). Spark outputs are
+    directories, so the copy is a tree copy. Returns the backup path,
+    or None if nothing existed."""
+    p = Path(path)
+    if not p.exists():
+        return None
+    ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+    backup = p.with_suffix(f".backup_{ts}{p.suffix}")
+    if p.is_dir():
+        shutil.copytree(p, backup)
+    else:
+        shutil.copy2(p, backup)
+    return str(backup)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", backup: bool = False) -> None:
+    if backup:
+        backup_existing(path)
     df.write.mode(mode).parquet(path)
 
 
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", backup: bool = False) -> None:
     """A25: JSON sink — atomicity via the job commit protocol (the
-    Spark-native form of temp-file-write → validate → rename)."""
+    Spark-native form of temp-file-write → validate → rename).
+    ``backup=True`` snapshots any existing output first (A25's
+    backup-then-overwrite contract)."""
+    if backup:
+        backup_existing(path)
     df.write.mode(mode).json(path)
 
 
-def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_text(df: DataFrame, path: str, mode: str = "overwrite", backup: bool = False) -> None:
     """A26: text sink; the input must be a single string column."""
+    if backup:
+        backup_existing(path)
     df.write.mode(mode).text(path)
+
+
+_SQLITE_TYPES: list[tuple[type, str]] = [
+    (T.BooleanType, "INTEGER"),
+    (T.IntegralType, "INTEGER"),
+    (T.FractionalType, "REAL"),
+    (T.StringType, "TEXT"),
+]
+
+
+def _sqlite_type(dtype: T.DataType) -> str:
+    for spark_t, sql_t in _SQLITE_TYPES:
+        if isinstance(dtype, spark_t):
+            return sql_t
+    return "TEXT"  # dates, timestamps, nested types → text form
+
+
+def write_sqlite(
+    df: DataFrame, db_path: str | Path, table: str, batch_size: int = 1000
+) -> int:
+    """Portable single-file artifact: the reference workflow ends with
+    an ``out.db`` any sqlite3 client can open
+    (`sqlite_connector.py:131-222`, README "Query your data"); this
+    gives the Spark pipeline the same hand-off.
+
+    DELIBERATELY a funnel, not a distributed sink: rows stream to the
+    driver one partition at a time (``toLocalIterator`` — bounded
+    driver memory) into batched ``executemany`` with a single
+    transaction and rollback-on-error, exactly the reference's insert
+    protocol. Use ``saveAsTable``/``write_parquet`` for the 100 TB
+    path; this is for the "walk away with a .db file" tail of a run
+    (summaries, samples, reports). Returns rows inserted."""
+    out = df
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            out = out.withColumn(f_.name, F.to_json(F.col(f_.name)))
+        elif isinstance(f_.dataType, (T.DateType, T.TimestampType)):
+            out = out.withColumn(f_.name, F.col(f_.name).cast("string"))
+    cols = out.schema.fields
+    ddl_cols = ", ".join(f'"{c.name}" {_sqlite_type(c.dataType)}' for c in cols)
+    names = ", ".join(f'"{c.name}"' for c in cols)
+    params = ", ".join("?" for _ in cols)
+    con = sqlite3.connect(str(db_path))
+    try:
+        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({ddl_cols})')
+        insert_sql = f'INSERT INTO "{table}" ({names}) VALUES ({params})'
+        n = 0
+        batch: list[tuple] = []
+        for row in out.toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                con.executemany(insert_sql, batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(insert_sql, batch)
+            n += len(batch)
+        con.commit()
+        return n
+    except Exception:
+        con.rollback()
+        raise
+    finally:
+        con.close()
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", properties: dict | None = None
+) -> None:
+    """Distributed JDBC sink (each partition opens its own connection —
+    the scale-out counterpart of ``write_sqlite``). Requires the
+    target's JDBC driver jar on the Spark classpath; this sandbox
+    ships none, so the call is exercised only where a driver exists."""
+    df.write.jdbc(url, table, mode=mode, properties=properties or {})

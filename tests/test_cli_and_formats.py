@@ -65,3 +65,19 @@ def test_cli_missing_dir_exit_code(tmp_path):
     )
     assert out.returncode == 2
     assert "does not exist" in out.stderr
+
+
+def test_cli_sqlite_artifact(spark, tmp_path, capsys):
+    import json as _json
+    import sqlite3
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "r.json").write_text(_json.dumps([{"id": 1, "name": "x"}]))
+    db = tmp_path / "out.db"
+    from generic_data_ingestor_framework_spark.__main__ import main
+
+    assert main([str(d), "--table", "t_cli_sqlite", "--sqlite", str(db)]) == 0
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t_cli_sqlite").fetchone()[0] == 1
+    con.close()

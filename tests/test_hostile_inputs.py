@@ -103,3 +103,15 @@ def test_deep_nesting_survives(spark, tmp_path):
     for i in reversed(range(8)):
         node = node[f"level{i}"]
     assert node["leaf"] == 1.5
+
+
+def test_salvage_latin1_mixed_array_keeps_encoding(spark, tmp_path):
+    """A6×A8: a latin-1 file whose top-level array mixes objects and
+    scalars must salvage the objects WITHOUT mangling the text (the
+    salvage read threads the sniffed encoding through)."""
+    p = tmp_path / "mixed_latin.json"
+    p.write_bytes('[{"name": "café"}, 42, "loose"]'.encode("latin-1"))
+    df, report = ingest_directory(spark, tmp_path)
+    assert report.files_processed == 1
+    assert report.records_dropped_non_dict == 2
+    assert df.collect()[0]["name"] == "café"

@@ -84,3 +84,36 @@ def test_missing_directory_raises(spark, tmp_path):
 
     with _pytest.raises(NotADirectoryError):
         ingest_directory(spark, tmp_path / "not_there")
+
+
+def test_bulk_mode_reports_skipped_non_json(spark, tmp_path):
+    (tmp_path / "a.json").write_text('[{"id": 1}]')
+    (tmp_path / "b.csv").write_text("x,y\n1,2\n")
+    df, report = ingest_directory(spark, tmp_path, mode="bulk")
+    assert df.count() == 1
+    assert report.files_processed == 1
+    assert report.files_failed == 1
+    assert "SkippedInBulkMode" in report.errors[0]["error"]
+
+
+def test_bulk_mode_empty_json_set_returns_none(spark, tmp_path):
+    (tmp_path / "only.csv").write_text("x,y\n1,2\n")
+    df, report = ingest_directory(spark, tmp_path, mode="bulk")
+    assert df is None
+    assert report.files_failed == 1
+
+
+def test_first_record_schema_mode_reproduces_web_path(spark, tmp_path):
+    """app.py:168-175 parity: schema = record-0 keys only, no lineage;
+    later-appearing columns are dropped (the web path's documented
+    data loss, reproduced only when opted in)."""
+    (tmp_path / "a_first.json").write_text(
+        json.dumps([{"id": 1, "name": "A"}, {"id": 2, "name": "B", "extra": "x"}])
+    )
+    df, _ = ingest_directory(spark, tmp_path, schema_mode="first_record")
+    assert set(df.columns) == {"id", "name"}
+    assert "_source_file" not in df.columns
+    assert df.count() == 2
+    # default mode keeps the union of keys plus lineage
+    df2, _ = ingest_directory(spark, tmp_path)
+    assert set(df2.columns) == {"id", "name", "extra", "_source_file"}
