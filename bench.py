@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ...,
+   "vs_prev": {"baseline": file, "total_ratio": r,
+               "regressions": {name: ratio > 1.3}}}
+
+``vs_prev`` compares against the newest BENCH_r*.json in the repo
+root over the queries both rounds ran, so round-over-round
+regressions are visible without manual diffing.
 
 Queries are materialized with a noop write (full computation, no
 driver-side result transfer) after a session warm-up, so timings
@@ -38,7 +44,42 @@ HEADLINE = [
     "ann_cosine_topk",
     "token_stats",
     "json_funcs",
+    "q2_min_cost_supplier",
+    "ann_ivf_topk",
 ]
+
+REGRESSION_RATIO = 1.3
+
+
+def _vs_prev(times: dict[str, float], total: float) -> dict | None:
+    """Diff against the most recent recorded round, common queries only."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return None
+    baseline_file = prior[-1]
+    try:
+        with open(baseline_file) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the driver wraps the bench line in {"parsed": {...}, ...}
+    prev = prev.get("parsed", prev) or {}
+    prev_q = prev.get("queries", {})
+    common = [n for n in times if n in prev_q and prev_q[n] > 0]
+    if not common:
+        return None
+    ratios = {n: round(times[n] / prev_q[n], 3) for n in common}
+    prev_total = sum(prev_q[n] for n in common)
+    cur_total = sum(times[n] for n in common)
+    return {
+        "baseline": os.path.basename(baseline_file),
+        "total_ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        "regressions": {n: r for n, r in sorted(ratios.items()) if r > REGRESSION_RATIO},
+        "common_queries": len(common),
+    }
 
 
 def main() -> None:
@@ -78,6 +119,7 @@ def main() -> None:
                 "sf": sf,
                 "cold_total": round(sum(cold.values()), 3),
                 "ingest_rps": ingest_rps,
+                "vs_prev": _vs_prev(times, total),
             }
         )
     )
