@@ -17,6 +17,9 @@ from generic_data_ingestor_framework_spark import functions, llm, relational, st
 _MODULES = [relational, llm, streaming, functions]
 
 # The driver's correctness gate checks the FIRST 50 registered queries.
+# Queries swapped out of the window (preview_limit, sort_limit_offset,
+# explode_lateral) are UNCHANGED since their green driver rows in
+# round 1; every new or modified query sits inside the window.
 # Order so every distinct capability lands inside that window: the
 # flagship + one representative per SURVEY §2.B relational family +
 # every LLM-pipeline, streaming, and UDF query. The remaining
@@ -30,20 +33,17 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "q20_supplier_part_chain",
     "approx_sketches",
-    "preview_limit",
     "filter_predicates",
     "join_inner",
     "agg_having_distinct",
     "grouping_sets_agg",
     "window_rank",
     "top_k_per_group",
-    "sort_limit_offset",
     "set_union",
     "subquery_cte",
     "correlated_subquery",
     "percentile_stats",
     "json_funcs",
-    "explode_lateral",
     "date_funcs",
     # dedup (7)
     "dedup_exact",
@@ -60,12 +60,15 @@ _PRIORITY = [
     "label_centroid_dims",
     "ann_ivf_topk",
     "ann_recall_report",
+    "dedup_embedding_pairs",
     # text stats (5)
     "token_stats",
     "quality_score",
     "lang_id_heuristic",
     "doc_fingerprint",
     "corpus_bigram_topk",
+    "nb_lang_predictions",
+    "nb_lang_confusion",
     # multimodal (2)
     "multimodal_binary_meta",
     "multimodal_decode_features",

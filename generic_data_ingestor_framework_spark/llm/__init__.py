@@ -11,6 +11,7 @@ work is genuinely imperative.
 from __future__ import annotations
 
 from generic_data_ingestor_framework_spark.llm import (
+    classify,
     dedup,
     multimodal,
     sampling,
@@ -20,6 +21,6 @@ from generic_data_ingestor_framework_spark.llm import (
 
 QUERIES = {}
 ORACLES = {}
-for _m in (dedup, similarity, textstats, multimodal, sampling):
+for _m in (dedup, similarity, textstats, multimodal, sampling, classify):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,181 @@
+"""Text-classification pipeline: multinomial Naive Bayes over the
+``documents`` table (train on the corpus's lang labels, predict lang
+per document).
+
+The shape a production quality/language classifier takes on Spark when
+the model is trained IN the engine: every stage is a join or a
+hash-aggregate — no UDFs, no driver-side model object, no collect.
+
+- token counts per (lang, token) + per-lang totals → the model
+- Laplace-smoothed log-likelihoods joined back onto per-doc token
+  counts (langs × vocab is broadcast-sized; the doc-token relation is
+  the big side and shuffles once on token)
+- argmax over langs via a window (ties broken alphabetically)
+
+Determinism contract for the DuckDB oracle: per-(doc, lang) scores are
+rounded to 4 dp before the argmax and ties break on lang, so the two
+engines' independent float summation orders cannot flip a prediction
+unless two scores agree to 4 dp — in which case both engines pick the
+same alphabetically-first lang.
+
+Scale notes (100 TB): the model (langs × vocab log-probs) is a
+broadcast join; doc scoring is one shuffle on token plus one on
+doc_id. Vocabulary would be frequency-pruned at real scale (the same
+DF-cap machinery as dedup.DF_CAP); accuracy is reported by
+``nb_lang_confusion`` so a pruned model's cost is measurable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
+from generic_data_ingestor_framework_spark.relational import load_table
+
+LAPLACE = 1.0
+SCORE_DP = 4  # round scores to 4 dp before argmax (cross-engine tie contract)
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", F.explode(tokens_col()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document predicted lang vs actual (self-train demo of the
+    pipeline; a real run trains on a labeled split and scores the
+    rest — identical plan shape)."""
+    toks = _doc_tokens(spark, sf_dir).cache()
+
+    # model: smoothed log P(token | lang) and log P(lang)
+    lang_tok = toks.groupBy("lang", "tok").agg(F.sum("n").alias("c"))
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("c").alias("total"))
+    vocab_n = lang_tok.select("tok").distinct().count()
+    n_docs = toks.select("doc_id").distinct().count()
+    priors = (
+        toks.select("doc_id", "lang")
+        .distinct()
+        .groupBy(F.col("lang").alias("p_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("log_prior", F.log(F.col("n_docs") / F.lit(n_docs)))
+    )
+
+    # score every doc against every lang: per-doc token counts joined to
+    # the (broadcast) model; unseen (lang, token) falls back to the
+    # smoothing floor log(LAPLACE / (total + LAPLACE * V))
+    doc_toks = toks.select("doc_id", F.col("lang").alias("actual_lang"), "tok", "n")
+    model = (
+        lang_tok.join(lang_tot, "lang")
+        .select(
+            F.col("lang").alias("m_lang"),
+            "tok",
+            F.log((F.col("c") + LAPLACE) / (F.col("total") + LAPLACE * vocab_n)).alias("log_p"),
+        )
+    )
+    floors = lang_tot.select(
+        F.col("lang").alias("m_lang"),
+        F.log(F.lit(LAPLACE) / (F.col("total") + LAPLACE * vocab_n)).alias("log_floor"),
+    )
+    scored = (
+        doc_toks.crossJoin(F.broadcast(floors))
+        .join(F.broadcast(model), ["m_lang", "tok"], "left")
+        .groupBy("doc_id", "actual_lang", "m_lang")
+        .agg(F.sum(F.col("n") * F.coalesce(F.col("log_p"), F.col("log_floor"))).alias("ll"))
+        .join(F.broadcast(priors), F.col("m_lang") == F.col("p_lang"))
+        .select(
+            "doc_id",
+            "actual_lang",
+            "m_lang",
+            F.round(F.col("ll") + F.col("log_prior"), SCORE_DP).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "m_lang")
+    preds = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("actual_lang").alias("lang"), F.col("m_lang").alias("pred_lang"))
+    )
+    return preds
+
+
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB classifier (actual × predicted doc
+    counts) — the accuracy report a pipeline gates model rollout on."""
+    preds = nb_lang_predictions(spark, sf_dir)
+    return (
+        preds.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+QUERIES = {
+    "nb_lang_predictions": nb_lang_predictions,
+    "nb_lang_confusion": nb_lang_confusion,
+}
+
+_NB_CTES = f"""
+        tok0 AS (
+          SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        toks AS MATERIALIZED (
+          SELECT doc_id, lang, tok, count(*) AS n FROM tok0
+          WHERE tok <> '' GROUP BY doc_id, lang, tok
+        ),
+        lang_tok AS MATERIALIZED (
+          SELECT lang, tok, sum(n) AS c FROM toks GROUP BY lang, tok
+        ),
+        lang_tot AS MATERIALIZED (SELECT lang, sum(c) AS total FROM lang_tok GROUP BY lang),
+        vocab AS (SELECT count(DISTINCT tok) AS v FROM lang_tok),
+        ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+        priors AS (
+          SELECT lang AS p_lang, ln(count(*) / (SELECT nd FROM ndocs)) AS log_prior
+          FROM (SELECT DISTINCT doc_id, lang FROM toks) GROUP BY lang
+        ),
+        model AS MATERIALIZED (
+          SELECT lt.lang AS m_lang, lt.tok,
+                 ln((lt.c + {LAPLACE}) / (t.total + {LAPLACE} * (SELECT v FROM vocab))) AS log_p
+          FROM lang_tok lt JOIN lang_tot t ON lt.lang = t.lang
+        ),
+        floors AS (
+          SELECT lang AS m_lang,
+                 ln({LAPLACE} / (total + {LAPLACE} * (SELECT v FROM vocab))) AS log_floor
+          FROM lang_tot
+        ),
+        scored AS MATERIALIZED (
+          SELECT d.doc_id, d.lang AS actual_lang, f.m_lang,
+                 round(sum(d.n * coalesce(m.log_p, f.log_floor)) + any_value(p.log_prior),
+                       {SCORE_DP}) AS score
+          FROM toks d
+          CROSS JOIN floors f
+          LEFT JOIN model m ON m.m_lang = f.m_lang AND m.tok = d.tok
+          JOIN priors p ON p.p_lang = f.m_lang
+          GROUP BY d.doc_id, d.lang, f.m_lang
+        ),
+        preds AS MATERIALIZED (
+          SELECT doc_id, actual_lang AS lang, m_lang AS pred_lang FROM (
+            SELECT doc_id, actual_lang, m_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, m_lang) AS rn
+            FROM scored) WHERE rn = 1
+        )
+"""
+
+ORACLES = {
+    "nb_lang_predictions": f"""
+        WITH {_NB_CTES}
+        SELECT doc_id, lang, pred_lang FROM preds
+    """,
+    "nb_lang_confusion": f"""
+        WITH {_NB_CTES}
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM preds GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+}

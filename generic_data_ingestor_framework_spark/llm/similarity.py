@@ -279,6 +279,79 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_BANDS = 6          # LSH bands for embedding near-dup candidates
+EMB_PLANES_PER_BAND = 4  # hyperplanes per band (16 buckets/band)
+EMB_DUP_THRESHOLD = 0.4  # exact-cosine cutoff after candidate pruning
+
+
+def _band_bucket(v_col, band: int):
+    """Bucket id of `v` in one LSH band: sign bits of 4 deterministic
+    arithmetic hyperplanes (same family as ann_lsh_bucketed, offset per
+    band so bands are independent)."""
+    def _weight_fn(plane: int):
+        # factory, NOT a default-arg closure: PySpark dispatches HOF
+        # lambdas on parameter count, so a 2-parameter function would be
+        # silently called as (element, index)
+        return lambda i: ((F.lit(7 * plane) + F.lit(11) * i) % 13 - 6).cast("double")
+
+    bits = []
+    for p in range(EMB_PLANES_PER_BAND):
+        plane = EMB_PLANES_PER_BAND * band + p
+        weights = F.transform(F.sequence(F.lit(0), F.size(v_col) - 1), _weight_fn(plane))
+        proj = F.aggregate(
+            F.zip_with(v_col, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup pass
+    of a training-data pipeline (MinHash catches lexical dups, this
+    catches paraphrases).
+
+    Scale shape mirrors ``dedup_minhash_lsh_pairs``: vectors land in
+    ``EMB_BANDS`` independent hyperplane-LSH buckets, candidates are
+    pairs sharing ANY band bucket (an equi-join on (band, bucket) —
+    never an all-pairs cross join), and only candidates pay the exact
+    cosine, which must clear ``EMB_DUP_THRESHOLD``. Deterministic
+    arithmetic planes keep the DuckDB oracle in lockstep."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    buckets = F.array(*[_band_bucket(F.col("v"), b) for b in range(EMB_BANDS)])
+    banded = vecs.select(
+        "vec_id", "v", F.posexplode(buckets).alias("band", "bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
+        .filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embed_norms": embed_norms,
@@ -286,6 +359,7 @@ QUERIES = {
     "label_centroid_dims": label_centroid_dims,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_report": ann_recall_report,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -354,7 +428,45 @@ _IVF_TAIL = f"""
           WHERE rank <= {TOP_K})
 """
 
+def _emb_bucket_sql(band: int) -> str:
+    terms = []
+    for p in range(EMB_PLANES_PER_BAND):
+        plane = EMB_PLANES_PER_BAND * band + p
+        terms.append(
+            f"""(CASE WHEN list_reduce(list_transform(range(1, len(v) + 1),
+                i -> v[i] * CAST((7 * {plane} + 11 * (i - 1)) % 13 - 6 AS DOUBLE)),
+                (acc, x) -> acc + x) > 0 THEN {2 ** p} ELSE 0 END)"""
+        )
+    return " + ".join(terms)
+
+
+_EMB_BANDED_CTE = "\n          UNION ALL\n".join(
+    f"          SELECT vec_id, v, {b} AS band, CAST({_emb_bucket_sql(b)} AS INT) AS bucket FROM vecs"
+    for b in range(EMB_BANDS)
+)
+
 ORACLES = {
+    "dedup_embedding_pairs": f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        banded AS MATERIALIZED (
+{_EMB_BANDED_CTE}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               round({_DOT.format(a='x.v', b='y.v')}
+                 / ({_NORM.format(a='x.v')} * {_NORM.format(a='y.v')}), 6) AS cos_sim
+        FROM cand
+        JOIN vecs x ON x.vec_id = id_a
+        JOIN vecs y ON y.vec_id = id_b
+        WHERE round({_DOT.format(a='x.v', b='y.v')}
+                 / ({_NORM.format(a='x.v')} * {_NORM.format(a='y.v')}), 6) >= {EMB_DUP_THRESHOLD}
+    """,
     "ann_cosine_topk": f"""
         WITH vecs AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

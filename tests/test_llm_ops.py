@@ -81,3 +81,28 @@ def test_ngram_jaccard_cap_drops_hot_shingles(spark):
     finally:
         dedup.DF_CAP = orig
     assert dedup.dedup_ngram_jaccard(spark, SF).count() > 0
+
+
+def test_embedding_dedup_pairs_clear_threshold(spark):
+    from generic_data_ingestor_framework_spark.llm.similarity import (
+        EMB_DUP_THRESHOLD,
+        dedup_embedding_pairs,
+    )
+
+    rows = dedup_embedding_pairs(spark, SF).collect()
+    assert all(r["cos_sim"] >= EMB_DUP_THRESHOLD for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_nb_classifier_beats_majority_class(spark):
+    """Self-train NB must beat the majority-class baseline — the
+    sanity gate that the model learned token evidence, not priors."""
+    from generic_data_ingestor_framework_spark.llm.classify import nb_lang_predictions
+
+    preds = nb_lang_predictions(spark, SF).collect()
+    n = len(preds)
+    acc = sum(r["lang"] == r["pred_lang"] for r in preds) / n
+    from collections import Counter
+
+    majority = Counter(r["lang"] for r in preds).most_common(1)[0][1] / n
+    assert acc > majority, (acc, majority)
