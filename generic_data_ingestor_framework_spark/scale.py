@@ -83,3 +83,38 @@ def explain_string(df: DataFrame, mode: str = "simple") -> str:
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan."""
     return explain_string(df).count("Exchange hashpartitioning")
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance op every long-running
+    ingestion pipeline needs: streaming/incremental writers leave
+    thousands of KB-sized files whose per-file open/footer cost
+    eventually dominates scan time.
+
+    Sizes the output from the INPUT's actual bytes (sum of file sizes /
+    target), so compaction stays one job with no driver-side listing of
+    row counts. The rewrite goes through a temp sibling directory and a
+    rename so a failed job never destroys the input. Optional
+    ``sort_within_by`` applies a per-file sortWithinPartitions (better
+    min/max pruning on the compacted files, no global shuffle beyond
+    the repartition itself). Returns the output file count."""
+    import shutil
+    from pathlib import Path as _P
+
+    src = _P(path)
+    total_bytes = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = src.with_name(src.name + "._compacting")
+    out.write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(src)
+    tmp.rename(src)
+    return len(list(src.rglob("*.parquet")))

@@ -166,3 +166,42 @@ def write_jdbc(
     target's JDBC driver jar on the Spark classpath; this sandbox
     ships none, so the call is exercised only where a driver exists."""
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def merge_into(
+    spark: SparkSession,
+    target_table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Upsert (MERGE INTO analogue) for plain managed tables: rows in
+    ``updates`` replace target rows with the same key; unmatched
+    update rows are inserted.
+
+    Without a transactional table format this is the classic
+    rewrite-merge: target ⟕anti updates (survivors) ∪ updates, written
+    back atomically via the overwrite job commit. The anti join
+    broadcasts the update KEYS when small — the common case for CDC
+    batches — so the rewrite is one scan of the target. At real scale
+    you'd bound the rewrite by partition (dynamic partition overwrite)
+    or use a transactional format; this gives the semantics with the
+    engine's own commit protocol. Returns {"updated": n, "inserted": n}.
+    """
+    from pyspark.sql import functions as _F
+
+    target = spark.table(target_table)
+    keys = updates.select(*key_cols).distinct()
+    matched = target.join(_F.broadcast(keys), key_cols, "semi").count()
+    survivors = target.join(_F.broadcast(keys), key_cols, "anti")
+    merged = survivors.unionByName(updates.select(*target.columns))
+    # localCheckpoint cuts the lineage back to the table being
+    # overwritten (plain cache() keeps it, and the analyzer rejects
+    # overwriting a read target)
+    merged = merged.localCheckpoint(eager=True)
+    n_total = merged.count()
+    merged.write.mode("overwrite").saveAsTable(target_table)
+    return {
+        "updated": matched,
+        "inserted": int(updates.count()) - matched,
+        "total": n_total,
+    }

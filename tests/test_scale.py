@@ -77,3 +77,18 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     plan = explain_string(reread)
     assert "PartitionFilters" in plan and "lang" in plan
     assert reread.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_compact_parquet_dir_reduces_files(spark, tmp_path):
+    from generic_data_ingestor_framework_spark.scale import compact_parquet_dir
+
+    src = str(tmp_path / "many_small")
+    spark.range(0, 20000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(src)
+    import pathlib
+
+    assert len(list(pathlib.Path(src).rglob("*.parquet"))) == 64
+    n = compact_parquet_dir(spark, src, target_file_bytes=10 * 1024 * 1024, sort_within_by=["id"])
+    assert n == 1
+    df = spark.read.parquet(src)
+    assert df.count() == 20000
+    assert df.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(20000))

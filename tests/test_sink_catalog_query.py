@@ -114,3 +114,18 @@ def test_backup_on_overwrite(spark, small_df, tmp_path):
     old = spark.read.json(str(backups[0]))
     assert old.count() == 3  # the pre-overwrite content
     assert spark.read.json(out).count() == 1
+
+
+def test_merge_into_upserts(spark):
+    t = "t_merge_target"
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id bigint, name string, v bigint"
+    )
+    base.write.mode("overwrite").saveAsTable(t)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "id bigint, name string, v bigint"
+    )
+    stats = sink.merge_into(spark, t, updates, ["id"])
+    assert stats == {"updated": 1, "inserted": 1, "total": 4}
+    rows = {r["id"]: (r["name"], r["v"]) for r in spark.table(t).collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
