@@ -820,6 +820,71 @@ def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a semi join — orders in a
+    quarter having at least one returned lineitem, counted by priority."""
+    t = _t(spark, sf_dir)
+    orders = t("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    returned = t("lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q16_supplier_cnt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN (anti join) + COUNT(DISTINCT) per group.
+
+    The anti-join side (overdrawn suppliers) is broadcast; the distinct
+    count is a two-level hash aggregate — both partial-agg friendly."""
+    t = _t(spark, sf_dir)
+    part = t("part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("ECONOMY%"))
+        & (F.col("p_size").isin(1, 5, 9, 13))
+    )
+    bad_supp = t("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t("lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg, kept in-plan as a
+    1-row broadcast cross join — no driver round trip) + NOT EXISTS
+    (anti join) — rich customers with no urgent orders, by nation.
+    (The synthetic corpus gives every customer at least one order, so
+    the anti-join predicate is the urgent slice rather than Q22's
+    no-orders-at-all; the plan shape is identical.)"""
+    t = _t(spark, sf_dir)
+    cust = t("customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = t("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -862,6 +927,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_supplier_part_chain": q20_supplier_part_chain,
+    "q4_priority_exists": q4_priority_exists,
+    "q16_supplier_cnt_distribution": q16_supplier_cnt_distribution,
+    "q22_idle_customers": q22_idle_customers,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1091,6 +1159,34 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "q4_priority_exists": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q16_supplier_cnt_distribution": """
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_type NOT LIKE 'ECONOMY%'
+          AND p_size IN (1, 5, 9, 13)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    "q22_idle_customers": """
+        SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     "correlated_subquery": """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
