@@ -107,6 +107,134 @@ def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: each click joined to the same user's
+    purchases in the following 30 minutes — the attribution-window
+    primitive.
+
+    Scale shape: the equi-key (user_id) drives the shuffle; the time
+    bound is a post-join filter within each key's partition, so this is
+    a hash/sort-merge join, never a cross product. The same plan runs
+    as a stream-stream join with watermarks (see
+    ``stream_interval_join`` and its test)."""
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the time-series primitive Spark has no native
+    operator for: each purchase picks the user's most recent click
+    at-or-before its timestamp.
+
+    Implemented Spark-first as union + forward-fill window
+    (``last(ignorenulls)`` over rows-unbounded-preceding): ONE shuffle
+    on user_id, state bounded per key, no range explosion — the shape
+    that survives 100 TB where a windowed range join would blow up on
+    dense keys. The DuckDB oracle uses its native ASOF JOIN, so the
+    semantics are pinned to the industry definition. Clicks are
+    pre-deduped to one per (user, ts) (max event_id) to make the
+    at-equal-timestamp winner deterministic in both engines."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir)
+    clk_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(clk_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    tagged = clicks.withColumn("purchase_id", F.lit(None).cast("long")).select(
+        "user_id", "ts", F.lit(0).alias("side"), "click_id", "purchase_id"
+    ).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long")).select(
+            "user_id", "ts", F.lit(1).alias("side"), "click_id", "purchase_id"
+        )
+    )
+    # at equal ts the click sorts first (side 0), so ts-tied clicks match
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter((F.col("side") == 1) & F.col("asof_click_id").isNotNull())
+        .select(
+            "user_id",
+            "purchase_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("asof_click_id").alias("click_id"),
+        )
+    )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval join as a REAL stream-stream join: both sides are
+    file streams with watermarks; matched pairs are emitted in append
+    mode. Append-mode emission is watermark-gated, so with a finite
+    availableNow input the tail of the stream (events newer than
+    max_event_time − watermark) is legitimately withheld — the test
+    asserts the emitted set is a correct SUBSET of the batch result,
+    which is exactly the contract a live job converges under."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id")
+    sink = "stream_interval_join_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Real streaming execution (availableNow → memory sink)
 # ---------------------------------------------------------------------------
@@ -259,6 +387,8 @@ QUERIES = {
     "session_window_10m": session_window_10m,
     "events_dedup_earliest": events_dedup_earliest,
     "stream_tumbling_counts": stream_tumbling_counts,
+    "events_interval_join": events_interval_join,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLES = {
@@ -307,5 +437,29 @@ ORACLES = {
         SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
                count(*) AS n
         FROM events GROUP BY 1
+    """,
+    "events_interval_join": """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               round(p.value, 2) AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "events_asof_join": """
+        WITH clk AS (
+          SELECT user_id, ts, event_id AS click_id FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') WHERE rn = 1
+        ),
+        prch AS (
+          SELECT user_id, ts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts, c.click_id
+        FROM prch p ASOF JOIN clk c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 }

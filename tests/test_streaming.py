@@ -83,3 +83,25 @@ def test_session_windows_respect_gap(spark):
     for r in sess:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_interval_join_subset_of_batch(spark):
+    """Stream-stream interval join (real execution, append mode) must
+    emit only correct pairs; with finite availableNow input the
+    watermark legitimately withholds the tail, so the contract is
+    correct-subset + substantial coverage."""
+    from generic_data_ingestor_framework_spark.streaming import (
+        events_interval_join,
+        stream_interval_join,
+    )
+
+    batch = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in events_interval_join(spark, SF).collect()
+    }
+    streamed = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in stream_interval_join(spark, SF).collect()
+    }
+    assert streamed <= batch
+    assert len(streamed) >= len(batch) * 0.5, (len(streamed), len(batch))
