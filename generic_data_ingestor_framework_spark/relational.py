@@ -820,6 +820,25 @@ def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family: lag/lead/ntile/percent_rank/cume_dist
+    over per-customer order history — the remaining §2.B window
+    functions not covered by rank/frames."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
 def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS decorrelated to a semi join — orders in a
     quarter having at least one returned lineitem, counted by priority."""
@@ -930,6 +949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q16_supplier_cnt_distribution": q16_supplier_cnt_distribution,
     "q22_idle_customers": q22_idle_customers,
+    "window_navigation": window_navigation,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1159,6 +1179,16 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "window_navigation": """
+        SELECT o_orderkey, o_custkey,
+               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+               round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "q4_priority_exists": """
         SELECT o_orderpriority, count(*) AS order_count

@@ -107,6 +107,32 @@ def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, and grand
+    totals in ONE pass via GROUPING SETS on truncated timestamps —
+    the continuous-aggregate hierarchy a time-series store maintains,
+    computed as a single partial-agg-friendly plan instead of three
+    scans."""
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.date_trunc("day", F.col("ts")).alias("day_bucket"),
+        "value",
+    )
+    return (
+        e.groupingSets(
+            [["hour_bucket", "day_bucket"], ["day_bucket"], []],
+            "hour_bucket",
+            "day_bucket",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id("hour_bucket", "day_bucket").cast("int").alias("gid"),
+        )
+        .orderBy("gid", "day_bucket", "hour_bucket")
+    )
+
+
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: each click joined to the same user's
     purchases in the following 30 minutes — the attribution-window
@@ -389,6 +415,7 @@ QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "events_interval_join": events_interval_join,
     "events_asof_join": events_asof_join,
+    "events_multi_rollup": events_multi_rollup,
 }
 
 ORACLES = {
@@ -445,6 +472,18 @@ ORACLES = {
           ON c.user_id = p.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "events_multi_rollup": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               CAST(grouping(date_trunc('hour', ts)) * 2
+                    + grouping(date_trunc('day', ts)) AS INT) AS gid
+        FROM events
+        GROUP BY GROUPING SETS
+          ((date_trunc('hour', ts), date_trunc('day', ts)),
+           (date_trunc('day', ts)), ())
     """,
     "events_asof_join": """
         WITH clk AS (
