@@ -169,19 +169,90 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join — the time-series primitive Spark has no native
-    operator for: each purchase picks the user's most recent click
-    at-or-before its timestamp.
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Generic as-of join — the time-series primitive Spark has no
+    native operator for: each left row picks, per ``by`` key, the right
+    row with the greatest ``right_ts`` <= ``left_ts``.
 
     Implemented Spark-first as union + forward-fill window
     (``last(ignorenulls)`` over rows-unbounded-preceding): ONE shuffle
-    on user_id, state bounded per key, no range explosion — the shape
-    that survives 100 TB where a windowed range join would blow up on
-    dense keys. The DuckDB oracle uses its native ASOF JOIN, so the
-    semantics are pinned to the industry definition. Clicks are
-    pre-deduped to one per (user, ts) (max event_id) to make the
-    at-equal-timestamp winner deterministic in both engines."""
+    on the key, state bounded per key, no range explosion — the shape
+    that survives 100 TB where a range join would blow up on dense
+    keys. At equal timestamps the right row wins (>= semantics,
+    matching DuckDB/pandas ASOF). The right side must be unique per
+    (by, ts) for a deterministic result — pre-dedup if it isn't.
+    ``how="left"`` keeps unmatched left rows with null carried columns.
+    """
+    from pyspark.sql import Window as W
+
+    right_cols = right_cols or [
+        c for c in right.columns if c not in {*by, right_ts}
+    ]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    l_tag = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in {*by}],
+    )
+    r_tag = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *right_cols,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in left.columns
+            if c not in {*by}
+        ],
+    )
+    w = (
+        W.partitionBy(*by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols
+    ]
+    out = (
+        l_tag.unionByName(r_tag)
+        .select("*", *carried)
+        .filter(F.col("__side") == 1)
+    )
+    if how == "inner":
+        matched = F.lit(False)
+        for c in right_cols:
+            matched = matched | F.col(f"__asof_{c}").isNotNull()
+        out = out.filter(matched)
+    return out.select(
+        *by,
+        *[
+            F.col(f"__l_{c}").alias(c)
+            for c in left.columns
+            if c not in {*by}
+        ],
+        *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
+    )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over events: each purchase picks the user's most
+    recent click at-or-before its timestamp (see ``asof_join`` for the
+    plan shape). The DuckDB oracle uses its native ASOF JOIN, pinning
+    the semantics to the industry definition. Clicks are pre-deduped
+    to one per (user, ts) (max event_id) so the at-equal-timestamp
+    winner is deterministic in both engines."""
     from pyspark.sql import Window as W
 
     e = _events(spark, sf_dir)
@@ -193,31 +264,17 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", F.col("event_id").alias("click_id"))
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
     )
-    tagged = clicks.withColumn("purchase_id", F.lit(None).cast("long")).select(
-        "user_id", "ts", F.lit(0).alias("side"), "click_id", "purchase_id"
-    ).unionByName(
-        purchases.withColumn("click_id", F.lit(None).cast("long")).select(
-            "user_id", "ts", F.lit(1).alias("side"), "click_id", "purchase_id"
-        )
-    )
-    # at equal ts the click sorts first (side 0), so ts-tied clicks match
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        tagged.withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
-        .filter((F.col("side") == 1) & F.col("asof_click_id").isNotNull())
-        .select(
-            "user_id",
-            "purchase_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("asof_click_id").alias("click_id"),
-        )
-    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        how="inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id")
 
 
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,52 @@
+"""Property-based contract for the generic as-of join: for ANY small
+event set, `asof_join` must equal the naive per-row definition
+(greatest right ts <= left ts per key)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from generic_data_ingestor_framework_spark.streaming import asof_join
+
+keys = st.integers(min_value=0, max_value=3)
+times = st.integers(min_value=0, max_value=20)
+
+left_rows = st.lists(st.tuples(keys, times), min_size=1, max_size=12)
+# right side unique per (key, ts) by construction (dict)
+right_rows = st.dictionaries(st.tuples(keys, times), st.just(None), min_size=0, max_size=12)
+
+
+def naive_asof(left, right):
+    out = set()
+    for i, (k, lt) in enumerate(left):
+        cands = [rt for (rk, rt) in right if rk == k and rt <= lt]
+        if cands:
+            out.add((k, i, lt, max(cands)))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(left=left_rows, right=right_rows)
+def test_asof_join_matches_naive(spark, left, right):
+    rkeys = list(right)
+    ldf = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(left)], "k int, lid int, lts int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, t) for (k, t) in rkeys] or [(None, None, None)],
+        "k int, rts int, rval int",
+    )
+    if not rkeys:
+        rdf = rdf.filter("k IS NOT NULL")
+    got = {
+        (r["k"], r["lid"], r["lts"], r["rval"])
+        for r in asof_join(
+            ldf, rdf, by=["k"], left_ts="lts", right_ts="rts", right_cols=["rval"]
+        ).collect()
+    }
+    assert got == naive_asof(left, rkeys)
