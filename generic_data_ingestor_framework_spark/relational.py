@@ -761,7 +761,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_brand",
-            F.round("unit_cost", 2).alias("unit_cost"),
+            # floor-truncate, don't round: price/qty regularly lands on
+            # exact .xx5 ties where Spark (HALF_UP) and DuckDB disagree;
+            # floor of an identical double is identical everywhere
+            (F.floor(F.col("unit_cost") * 100) / 100).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )
@@ -1151,7 +1154,7 @@ ORACLES: dict[str, str] = {
           FROM lineitem GROUP BY 1, 2
         )
         SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
-               round(unit_cost, 2) AS unit_cost
+               floor(unit_cost * 100) / 100 AS unit_cost
         FROM ps
         JOIN part     ON p_partkey = partkey
         JOIN supplier ON s_suppkey = suppkey
