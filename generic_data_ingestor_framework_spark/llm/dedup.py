@@ -192,19 +192,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only documents sharing at least one shingle are ever compared.
 
     Hot shingles (document frequency > ``DF_CAP``) are dropped before
-    the self-join via a broadcast anti-join — the one key class that
-    would otherwise make a bucket quadratic at corpus scale. Jaccard is
-    then computed over the capped shingle space on BOTH sides of the
-    ratio (sizes and intersections), so the metric stays internally
-    consistent and the DuckDB oracle applies the identical cap."""
+    the self-join — the one key class that would otherwise make a
+    bucket quadratic at corpus scale. The document frequency comes from
+    a count window over the SAME shingle partitioning the self-join
+    needs, so the cap rides the join's own shuffle instead of adding a
+    groupBy + anti-join round trip. Jaccard is then computed over the
+    capped shingle space on BOTH sides of the ratio (sizes and
+    intersections), so the metric stays internally consistent and the
+    DuckDB oracle applies the identical cap."""
+    from pyspark.sql import Window as W
+
     raw = _exploded_shingles(spark, sf_dir)
-    hot = (
-        raw.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > DF_CAP)
-        .select("shingle")
+    sh = (
+        raw.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .filter(F.col("df") <= DF_CAP)
+        .drop("df")
     )
-    sh = raw.join(F.broadcast(hot), "shingle", "anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -59,15 +59,15 @@ def test_exact_dedup_partitions_docs(spark):
     assert d.agg(F.sum("n_copies")).collect()[0][0] == 500
 
 
-def test_ngram_jaccard_hot_shingle_cap_is_broadcast_anti(spark):
-    """The DF_CAP filter must reach the plan as a broadcast anti-join so
-    the inverted index is never reshuffled to remove hot shingles."""
+def test_ngram_jaccard_hot_shingle_cap_rides_join_shuffle(spark):
+    """The DF_CAP must be a count window over the shingle partitioning
+    the self-join already needs — no extra groupBy/anti-join round trip
+    to remove hot shingles."""
     from generic_data_ingestor_framework_spark.scale import explain_string
 
     plan = explain_string(dedup.dedup_ngram_jaccard(spark, SF))
-    assert "LeftAnti" in plan, plan
-    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
-    assert any("Broadcast" in ln for ln in anti_lines), anti_lines
+    assert "Window" in plan, plan
+    assert "LeftAnti" not in plan, plan
 
 
 def test_ngram_jaccard_cap_drops_hot_shingles(spark):
