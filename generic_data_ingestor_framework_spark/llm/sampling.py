@@ -75,14 +75,65 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: emails, phone-like digit runs, and SSN-shaped
+    ids replaced by typed placeholders, with per-doc hit counts so a
+    pipeline can quarantine high-PII documents.
+
+    Pure ``regexp_replace`` projections — codegen'd, no UDFs; RE2-safe
+    patterns shared verbatim with the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _SSN_RE, "<SSN>"),
+            _EMAIL_RE,
+            "<EMAIL>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    n_hits = (
+        F.size(F.split(redacted, "<EMAIL>")) - 1
+        + F.size(F.split(redacted, "<PHONE>")) - 1
+        + F.size(F.split(redacted, "<SSN>")) - 1
+    )
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        n_hits.cast("int").alias("n_pii_hits"),
+    )
+
+
 QUERIES = {
     "sample_hash_mod": sample_hash_mod,
+    "redact_pii": redact_pii,
     "train_val_test_split": train_val_test_split,
     "stratified_sample_per_lang": stratified_sample_per_lang,
     "pseudonymize_users": pseudonymize_users,
 }
 
 ORACLES = {
+    "redact_pii": f"""
+        WITH r AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '{_SSN_RE}', '<SSN>', 'g'),
+                     '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS red
+          FROM documents
+        )
+        SELECT doc_id, md5(red) AS redacted_md5,
+               CAST(len(string_split(red, '<EMAIL>')) - 1
+                    + len(string_split(red, '<PHONE>')) - 1
+                    + len(string_split(red, '<SSN>')) - 1 AS INT) AS n_pii_hits
+        FROM r
+    """,
     "sample_hash_mod": f"""
         SELECT doc_id, lang, source FROM documents
         WHERE {_HASH_SQL.format(c='doc_id')} % 10 = 0

@@ -111,18 +111,71 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the relevance/keyword
+    extraction pass of a curation pipeline.
+
+    tf = raw in-doc count, idf = ln(N/df); every input (counts, N) is
+    integer-exact so the only float op is one ln per (doc, term),
+    rounded to 6 dp before ranking (term tie-break) — deterministic
+    across engines. Scalars (N) stay in-plan as a broadcast 1-row agg,
+    no driver round trip."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score", F.col("rn").alias("rank"))
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "corpus_bigram_topk": corpus_bigram_topk,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 _TOKS = "string_split_regex(lower(text), '\\s+')"
 _STOP_IN = "','".join(STOPWORDS)
 
 ORACLES = {
+    "tfidf_top_terms": f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS MATERIALIZED (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, score, rank FROM (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * ln(nd.n_docs / dfc.df), 6) AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(nd.n_docs / dfc.df), 6) DESC, tf.term
+                 ) AS rank
+          FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN nd)
+        WHERE rank <= 3
+    """,
     "token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INT) AS n_tokens,

@@ -842,6 +842,18 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: part's numeric measures to (metric, value) long
+    form via the native ``DataFrame.unpivot`` (stack) operator — the
+    inverse of the pivot family, used to normalize wide tables."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 2).alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
 def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS decorrelated to a semi join — orders in a
     quarter having at least one returned lineitem, counted by priority."""
@@ -953,6 +965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_cnt_distribution": q16_supplier_cnt_distribution,
     "q22_idle_customers": q22_idle_customers,
     "window_navigation": window_navigation,
+    "unpivot_part_measures": unpivot_part_measures,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1182,6 +1195,14 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "unpivot_part_measures": """
+        SELECT p_partkey, metric, value FROM (
+          SELECT p_partkey,
+                 CAST(p_size AS DOUBLE) AS size,
+                 round(p_retailprice, 2) AS retailprice
+          FROM part
+        ) UNPIVOT (value FOR metric IN (size, retailprice))
     """,
     "window_navigation": """
         SELECT o_orderkey, o_custkey,

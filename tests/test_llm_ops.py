@@ -106,3 +106,29 @@ def test_nb_classifier_beats_majority_class(spark):
 
     majority = Counter(r["lang"] for r in preds).most_common(1)[0][1] / n
     assert acc > majority, (acc, majority)
+
+
+def test_redact_pii_masks_planted_pii(spark):
+    from generic_data_ingestor_framework_spark.llm.sampling import (
+        _EMAIL_RE,
+        _PHONE_RE,
+        _SSN_RE,
+    )
+
+    df = spark.createDataFrame(
+        [("call +1 (555) 123-4567 or mail bob.smith+x@corp.example.com ssn 123-45-6789",)],
+        "text string",
+    )
+    red = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _SSN_RE, "<SSN>"),
+                _EMAIL_RE,
+                "<EMAIL>",
+            ),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("red")
+    ).collect()[0]["red"]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<SSN>" in red
+    assert "example.com" not in red and "555" not in red and "6789" not in red

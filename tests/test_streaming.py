@@ -105,3 +105,46 @@ def test_stream_interval_join_subset_of_batch(spark):
     }
     assert streamed <= batch
     assert len(streamed) >= len(batch) * 0.5, (len(streamed), len(batch))
+
+
+def test_foreach_batch_streaming_upsert(spark, tmp_path):
+    """CDC-style streaming sink: each microbatch upserts into a managed
+    table via merge_into (foreachBatch) — later batches overwrite
+    earlier rows with the same key."""
+    import json as _json
+
+    from generic_data_ingestor_framework_spark.sink import merge_into
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "v": f"old{i}"}) for i in range(5))
+    )
+    (src / "b1.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "v": f"new{i}"}) for i in range(3, 8))
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    table = "t_stream_upsert"
+    spark.createDataFrame([], schema).write.mode("overwrite").saveAsTable(table)
+
+    def upsert(batch_df, batch_id):
+        if batch_df.count():
+            merge_into(batch_df.sparkSession, table, batch_df, ["id"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per microbatch
+        .json(str(src))
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["id"]: r["v"] for r in spark.table(table).collect()}
+    assert rows == {
+        0: "old0", 1: "old1", 2: "old2",
+        3: "new3", 4: "new4", 5: "new5", 6: "new6", 7: "new7",
+    }
