@@ -93,9 +93,59 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode_stub, schema=_DECODE_SCHEMA)
 
 
+N_SAMPLED_FRAMES = 3
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.IntegerType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video-style frame sampling: each payload is treated as
+    ``n_frames`` equal byte chunks and K frames are sampled at uniform
+    positions — the 1→N row expansion (one input row, K output rows)
+    that real frame extraction produces through mapInPandas. The
+    chunk checksum stands in for the decoded frame tensor."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "byte_offset": [], "chunk_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_bytes = len(payload)
+            if n_bytes == 0:
+                continue
+            n_frames = 1 + n_bytes % 8
+            chunk = max(1, n_bytes // n_frames)
+            for idx in sorted({(j * n_frames) // N_SAMPLED_FRAMES for j in range(N_SAMPLED_FRAMES)}):
+                off = idx * chunk
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["byte_offset"].append(off)
+                out["chunk_md5"].append(hashlib.md5(bytes(payload[off : off + chunk])).hexdigest())
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "frame_idx": "int32", "byte_offset": "int32"}
+        )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling over binary payloads (see
+    ``frame_sample_stub``): map-only, Arrow-batched, payload bytes
+    never shuffle — only the sampled frame descriptors do."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return d.mapInPandas(frame_sample_stub, schema=_FRAME_SCHEMA)
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
@@ -107,6 +157,24 @@ ORACLES = {
         FROM documents
     """,
     # Text is ASCII in this corpus, so byte k == code unit k.
+    "multimodal_frame_sample": f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 octet_length(encode(text)) AS n_bytes,
+                 1 + octet_length(encode(text)) % 8 AS n_frames,
+                 greatest(1, octet_length(encode(text)) // (1 + octet_length(encode(text)) % 8)) AS chunk
+          FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        sampled AS (
+          SELECT DISTINCT doc_id, text, chunk,
+                 CAST((j * n_frames) // {N_SAMPLED_FRAMES} AS INT) AS frame_idx
+          FROM base, (VALUES (0), (1), (2)) t(j)
+        )
+        SELECT doc_id, frame_idx,
+               CAST(frame_idx * chunk AS INT) AS byte_offset,
+               md5(substr(text, frame_idx * chunk + 1, chunk)) AS chunk_md5
+        FROM sampled
+    """,
     "multimodal_decode_features": """
         SELECT doc_id,
                CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
