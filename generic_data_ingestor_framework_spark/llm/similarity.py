@@ -130,7 +130,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS = 16     # k-means cells (init: first 16 candidate vectors)
-N_KMEANS_ITERS = 10  # Lloyd iterations (centroids rounded to 3 dp per iter)
+N_KMEANS_ITERS = 3   # Lloyd iterations (recall plateaus here; rounded 3 dp per iter)
 N_PROBES = 9         # cells probed per query (recall 13/15 on sf0.01;
                      # single-probe over raw seed points was 3/15)
 
