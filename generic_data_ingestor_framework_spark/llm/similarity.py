@@ -59,17 +59,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     vecs = _vectors(spark, sf_dir)
+    # norms are projected ONCE per vector before the cross join — the
+    # per-pair work is then a single dot product (identical doubles, so
+    # the oracle contract is unchanged)
     q = vecs.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
     c = vecs.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .withColumn(
             "cos_sim",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
         )
         .select("query_id", "neighbor_id", "cos_sim")
     )
@@ -170,7 +177,11 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     cand = (
         _vectors(spark, sf_dir)
         .filter(F.col("vec_id") >= N_QUERY)
-        .select(F.col("vec_id").alias("point_id"), F.col("v").alias("pv"))
+        .select(
+            F.col("vec_id").alias("point_id"),
+            F.col("v").alias("pv"),
+            _norm(F.col("v")).alias("pn"),
+        )
         .cache()
     )
     init = cand.filter(F.col("point_id") < N_QUERY + N_CENTROIDS).orderBy("point_id").collect()
@@ -179,12 +190,12 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     for _ in range(N_KMEANS_ITERS):
         cdf = spark.createDataFrame(
             sorted(cents.items()), schema="centroid_id int, cv array<double>"
-        )
+        ).withColumn("cvn", _norm(F.col("cv")))
         assigned = (
             cand.crossJoin(F.broadcast(cdf))
             .withColumn(
                 "sim",
-                F.round(_dot(F.col("pv"), F.col("cv")) / (_norm(F.col("pv")) * _norm(F.col("cv"))), 6),
+                F.round(_dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cvn")), 6),
             )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -223,35 +234,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdf = spark.createDataFrame(
         _kmeans_centroids(spark, sf_dir), schema="centroid_id int, cv array<double>"
-    )
+    ).withColumn("cvn", _norm(F.col("cv")))
     vecs = _vectors(spark, sf_dir)
     others = vecs.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("point_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("point_id"),
+        F.col("v").alias("pv"),
+        _norm(F.col("v")).alias("pn"),
     )
     qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
 
-    def nearest_cells(df, vec_col, id_col, n_cells):
+    def nearest_cells(df, vec_col, norm_col, id_col, n_cells):
         scored = df.crossJoin(F.broadcast(cdf)).withColumn(
             "sim",
-            F.round(_dot(F.col(vec_col), F.col("cv")) / (_norm(F.col(vec_col)) * _norm(F.col("cv"))), 6),
+            F.round(_dot(F.col(vec_col), F.col("cv")) / (F.col(norm_col) * F.col("cvn")), 6),
         )
         w = W.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= n_cells)
-            .select(id_col, vec_col, F.col("centroid_id").alias("cell"))
+            .select(id_col, vec_col, norm_col, F.col("centroid_id").alias("cell"))
         )
 
-    assigned = nearest_cells(others, "pv", "point_id", 1)
-    probed = nearest_cells(qs, "qv", "query_id", N_PROBES)
+    assigned = nearest_cells(others, "pv", "pn", "point_id", 1)
+    probed = nearest_cells(qs, "qv", "qn", "query_id", N_PROBES)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     return (
         probed.join(assigned, "cell")
         .withColumn(
             "cos_sim",
-            F.round(_dot(F.col("qv"), F.col("pv")) / (_norm(F.col("qv")) * _norm(F.col("pv"))), 6),
+            F.round(_dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6),
         )
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= TOP_K)
@@ -321,10 +336,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an all-pairs cross join), and only candidates pay the exact
     cosine, which must clear ``EMB_DUP_THRESHOLD``. Deterministic
     arithmetic planes keep the DuckDB oracle in lockstep."""
-    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    vecs = _vectors(spark, sf_dir).select(
+        "vec_id", "v", _norm(F.col("v")).alias("vn")
+    )
     buckets = F.array(*[_band_bucket(F.col("v"), b) for b in range(EMB_BANDS)])
     banded = vecs.select(
-        "vec_id", "v", F.posexplode(buckets).alias("band", "bucket")
+        "vec_id", "v", "vn", F.posexplode(buckets).alias("band", "bucket")
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -339,13 +356,15 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             F.col("a.v").alias("va"),
             F.col("b.v").alias("vb"),
+            F.col("a.vn").alias("na"),
+            F.col("b.vn").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.withColumn(
             "cos_sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
         .select("id_a", "id_b", "cos_sim")
