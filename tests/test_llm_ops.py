@@ -132,3 +132,23 @@ def test_redact_pii_masks_planted_pii(spark):
     ).collect()[0]["red"]
     assert "<EMAIL>" in red and "<PHONE>" in red and "<SSN>" in red
     assert "example.com" not in red and "555" not in red and "6789" not in red
+
+
+def test_connected_components_long_chain_converges_log(spark):
+    """Pointer jumping must collapse a 300-node chain within the
+    12-iteration bound (pure propagation would need 300) — no
+    non-convergence warning, single cluster labeled by the min id."""
+    import warnings as w
+
+    from generic_data_ingestor_framework_spark.llm.dedup import connected_components
+
+    n = 300
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        labels = connected_components(docs, chain, "doc_a", "doc_b").collect()
+    assert len(labels) == n
+    assert all(r["cluster_id"] == 0 for r in labels)
