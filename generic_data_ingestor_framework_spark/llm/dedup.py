@@ -1,6 +1,6 @@
 """Deduplication operators over the ``documents`` table.
 
-Five strategies, each a distributed DataFrame plan:
+Six strategies, each a distributed DataFrame plan:
 
 - **exact**: md5-content groupBy (one shuffle on the hash key).
 - **MinHash signatures**: word-3-gram shingles → k portable min-hashes.
@@ -24,10 +24,12 @@ by the per-doc repeat factor. The exact-Jaccard join frequency-caps
 skewed shingles (document frequency > ``DF_CAP``) before the
 self-join: a stop-phrase shared by 1% of a 100 TB corpus would make
 its join bucket quadratic, and a shingle that common carries no
-similarity signal anyway. The hot-shingle list is tiny by
-construction, so removal is a broadcast anti-join (no extra shuffle
-of the inverted index). LSH bucket join is bounded by band-bucket
-size, not corpus size.
+similarity signal anyway. The document-frequency cap rides the
+self-join's own shingle shuffle as a count window, so skew safety
+costs no extra round trip. LSH bucket join is bounded by band-bucket
+size, not corpus size; cluster assignment closes the loop with
+pointer-jumping connected components (log-diameter convergence) and
+``dedup_keep_corpus`` materializes the deduplicated corpus.
 """
 
 from __future__ import annotations
@@ -285,6 +287,16 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
 
 
+def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup loop closed end-to-end: LSH candidates → connected
+    components → keep one doc per cluster → the deduplicated corpus
+    (what actually ships to training). Keeper join is a semi join on
+    the label relation, so document payloads move once."""
+    keepers = dedup_cluster_assign(spark, sf_dir).filter(F.col("is_keeper")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(keepers, "doc_id", "semi").select("doc_id", "lang", "source", "n_chars")
+
+
 def connected_components(
     docs: DataFrame, pairs: DataFrame, a_col: str, b_col: str, max_iters: int = 12
 ) -> DataFrame:
@@ -361,6 +373,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_keep_corpus": dedup_keep_corpus,
 }
 
 _MINHASH_MINS = ",\n         ".join(
@@ -379,6 +392,35 @@ sig AS (
 """
 
 ORACLES = {
+    "dedup_keep_corpus": f"""
+        WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+        banded AS (
+          SELECT doc_id, 0 AS band_idx, concat_ws('_', mh0, mh1) AS band_sig FROM sig
+          UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+          UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+          UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        keepers AS (
+          SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(dst)
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    """,
     "dedup_cluster_assign": f"""
         WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
         banded AS (
