@@ -842,6 +842,69 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
+    fact-to-fact join shuffles on the order key, dims broadcast."""
+    t = _t(spark, sf_dir)
+    orders = t("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (share of revenue
+    from one part class) in a single pass."""
+    t = _t(spark, sf_dir)
+    li = t("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("economy_pct")
+        )
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — the
+    predicate-pushdown stress case (each disjunct's part-side terms
+    still prune the broadcast build side)."""
+    t = _t(spark, sf_dir)
+    li = t("lineitem")
+    joined = li.join(F.broadcast(t("part")), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & (F.col("l_quantity") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & (F.col("l_quantity") <= 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt: part's numeric measures to (metric, value) long
     form via the native ``DataFrame.unpivot`` (stack) operator — the
@@ -966,6 +1029,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_idle_customers": q22_idle_customers,
     "window_navigation": window_navigation,
     "unpivot_part_measures": unpivot_part_measures,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue_pct": q14_promo_revenue_pct,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1195,6 +1261,37 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "q10_returned_revenue": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(any_value(c_acctbal), 2) AS c_acctbal
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q14_promo_revenue_pct": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS economy_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    "q19_disjunctive_predicates": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 5  AND l_quantity <= 10)
+           OR (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size <= 15 AND l_quantity <= 30)
     """,
     "unpivot_part_measures": """
         SELECT p_partkey, metric, value FROM (
