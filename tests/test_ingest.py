@@ -86,21 +86,30 @@ def test_missing_directory_raises(spark, tmp_path):
         ingest_directory(spark, tmp_path / "not_there")
 
 
-def test_bulk_mode_reports_skipped_non_json(spark, tmp_path):
-    (tmp_path / "a.json").write_text('[{"id": 1}]')
-    (tmp_path / "b.csv").write_text("x,y\n1,2\n")
+def test_bulk_mode_reads_all_formats(spark, tmp_path):
+    """Bulk = one distributed scan per format, schema-merged union —
+    csv/parquet no longer silently vanish (nor crash an empty-json
+    directory)."""
+    (tmp_path / "a.json").write_text('[{"id": 1, "name": "j"}]')
+    (tmp_path / "b.csv").write_text("id,extra\n2,x\n")
+    df, report = ingest_directory(spark, tmp_path, mode="bulk")
+    assert df.count() == 2
+    assert report.files_processed == 2
+    assert report.files_failed == 0
+    assert {"id", "name", "extra", "_source_file"} <= set(df.columns)
+
+
+def test_bulk_mode_csv_only_directory(spark, tmp_path):
+    (tmp_path / "only.csv").write_text("x,y\n1,2\n")
     df, report = ingest_directory(spark, tmp_path, mode="bulk")
     assert df.count() == 1
     assert report.files_processed == 1
-    assert report.files_failed == 1
-    assert "SkippedInBulkMode" in report.errors[0]["error"]
 
 
-def test_bulk_mode_empty_json_set_returns_none(spark, tmp_path):
-    (tmp_path / "only.csv").write_text("x,y\n1,2\n")
+def test_bulk_mode_empty_directory_returns_none(spark, tmp_path):
     df, report = ingest_directory(spark, tmp_path, mode="bulk")
     assert df is None
-    assert report.files_failed == 1
+    assert report.files_processed == 0
 
 
 def test_first_record_schema_mode_reproduces_web_path(spark, tmp_path):
