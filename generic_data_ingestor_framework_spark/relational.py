@@ -842,6 +842,50 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates per group: sample stddev/variance
+    and quantity↔price correlation/covariance. Both engines use
+    numerically-stable single-pass algorithms whose reduction order
+    differs, so results are rounded coarsely as the query contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join: candidate pairs share a
+    (nation, segment) block, then pay a levenshtein edit-distance
+    check — the classic entity-resolution shape (blocking bounds the
+    quadratic term to within-block sizes; never an all-pairs join)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_fuzzy_pairs"))
+        .orderBy("nationkey", "segment")
+    )
+
+
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
     fact-to-fact join shuffles on the order key, dims broadcast."""
@@ -1032,6 +1076,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_revenue": q10_returned_revenue,
     "q14_promo_revenue_pct": q14_promo_revenue_pct,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "stats_moments": stats_moments,
+    "fuzzy_customer_pairs": fuzzy_customer_pairs,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1261,6 +1307,25 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "stats_moments": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 2) AS sd_price,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "fuzzy_customer_pairs": """
+        SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+               count(*) AS n_fuzzy_pairs
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 2
+        GROUP BY a.c_nationkey, a.c_mktsegment
+        ORDER BY nationkey, segment
     """,
     "q10_returned_revenue": """
         SELECT c_custkey, c_name, n_name,
