@@ -842,6 +842,42 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan: null count, exact distinct count,
+    min/max (as text) per column — the data-quality report a pipeline
+    runs before trusting a new source. Computed as a single wide
+    aggregate then unpivoted to (column, metric) long form, so the
+    table is read once regardless of column count."""
+    c = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    aggs = []
+    for col in cols:
+        aggs += [
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(F.col(col)).cast("string").alias(f"{col}__min"),
+            F.max(F.col(col)).cast("string").alias(f"{col}__max"),
+        ]
+    wide = c.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__distinct").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_text"),
+                F.col(f"{col}__max").alias("max_text"),
+            )
+            for col in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.column", "r.n_nulls", "r.n_distinct", "r.min_text", "r.max_text")
+        .orderBy("column")
+    )
+
+
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-moment aggregates per group: sample stddev/variance
     and quantity↔price correlation/covariance. Both engines use
@@ -1078,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "stats_moments": stats_moments,
     "fuzzy_customer_pairs": fuzzy_customer_pairs,
+    "profile_customer": profile_customer,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1307,6 +1344,34 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "profile_customer": """
+        WITH w AS (
+          SELECT
+            sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+            count(DISTINCT c_custkey) AS k_dist,
+            CAST(min(c_custkey) AS VARCHAR) AS k_min, CAST(max(c_custkey) AS VARCHAR) AS k_max,
+            sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            count(DISTINCT c_name) AS n_dist,
+            CAST(min(c_name) AS VARCHAR) AS n_min, CAST(max(c_name) AS VARCHAR) AS n_max,
+            sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nk_nulls,
+            count(DISTINCT c_nationkey) AS nk_dist,
+            CAST(min(c_nationkey) AS VARCHAR) AS nk_min, CAST(max(c_nationkey) AS VARCHAR) AS nk_max,
+            sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS ab_nulls,
+            count(DISTINCT c_acctbal) AS ab_dist,
+            CAST(min(c_acctbal) AS VARCHAR) AS ab_min, CAST(max(c_acctbal) AS VARCHAR) AS ab_max,
+            sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS ms_nulls,
+            count(DISTINCT c_mktsegment) AS ms_dist,
+            CAST(min(c_mktsegment) AS VARCHAR) AS ms_min, CAST(max(c_mktsegment) AS VARCHAR) AS ms_max
+          FROM customer
+        )
+        SELECT 'c_custkey' AS "column", CAST(k_nulls AS BIGINT) AS n_nulls,
+               CAST(k_dist AS BIGINT) AS n_distinct, k_min AS min_text, k_max AS max_text FROM w
+        UNION ALL SELECT 'c_name', CAST(n_nulls AS BIGINT), CAST(n_dist AS BIGINT), n_min, n_max FROM w
+        UNION ALL SELECT 'c_nationkey', CAST(nk_nulls AS BIGINT), CAST(nk_dist AS BIGINT), nk_min, nk_max FROM w
+        UNION ALL SELECT 'c_acctbal', CAST(ab_nulls AS BIGINT), CAST(ab_dist AS BIGINT), ab_min, ab_max FROM w
+        UNION ALL SELECT 'c_mktsegment', CAST(ms_nulls AS BIGINT), CAST(ms_dist AS BIGINT), ms_min, ms_max FROM w
+        ORDER BY "column"
     """,
     "stats_moments": """
         SELECT l_returnflag,

@@ -92,3 +92,25 @@ def test_compact_parquet_dir_reduces_files(spark, tmp_path):
     df = spark.read.parquet(src)
     assert df.count() == 20000
     assert df.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(20000))
+
+
+def test_q1_pushes_filter_and_prunes_scan(spark):
+    """The flagship's shipdate filter must reach the parquet scan and
+    the scan must be pruned to the 7 referenced columns."""
+    from generic_data_ingestor_framework_spark.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF)
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jm)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 7, m
+
+
+def test_q6_is_scan_only_no_shuffle(spark):
+    from generic_data_ingestor_framework_spark.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF)
+    assert count_exchanges(df) == 0
