@@ -40,7 +40,28 @@ def main(argv: list[str] | None = None) -> int:
         "--sqlite", default=None, metavar="DB_PATH",
         help="also emit a portable sqlite .db (the reference's out.db hand-off)",
     )
+    ap.add_argument(
+        "--pipeline", default=None, metavar="SPEC_JSON",
+        help="run a declarative pipeline spec (JSON file; see pipeline.py) "
+        "instead of the plain ingest flow; DATA_DIR is ignored",
+    )
     args = ap.parse_args(argv)
+
+    if args.pipeline:
+        import json
+
+        from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+        with open(args.pipeline) as fh:
+            spec = json.load(fh)
+        spark = get_spark("gdif-pipeline")
+        df, manifest = run_pipeline(spark, spec, profile=True)
+        for step in manifest["steps"]:
+            print(f"  step {step['op']}: {step.get('rows', '?')} rows")
+        print(f"Pipeline done ({manifest.get('sink', 'no sink')}).")
+        if args.preview:
+            df.show(args.preview, truncate=False)
+        return 0
 
     extra = {"spark.sql.warehouse.dir": args.warehouse} if args.warehouse else None
     spark = get_spark("gdif-ingest", extra_conf=extra)

@@ -1,0 +1,184 @@
+"""Declarative pipeline runner: the reference's scan→parse→normalize→
+save workflow (`src/core/application.py:36-153`) generalized into a
+composable, data-driven pipeline over this engine's operators.
+
+A pipeline is a plain dict (JSON/YAML-friendly):
+
+    {
+      "source": {"type": "directory", "path": "data/", "mode": "bulk"},
+      "steps": [
+        {"op": "filter", "where": "n_chars > 10"},
+        {"op": "redact_pii", "column": "text"},
+        {"op": "dedup_exact", "key": "text", "order_by": "doc_id"},
+        {"op": "sample_hash", "key": "doc_id", "mod": 10, "keep": 0},
+        {"op": "sql", "query": "SELECT doc_id, lang FROM __df__"},
+      ],
+      "sink": {"type": "parquet", "path": "out/"},
+    }
+
+Everything stays lazy until the sink: the whole pipeline is ONE Spark
+plan, so Catalyst pushes filters into the source scan and prunes
+columns across step boundaries — steps are logical, not materialized
+stages. ``run_pipeline`` returns (DataFrame, manifest); the manifest
+records the resolved steps and, when ``profile=True``, per-step row
+counts (each count is an extra job — off by default for the 100 TB
+path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark import sink as sink_mod
+from generic_data_ingestor_framework_spark.ingest import ingest_directory
+from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+from generic_data_ingestor_framework_spark.llm.sampling import (
+    _EMAIL_RE,
+    _PHONE_RE,
+    _SSN_RE,
+)
+from generic_data_ingestor_framework_spark.normalize import (
+    flatten_dot_paths,
+    normalize_text_parity,
+)
+
+StepFn = Callable[[DataFrame, dict], DataFrame]
+
+
+def _step_filter(df: DataFrame, p: dict) -> DataFrame:
+    return df.filter(p["where"])
+
+
+def _step_select(df: DataFrame, p: dict) -> DataFrame:
+    return df.select(*p["columns"])
+
+
+def _step_rename(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumnsRenamed(p["mapping"])
+
+
+def _step_normalize_text(df: DataFrame, p: dict) -> DataFrame:
+    return normalize_text_parity(df, p.get("columns"))
+
+
+def _step_flatten(df: DataFrame, p: dict) -> DataFrame:
+    return flatten_dot_paths(df)
+
+
+def _step_dedup_exact(df: DataFrame, p: dict) -> DataFrame:
+    """Keep one row per ``key`` value, first by ``order_by``."""
+    w = W.partitionBy(p["key"]).orderBy(*[F.col(c) for c in p.get("order_by", "").split(",") if c] or [F.col(p["key"])])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _step_sample_hash(df: DataFrame, p: dict) -> DataFrame:
+    """Deterministic hash-mod sample (engine-portable membership)."""
+    h = portable_hash32(F.col(p["key"]).cast("string"))
+    return df.filter(h % int(p["mod"]) == int(p.get("keep", 0)))
+
+
+def _step_redact_pii(df: DataFrame, p: dict) -> DataFrame:
+    col = p["column"]
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(col), _SSN_RE, "<SSN>"), _EMAIL_RE, "<EMAIL>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn(col, red)
+
+
+def _step_with_column(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(p["name"], F.expr(p["expr"]))
+
+
+def _step_repartition(df: DataFrame, p: dict) -> DataFrame:
+    cols = p.get("by", [])
+    return df.repartition(int(p["n"]), *cols) if cols else df.repartition(int(p["n"]))
+
+
+def _step_sql(df: DataFrame, p: dict) -> DataFrame:
+    """Arbitrary SQL over the running frame (registered as __df__)."""
+    df.createOrReplaceTempView("__df__")
+    return df.sparkSession.sql(p["query"])
+
+
+STEP_REGISTRY: dict[str, StepFn] = {
+    "filter": _step_filter,
+    "select": _step_select,
+    "rename": _step_rename,
+    "normalize_text": _step_normalize_text,
+    "flatten": _step_flatten,
+    "dedup_exact": _step_dedup_exact,
+    "sample_hash": _step_sample_hash,
+    "redact_pii": _step_redact_pii,
+    "with_column": _step_with_column,
+    "repartition": _step_repartition,
+    "sql": _step_sql,
+}
+
+
+def _load_source(spark: SparkSession, src: dict) -> DataFrame:
+    kind = src["type"]
+    if kind == "directory":
+        df, report = ingest_directory(
+            spark,
+            src["path"],
+            mode=src.get("mode", "parity"),
+            text_parity=src.get("text_parity", True),
+            file_types=src.get("file_types"),
+            schema_mode=src.get("schema_mode", "sorted"),
+        )
+        if df is None:
+            raise ValueError(f"no ingestible data under {src['path']}")
+        return df
+    if kind == "parquet":
+        return spark.read.parquet(src["path"])
+    if kind == "table":
+        return spark.table(src["name"])
+    raise ValueError(f"unknown source type: {kind}")
+
+
+def _write_sink(df: DataFrame, dst: dict) -> None:
+    kind = dst["type"]
+    if kind == "parquet":
+        sink_mod.write_parquet(df, dst["path"], backup=dst.get("backup", False))
+    elif kind == "json":
+        sink_mod.write_json(df, dst["path"], backup=dst.get("backup", False))
+    elif kind == "table":
+        sink_mod.create_table(df.sparkSession, df, dst["name"])
+        sink_mod.insert_data(df.sparkSession, df, dst["name"])
+    elif kind == "sqlite":
+        sink_mod.write_sqlite(df, dst["path"], dst.get("table", "processed_data"))
+    else:
+        raise ValueError(f"unknown sink type: {kind}")
+
+
+def run_pipeline(
+    spark: SparkSession, spec: dict[str, Any], profile: bool = False
+) -> tuple[DataFrame, dict]:
+    """Execute a declarative pipeline spec. Returns (final DataFrame,
+    manifest). The sink is optional — omit it to get the lazy frame."""
+    df = _load_source(spark, spec["source"])
+    manifest: dict[str, Any] = {"steps": [], "source": spec["source"]["type"]}
+    for p in spec.get("steps", []):
+        op = p["op"]
+        if op not in STEP_REGISTRY:
+            raise ValueError(f"unknown pipeline op: {op} (have {sorted(STEP_REGISTRY)})")
+        df = STEP_REGISTRY[op](df, p)
+        entry: dict[str, Any] = {"op": op}
+        if profile:
+            entry["rows"] = df.count()
+        manifest["steps"].append(entry)
+    if "sink" in spec:
+        _write_sink(df, spec["sink"])
+        manifest["sink"] = spec["sink"]["type"]
+    return df, manifest

@@ -1,0 +1,88 @@
+"""End-to-end declarative pipeline runner tests."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+
+def test_pipeline_directory_to_sqlite(spark, tmp_path):
+    d = tmp_path / "src"
+    d.mkdir()
+    docs = [
+        {"doc_id": i, "text": f"doc number {i} contact admin@site{i}.example.org", "lang": "en"}
+        for i in range(10)
+    ] + [{"doc_id": 100, "text": "dup", "lang": "en"}, {"doc_id": 101, "text": "dup", "lang": "en"}]
+    (d / "docs.json").write_text(json.dumps(docs))
+    db = tmp_path / "out.db"
+    spec = {
+        "source": {"type": "directory", "path": str(d), "text_parity": True},
+        "steps": [
+            {"op": "redact_pii", "column": "text"},
+            {"op": "dedup_exact", "key": "text", "order_by": "doc_id"},
+            {"op": "with_column", "name": "n_chars", "expr": "length(text)"},
+            {"op": "filter", "where": "lang = 'en'"},
+            {"op": "select", "columns": ["doc_id", "text", "n_chars"]},
+        ],
+        "sink": {"type": "sqlite", "path": str(db), "table": "corpus"},
+    }
+    df, manifest = run_pipeline(spark, spec, profile=True)
+    assert [s["op"] for s in manifest["steps"]] == [
+        "redact_pii", "dedup_exact", "with_column", "filter", "select"
+    ]
+    # dedup_exact dropped one of the two 'dup' rows
+    assert manifest["steps"][1]["rows"] == 11
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT doc_id, text FROM corpus ORDER BY CAST(doc_id AS INT)").fetchall()
+    con.close()
+    assert len(rows) == 11
+    assert all("<EMAIL>" in t for _, t in rows[:10])
+    assert all("@" not in t for _, t in rows)
+
+
+def test_pipeline_sql_step_and_lazy_result(spark, tmp_path):
+    src = str(tmp_path / "p")
+    spark.range(100).withColumnRenamed("id", "k").write.parquet(src)
+    spec = {
+        "source": {"type": "parquet", "path": src},
+        "steps": [
+            {"op": "sample_hash", "key": "k", "mod": 4, "keep": 1},
+            {"op": "sql", "query": "SELECT count(*) AS n FROM __df__"},
+        ],
+    }
+    df, manifest = run_pipeline(spark, spec)
+    n = df.collect()[0]["n"]
+    assert 0 < n < 100
+    assert "sink" not in manifest
+
+
+def test_pipeline_unknown_op_raises(spark, tmp_path):
+    src = str(tmp_path / "p2")
+    spark.range(3).write.parquet(src)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown pipeline op"):
+        run_pipeline(spark, {"source": {"type": "parquet", "path": src},
+                             "steps": [{"op": "nope"}]})
+
+
+def test_pipeline_via_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    d = tmp_path / "src2"
+    d.mkdir()
+    (d / "r.json").write_text(_json.dumps([{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]))
+    out = tmp_path / "out_parquet"
+    spec = {
+        "source": {"type": "directory", "path": str(d)},
+        "steps": [{"op": "filter", "where": "id = '1'"}],
+        "sink": {"type": "parquet", "path": str(out)},
+    }
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(_json.dumps(spec))
+    from generic_data_ingestor_framework_spark.__main__ import main
+
+    assert main(["ignored", "--pipeline", str(spec_file)]) == 0
+    assert spark.read.parquet(str(out)).count() == 1
