@@ -842,6 +842,23 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function family: sort/distinct/contains/slice/
+    element_at over token arrays (results flattened to strings so the
+    cross-engine hash is representation-independent)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.split(F.col("p_name"), " ").alias("t")
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_distinct(F.col("t"))), ",").alias("sorted_distinct"),
+        F.array_contains(F.col("t"), "widget").alias("has_widget"),
+        F.size(F.col("t")).alias("n_tokens"),
+        F.array_join(F.slice(F.col("t"), 1, 2), ",").alias("first_two"),
+        F.element_at(F.col("t"), -1).alias("last_token"),
+    )
+
+
 def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional two-nation trade volume by year —
     supplier nation and customer nation both bound, either direction,
@@ -1146,6 +1163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": fuzzy_customer_pairs,
     "profile_customer": profile_customer,
     "q7_nation_trade_volume": q7_nation_trade_volume,
+    "array_funcs": array_funcs,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1375,6 +1393,16 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "array_funcs": """
+        WITH p AS (SELECT p_partkey, string_split(p_name, ' ') AS t FROM part)
+        SELECT p_partkey,
+               array_to_string(list_sort(list_distinct(t)), ',') AS sorted_distinct,
+               list_contains(t, 'widget') AS has_widget,
+               CAST(len(t) AS INT) AS n_tokens,
+               array_to_string(t[1:2], ',') AS first_two,
+               t[-1] AS last_token
+        FROM p
     """,
     "q7_nation_trade_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
