@@ -115,3 +115,14 @@ def test_salvage_latin1_mixed_array_keeps_encoding(spark, tmp_path):
     assert report.files_processed == 1
     assert report.records_dropped_non_dict == 2
     assert df.collect()[0]["name"] == "café"
+
+
+def test_hostile_csv_ragged_and_empty(spark, tmp_path):
+    """CSV robustness: ragged rows survive PERMISSIVE parsing and an
+    empty (header-only) csv is not an error."""
+    (tmp_path / "ragged.csv").write_text("a,b,c\n1,2,3\n4,5\n6,7,8,9\n")
+    (tmp_path / "header_only.csv").write_text("x,y\n")
+    df, report = ingest_directory(spark, tmp_path, file_types=["csv"])
+    assert report.files_failed == 0
+    ragged = df.filter(F.col("_source_file") == "ragged.csv")
+    assert ragged.count() == 3  # every data row kept, short/long rows padded/truncated

@@ -148,3 +148,35 @@ def test_foreach_batch_streaming_upsert(spark, tmp_path):
         0: "old0", 1: "old1", 2: "old2",
         3: "new3", 4: "new4", 5: "new5", 6: "new6", 7: "new7",
     }
+
+
+def test_streaming_drop_duplicates_matches_batch_keys(spark):
+    """Real streaming dedup: dropDuplicates on (user_id, event_type)
+    under a watermark keeps exactly one event per key — the streaming
+    form of events_dedup_earliest (which event wins is arrival-order
+    dependent in a stream, so the contract is the KEY SET, not the
+    picked event_id)."""
+    from generic_data_ingestor_framework_spark.streaming import (
+        events_dedup_earliest,
+        read_events_stream,
+    )
+
+    events = read_events_stream(spark, SF)
+    sink = "stream_dedup_sink"
+    q = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r["user_id"], r["event_type"]) for r in spark.table(sink).collect()}
+    batch = {
+        (r["user_id"], r["event_type"])
+        for r in events_dedup_earliest(spark, SF).collect()
+    }
+    assert streamed == batch
