@@ -143,8 +143,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTEXT_BUCKETS = [32, 64, 128]  # token-count boundaries (corpus is short docs)
+
+
+def context_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length bucketing: documents binned by token count into
+    training context buckets, with per-bucket doc and token totals —
+    the report that drives packing/truncation decisions upstream of a
+    trainer."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col())
+    bucket = (
+        F.when(n <= CONTEXT_BUCKETS[0], f"<= {CONTEXT_BUCKETS[0]}")
+        .when(n <= CONTEXT_BUCKETS[1], f"<= {CONTEXT_BUCKETS[1]}")
+        .when(n <= CONTEXT_BUCKETS[2], f"<= {CONTEXT_BUCKETS[2]}")
+        .otherwise(f"> {CONTEXT_BUCKETS[2]}")
+    )
+    return (
+        d.select(bucket.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing weights: per-language token share plus the
+    up/down-sampling rate that would equalize languages — the knob a
+    data-mixture recipe turns. All ratios are exact-count arithmetic
+    rounded at the edge."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        d.select("lang", F.size(tokens_col()).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+            # rate that would give each lang an equal token share
+            F.round(
+                F.col("tot_tokens") / (F.col("n_langs") * F.col("n_tokens")), 6
+            ).alias("equalize_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
+    "context_length_buckets": context_length_buckets,
+    "corpus_mix_weights": corpus_mix_weights,
     "quality_score": quality_score,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
@@ -156,6 +215,35 @@ _TOKS = "string_split_regex(lower(text), '\\s+')"
 _STOP_IN = "','".join(STOPWORDS)
 
 ORACLES = {
+    "context_length_buckets": f"""
+        WITH t AS (
+          SELECT CASE WHEN len({_TOKS}) <= {CONTEXT_BUCKETS[0]} THEN '<= {CONTEXT_BUCKETS[0]}'
+                      WHEN len({_TOKS}) <= {CONTEXT_BUCKETS[1]} THEN '<= {CONTEXT_BUCKETS[1]}'
+                      WHEN len({_TOKS}) <= {CONTEXT_BUCKETS[2]} THEN '<= {CONTEXT_BUCKETS[2]}'
+                      ELSE '> {CONTEXT_BUCKETS[2]}' END AS bucket,
+                 len({_TOKS}) AS n_tokens
+          FROM documents
+        )
+        SELECT bucket, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    "corpus_mix_weights": f"""
+        WITH per_lang AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                 count(*) AS n_langs
+          FROM per_lang
+        )
+        SELECT lang, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
+               round(CAST(tot_tokens AS DOUBLE) / (n_langs * n_tokens), 6) AS equalize_rate
+        FROM per_lang, tot ORDER BY lang
+    """,
     "tfidf_top_terms": f"""
         WITH toks AS MATERIALIZED (
           SELECT doc_id, unnest({_TOKS}) AS term FROM documents
