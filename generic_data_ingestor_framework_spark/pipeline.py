@@ -111,6 +111,20 @@ def _step_sql(df: DataFrame, p: dict) -> DataFrame:
     return df.sparkSession.sql(p["query"])
 
 
+def _step_join(df: DataFrame, p: dict) -> DataFrame:
+    """Enrich against another source; ``broadcast: true`` hints the
+    enrichment side (the common dimension-lookup case)."""
+    other = _load_source(df.sparkSession, p["source"])
+    if p.get("broadcast", False):
+        other = F.broadcast(other)
+    return df.join(other, p["on"], p.get("how", "inner"))
+
+
+def _step_union(df: DataFrame, p: dict) -> DataFrame:
+    other = _load_source(df.sparkSession, p["source"])
+    return df.unionByName(other, allowMissingColumns=p.get("allow_missing", True))
+
+
 STEP_REGISTRY: dict[str, StepFn] = {
     "filter": _step_filter,
     "select": _step_select,
@@ -123,6 +137,8 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "with_column": _step_with_column,
     "repartition": _step_repartition,
     "sql": _step_sql,
+    "join": _step_join,
+    "union": _step_union,
 }
 
 

@@ -86,3 +86,26 @@ def test_pipeline_via_cli(spark, tmp_path, capsys):
 
     assert main(["ignored", "--pipeline", str(spec_file)]) == 0
     assert spark.read.parquet(str(out)).count() == 1
+
+
+def test_pipeline_join_and_union_steps(spark, tmp_path):
+    facts = str(tmp_path / "facts")
+    dims = str(tmp_path / "dims")
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k bigint, v bigint").write.parquet(facts)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, name string").write.parquet(dims)
+    spark.createDataFrame([(9, 90)], "k bigint, v bigint").write.parquet(extra)
+    spec = {
+        "source": {"type": "parquet", "path": facts},
+        "steps": [
+            {"op": "union", "source": {"type": "parquet", "path": extra}},
+            {"op": "join", "source": {"type": "parquet", "path": dims},
+             "on": ["k"], "how": "left", "broadcast": True},
+        ],
+    }
+    df, _ = run_pipeline(spark, spec)
+    rows = {(r["k"], r["v"], r["name"]) for r in df.collect()}
+    assert rows == {(1, 10, "a"), (2, 20, "b"), (3, 30, None), (9, 90, None)}
+    # the broadcast hint must reach the physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
