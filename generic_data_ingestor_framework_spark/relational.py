@@ -842,6 +842,23 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/bitwise aggregate family: every/any plus bit_and/or/xor
+    — all order-independent, so no rounding contract is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.some(F.col("l_discount") > 0.09).alias("any_high_discount"),
+            F.bit_and(F.col("l_linenumber")).alias("ln_bit_and"),
+            F.bit_or(F.col("l_linenumber")).alias("ln_bit_or"),
+            F.bit_xor(F.col("l_linenumber")).alias("ln_bit_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-function family: sort/distinct/contains/slice/
     element_at over token arrays (results flattened to strings so the
@@ -1164,6 +1181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_customer": profile_customer,
     "q7_nation_trade_volume": q7_nation_trade_volume,
     "array_funcs": array_funcs,
+    "bool_bit_aggs": bool_bit_aggs,
     "correlated_subquery": correlated_subquery,
     "q6_forecast_revenue": q6_forecast_revenue,
     "explode_lateral": explode_lateral,
@@ -1393,6 +1411,15 @@ ORACLES: dict[str, str] = {
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
+    """,
+    "bool_bit_aggs": """
+        SELECT l_returnflag,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               bool_or(l_discount > 0.09) AS any_high_discount,
+               CAST(bit_and(l_linenumber) AS INT) AS ln_bit_and,
+               CAST(bit_or(l_linenumber) AS INT) AS ln_bit_or,
+               CAST(bit_xor(l_linenumber) AS INT) AS ln_bit_xor
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "array_funcs": """
         WITH p AS (SELECT p_partkey, string_split(p_name, ' ') AS t FROM part)

@@ -168,3 +168,47 @@ def test_dedup_against_corpus_incremental(spark):
     out = dedup_against_corpus(batch, corpus)
     rows = {(r["doc_id"], r["text"]) for r in out.collect()}
     assert rows == {(2, "c"), (4, "d")}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random graphs: Spark CC must equal a reference union-find."""
+    from generic_data_ingestor_framework_spark.llm.dedup import connected_components
+
+    def uf_components(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min label per component
+        comp_min = {}
+        for i in range(n):
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        return {i: comp_min[find(i)] for i in range(n)}
+
+    n = 60
+    for seed in (1, 2, 3):
+        # deterministic pseudo-random edges (no RNG state dependency)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for k in range(45)
+                for a, b in [((k * k * seed + 7 * k) % n, (k * 13 * seed + 5) % n)]
+                if a != b
+            }
+        )
+        docs = spark.range(n).withColumnRenamed("id", "doc_id")
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(docs, pairs, "doc_a", "doc_b").collect()
+        }
+        assert got == uf_components(n, edges), f"seed {seed}"
