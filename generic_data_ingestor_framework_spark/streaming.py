@@ -177,10 +177,14 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     how: str = "inner",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Generic as-of join — the time-series primitive Spark has no
     native operator for: each left row picks, per ``by`` key, the right
-    row with the greatest ``right_ts`` <= ``left_ts``.
+    row with the greatest ``right_ts`` <= ``left_ts``. ``tolerance``
+    (an SQL interval string like ``"30 MINUTES"``) additionally
+    requires the match to be within that lookback of the left row —
+    pandas ``merge_asof(tolerance=...)`` semantics.
 
     Implemented Spark-first as union + forward-fill window
     (``last(ignorenulls)`` over rows-unbounded-preceding): ONE shuffle
@@ -225,11 +229,27 @@ def asof_join(
     carried = [
         F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols
     ]
+    # carry the matched right timestamp too so a lookback tolerance
+    # (pandas merge_asof parity) can age out stale matches
+    carried.append(
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__asof_rts")
+    )
     out = (
         l_tag.unionByName(r_tag)
         .select("*", *carried)
         .filter(F.col("__side") == 1)
     )
+    if tolerance is not None:
+        stale = F.col("__asof_rts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("__asof_")],
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"__asof_{c}")).alias(f"__asof_{c}")
+                for c in right_cols
+            ],
+        )
     if how == "inner":
         matched = F.lit(False)
         for c in right_cols:

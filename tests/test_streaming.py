@@ -180,3 +180,32 @@ def test_streaming_drop_duplicates_matches_batch_keys(spark):
         for r in events_dedup_earliest(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance (pandas merge_asof parity): matches older than the
+    lookback are dropped; everything kept is within it."""
+    from generic_data_ingestor_framework_spark.streaming import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:05:00")],
+        "k bigint, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:50:00", 100), (2, "2024-01-01 08:00:00", 200)],
+        "k bigint, rts string, rv bigint",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    no_tol = asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts",
+                       right_cols=["rv"])
+    assert {(r["k"], str(r["lts"]), r["rv"]) for r in no_tol.collect()} == {
+        (1, "2024-01-01 10:00:00", 100),
+        (1, "2024-01-01 12:00:00", 100),
+        (2, "2024-01-01 10:05:00", 200),
+    }
+    tol = asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts",
+                    right_cols=["rv"], tolerance="30 MINUTES")
+    # k=1 noon row (match 2h10m old) and k=2 (2h05m old) age out
+    assert {(r["k"], str(r["lts"]), r["rv"]) for r in tol.collect()} == {
+        (1, "2024-01-01 10:00:00", 100),
+    }
