@@ -46,6 +46,9 @@ HEADLINE = [
     "json_funcs",
     "q2_min_cost_supplier",
     "ann_ivf_topk",
+    "tfidf_top_terms",
+    "events_asof_join",
+    "nb_lang_confusion",
 ]
 
 REGRESSION_RATIO = 1.3

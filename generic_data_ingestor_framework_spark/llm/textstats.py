@@ -111,6 +111,30 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish/boilerplate detector (natural text sits in a band;
+    base64 blobs and repeated-char spam fall outside it). Two hash
+    aggregates, rounded at the edge (sum order is the only float
+    nondeterminism; 4 dp absorbs it)."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the relevance/keyword
     extraction pass of a curation pipeline.
@@ -209,6 +233,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "corpus_bigram_topk": corpus_bigram_topk,
     "tfidf_top_terms": tfidf_top_terms,
+    "char_entropy": char_entropy,
 }
 
 _TOKS = "string_split_regex(lower(text), '\\s+')"
@@ -243,6 +268,22 @@ ORACLES = {
                round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
                round(CAST(tot_tokens AS DOUBLE) / (n_langs * n_tokens), 6) AS equalize_rate
         FROM per_lang, tot ORDER BY lang
+    """,
+    "char_entropy": """
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, ch, count(*) AS n FROM chars
+          WHERE ch <> '' GROUP BY doc_id, ch
+        ),
+        totals AS (SELECT doc_id, sum(n) AS tot FROM counts GROUP BY doc_id)
+        SELECT c.doc_id,
+               round(-sum((n / tot) * log2(n / tot)), 4) AS char_entropy,
+               count(*) AS n_distinct_chars
+        FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+        GROUP BY c.doc_id ORDER BY c.doc_id
     """,
     "tfidf_top_terms": f"""
         WITH toks AS MATERIALIZED (
