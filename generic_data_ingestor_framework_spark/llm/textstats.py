@@ -111,6 +111,30 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RK_BASE = 257
+RK_MOD = 1_000_000_007
+
+
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE Rabin-Karp polynomial fingerprint per document
+    (acc = acc·B + code mod M over the character stream) — the rolling
+    hash complement to ``doc_fingerprint``'s order-insensitive token
+    hash: reordered text changes this one. Pure integer arithmetic in
+    a higher-order fold, so both engines produce identical values."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    rk = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * RK_BASE + F.ascii(ch)) % RK_MOD,
+    )
+    return d.select(
+        "doc_id",
+        rk.alias("rolling_hash"),
+        F.length("text").alias("n_chars_hashed"),
+    )
+
+
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document — the cheap
     gibberish/boilerplate detector (natural text sits in a band;
@@ -234,6 +258,7 @@ QUERIES = {
     "corpus_bigram_topk": corpus_bigram_topk,
     "tfidf_top_terms": tfidf_top_terms,
     "char_entropy": char_entropy,
+    "doc_rolling_hash": doc_rolling_hash,
 }
 
 _TOKS = "string_split_regex(lower(text), '\\s+')"
@@ -268,6 +293,16 @@ ORACLES = {
                round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
                round(CAST(tot_tokens AS DOUBLE) / (n_langs * n_tokens), 6) AS equalize_rate
         FROM per_lang, tot ORDER BY lang
+    """,
+    "doc_rolling_hash": f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(text, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, code) -> (acc * {RK_BASE} + code) % {RK_MOD}) AS rolling_hash,
+               CAST(length(text) AS INT) AS n_chars_hashed
+        FROM documents
     """,
     "char_entropy": """
         WITH chars AS (
