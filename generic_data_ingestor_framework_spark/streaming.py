@@ -92,6 +92,32 @@ def session_window_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup: per-user session count, mean session
+    length (seconds, gap-inclusive like ``session_window``), and the
+    busiest session — the product-analytics summary layered on native
+    sessionization (two hash aggregates, no extra state)."""
+    sessions = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            (F.unix_timestamp("w.end") - F.unix_timestamp("w.start")).alias("dur_s"),
+            "n_events",
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("dur_s"), 2).alias("avg_session_s"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-dedup analogue in batch: first event per
     (user_id, event_type), the deterministic form of
@@ -493,6 +519,7 @@ QUERIES = {
     "events_interval_join": events_interval_join,
     "events_asof_join": events_asof_join,
     "events_multi_rollup": events_multi_rollup,
+    "session_stats_per_user": session_stats_per_user,
 }
 
 ORACLES = {
@@ -529,6 +556,31 @@ ORACLES = {
                max(ts) + INTERVAL 10 MINUTE AS session_end,
                count(*) AS n_events
         FROM numbered GROUP BY user_id, sid
+    """,
+    "session_stats_per_user": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        ),
+        sessions AS (
+          SELECT user_id,
+                 date_diff('second', min(ts), max(ts) + INTERVAL 10 MINUTE) AS dur_s,
+                 count(*) AS n_events
+          FROM numbered GROUP BY user_id, sid
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               round(avg(dur_s), 2) AS avg_session_s,
+               CAST(max(n_events) AS BIGINT) AS max_session_events
+        FROM sessions GROUP BY user_id ORDER BY user_id
     """,
     "events_dedup_earliest": """
         SELECT user_id, event_type, event_id, ts FROM (
