@@ -1,9 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()``
-exposes every implemented operator from SURVEY.md §2 as
-``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
-equivalent for the correctness gate.
+exposes the registered query surface — one entry per capability family
+from SURVEY.md §2 — as ``(spark, sf_dir) -> DataFrame``;
+``oracle_sql()`` gives the DuckDB equivalent for the correctness gate.
+
+Round 3 consolidation: the 106-member surface of round 2 is folded
+into family composites (``composite.py``) so EVERY capability family
+has a row inside the driver's 50-entry correctness window — no
+rotation.  Each composite returns one ``(fam, n, checksum)`` row per
+member, where ``checksum`` is a portable md5-fold of the member's full
+result, so member-level regressions still flip the gate.  The full
+member registry stays public via ``member_queries()`` /
+``member_oracles()`` (used by bench.py and ``tools/check_oracles.py
+--members``).
 """
 
 from __future__ import annotations
@@ -12,84 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from generic_data_ingestor_framework_spark import functions, llm, relational, streaming
-
-_MODULES = [relational, llm, streaming, functions]
-
-# The driver's correctness gate checks the FIRST 50 registered queries.
-# Queries swapped out of the window (preview_limit, sort_limit_offset,
-# explode_lateral, set_union, date_funcs, percentile_stats,
-# top_k_per_group, json_funcs, join_inner) are UNCHANGED since their green driver
-# rows in round 1; every new or modified query sits inside the window
-# except the round-2 relational additions (Q4/Q16/Q22,
-# window_navigation, unpivot, events_multi_rollup), whose families are
-# represented in-window and which the judge's rerun covers.
-# Order so every distinct capability lands inside that window: the
-# flagship + one representative per SURVEY §2.B relational family +
-# every LLM-pipeline, streaming, and UDF query. The remaining
-# relational entries are close variants of in-window families (extra
-# join types, more scalar-function groups, more TPC-H shapes) and
-# register after position 50.
-_PRIORITY = [
-    # flagship + relational family representatives (20)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q17_small_quantity_revenue",
-    "q20_supplier_part_chain",
-    "approx_sketches",
-    "filter_predicates",
-    "agg_having_distinct",
-    "grouping_sets_agg",
-    "window_rank",
-    "subquery_cte",
-    "correlated_subquery",
-    # dedup (7)
-    "dedup_exact",
-    "dedup_exact_by_key",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_cluster_assign",
-    "dedup_keep_corpus",
-    # similarity / ANN (6)
-    "ann_cosine_topk",
-    "embed_norms",
-    "ann_lsh_bucketed",
-    "label_centroid_dims",
-    "ann_ivf_topk",
-    "ann_recall_report",
-    "dedup_embedding_pairs",
-    # text stats (5)
-    "token_stats",
-    "quality_score",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "corpus_bigram_topk",
-    "tfidf_top_terms",
-    "nb_lang_predictions",
-    "nb_lang_confusion",
-    # multimodal (2)
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    # sampling (4)
-    "sample_hash_mod",
-    "train_val_test_split",
-    "stratified_sample_per_lang",
-    "pseudonymize_users",
-    "redact_pii",
-    # streaming (5)
-    "window_tumbling_hourly",
-    "window_sliding_1h_30m",
-    "session_window_10m",
-    "events_dedup_earliest",
-    "stream_tumbling_counts",
-    "events_interval_join",
-    "events_asof_join",
-    # UDF surface (1)
-    "udf_text_normalize",
-]
+from generic_data_ingestor_framework_spark import composite, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -98,16 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _MODULES:
-        merged.update(mod.QUERIES)
-    out = {name: merged.pop(name) for name in _PRIORITY if name in merged}
-    out.update(merged)
-    return out
+    return composite.registered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+    return composite.registered_oracles()
+
+
+def member_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every individual query, including those folded into composites."""
+    return dict(composite.MEMBER_QUERIES)
+
+
+def member_oracles() -> dict[str, str]:
+    return dict(composite.MEMBER_ORACLES)

@@ -91,7 +91,8 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.0
 
     spark = get_spark("bench")
-    qs = entry_mod.queries()
+    # bench per-member (composites would hide per-query timings)
+    qs = entry_mod.member_queries()
 
     # warm up: JVM + parquet footer caches
     spark.range(1000).count()

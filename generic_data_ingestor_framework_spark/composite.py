@@ -1,0 +1,313 @@
+"""Family-composite queries: fold many member queries into one gate row each.
+
+The driver's correctness gate checks the first 50 ``queries()`` entries;
+round 2 ended with 106 member queries, so most of the surface was
+invisible in any single ``CORRECTNESS_rN.json``.  This module folds
+near-duplicate members into *family composites*: one registered query
+per capability family whose result is one row per member —
+``(fam, n, checksum)`` — where ``checksum`` is an order-insensitive
+fold of a portable per-row digest.  Any value change in any member
+flips its md5-based row digest and therefore the family checksum, so
+the composite row carries the same regression-detection power as the
+member rows did, at 1/Nth the registry footprint.
+
+Cross-engine canonicalization (verified exact against DuckDB):
+- strings / ints / bools / dates: plain ``CAST(x AS STRING)`` — textual
+  forms agree between Spark and DuckDB for these types.
+- doubles: ``FLOOR(x * 10000)`` as BIGINT.  Member queries already
+  produce bit-identical doubles in both engines (they hash-match under
+  ``repr()`` in the gate), and IEEE multiply/floor are deterministic,
+  so the canon is engine-exact — no round-tie hazard (``round`` HALF_UP
+  differs cross-engine at exact .xxx5 ties; ``floor`` cannot tie).
+- timestamps: ``date_format(x, 'yyyy-MM-dd HH:mm:ss.SSSSSS')`` ≡
+  DuckDB ``strftime(x, '%Y-%m-%d %H:%M:%S.%f')`` (UTC session tz).
+- row digest: ``conv(substr(md5(row),1,8),16,10)`` ≡ DuckDB
+  ``CAST('0x' || substr(md5(row),1,8) AS BIGINT)``; summed per block
+  (32-bit terms, ≤~1e5 rows → no BIGINT overflow; DuckDB's HUGEINT sum
+  is cast back to BIGINT).
+
+The Spark side derives each member's column kinds from the live
+DataFrame schema; the DuckDB side uses the generated static manifest in
+``_composite_manifest.py`` (``tools/gen_manifest.py`` regenerates it;
+``tests/test_composites.py`` asserts the two never drift).
+
+Scale note (100 TB): a composite is a UNION ALL of per-member
+single-row aggregates — each member keeps its own optimized plan
+(pushdown, broadcast, partial agg) and the digest rides the member's
+existing output; the fold adds one map-side projection + a 1-row
+hash-aggregate per member, no new shuffle of member data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark import functions as fns
+from generic_data_ingestor_framework_spark import llm, relational, streaming
+
+_SEP = "\x01"   # unit separator between canon columns
+_NULL = "\x02"  # NULL marker (distinct from empty string)
+
+# Full member registry — every query keeps its public callable here even
+# when it is registered with the driver only through a family composite.
+MEMBER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+MEMBER_ORACLES: dict[str, str] = {}
+for _m in (relational, llm, streaming, fns):
+    MEMBER_QUERIES.update(_m.QUERIES)
+    MEMBER_ORACLES.update(_m.ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Portable canonicalization
+# ---------------------------------------------------------------------------
+
+_KIND_BY_DTYPE = {
+    "string": "s",
+    "bigint": "s",
+    "int": "s",
+    "smallint": "s",
+    "tinyint": "s",
+    "boolean": "s",
+    "date": "s",
+    "double": "d",
+    "float": "d",
+    "timestamp": "t",
+    "timestamp_ntz": "t",
+}
+
+
+def kind_of(dtype: str) -> str:
+    """Map a Spark simple dtype string to a canon kind (s/d/t).
+
+    Unknown dtypes raise: extending the canon to a new type is a
+    deliberate act (it must be verified cross-engine first).
+    """
+    if dtype.startswith("decimal"):
+        return "s"
+    return _KIND_BY_DTYPE[dtype]
+
+
+def _spark_canon(c: str, kind: str):
+    if kind == "d":
+        return F.expr(
+            f"CASE WHEN isnan(`{c}`) THEN 'nan'"
+            f" WHEN `{c}` > 9e14 THEN 'inf'"
+            f" WHEN `{c}` < -9e14 THEN '-inf'"
+            f" ELSE CAST(CAST(FLOOR(`{c}` * 10000.0) AS BIGINT) AS STRING) END"
+        )
+    if kind == "t":
+        return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return F.col(c).cast("string")
+
+
+def _duck_canon(c: str, kind: str) -> str:
+    q = f'"{c}"'
+    if kind == "d":
+        return (
+            f"CASE WHEN isnan({q}) THEN 'nan'"
+            f" WHEN {q} > 9e14 THEN 'inf'"
+            f" WHEN {q} < -9e14 THEN '-inf'"
+            f" ELSE CAST(CAST(FLOOR({q} * 10000.0) AS BIGINT) AS VARCHAR) END"
+        )
+    if kind == "t":
+        return f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+    return f"CAST({q} AS VARCHAR)"
+
+
+def block_digest(df: DataFrame, tag: str) -> DataFrame:
+    """One-row digest of a member result: (fam, n, checksum)."""
+    cols = sorted(df.columns)
+    dtypes = dict(df.dtypes)
+    cc = F.concat_ws(
+        _SEP, *[F.coalesce(_spark_canon(c, kind_of(dtypes[c])), F.lit(_NULL)) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(cc), 1, 8), 16, 10).cast("long")
+    return (
+        df.select(h.alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("checksum"),
+        )
+        .select(F.lit(tag).alias("fam"), "n", "checksum")
+    )
+
+
+def _oracle_block(member: str, sql: str, manifest: list[tuple[str, str]]) -> str:
+    parts = ", ".join(
+        f"COALESCE({_duck_canon(c, k)}, chr(2))" for c, k in sorted(manifest)
+    )
+    return (
+        f"SELECT '{member}' AS fam, COUNT(*) AS n,\n"
+        f"       CAST(COALESCE(SUM(CAST('0x' || SUBSTR(md5(cc),1,8) AS BIGINT)), 0) AS BIGINT) AS checksum\n"
+        f"FROM (SELECT concat_ws(chr(1), {parts}) AS cc FROM ({sql}) _m) _h"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Family composition spec
+# ---------------------------------------------------------------------------
+
+COMPOSITES: dict[str, list[str]] = {
+    # relational families (SURVEY §2.B)
+    "tpch_shapes": [
+        "q2_min_cost_supplier", "q3_shipping_priority", "q4_priority_exists",
+        "q5_region_revenue", "q6_forecast_revenue", "q7_nation_trade_volume",
+        "q10_returned_revenue", "q13_order_count_distribution",
+        "q14_promo_revenue_pct", "q16_supplier_cnt_distribution",
+        "q17_small_quantity_revenue", "q19_disjunctive_predicates",
+        "q20_supplier_part_chain", "q22_idle_customers",
+    ],
+    "scan_preview": [
+        "preview_limit", "count_rows", "distinct_scan", "sort_limit_offset",
+        "profile_customer",
+    ],
+    "filter_family": ["filter_predicates", "param_eq_filter"],
+    "join_family": [
+        "join_inner", "join_left_agg", "join_semi", "join_anti",
+        "fuzzy_customer_pairs",
+    ],
+    "agg_family": [
+        "agg_having_distinct", "group_concat_names", "stats_moments",
+        "bool_bit_aggs",
+    ],
+    "multidim_agg": [
+        "rollup_agg", "cube_agg", "grouping_sets_agg",
+        "pivot_status_by_priority", "unpivot_part_measures",
+    ],
+    "window_family": [
+        "window_rank", "window_frames", "window_navigation", "top_k_per_group",
+    ],
+    "set_ops": ["set_union", "set_intersect", "set_except"],
+    "scalar_funcs": [
+        "string_funcs", "math_funcs", "date_funcs", "json_funcs",
+        "case_null_funcs", "regexp_funcs", "array_funcs", "explode_lateral",
+    ],
+    "subquery_family": ["subquery_cte", "correlated_subquery"],
+    "approx_family": ["percentile_stats", "histogram_bins", "approx_sketches"],
+    "ingest_parity": [
+        "normalize_text_parity", "lineage_source_file", "md5_fingerprint",
+        "union_all_missing_cols", "error_summary_topk",
+    ],
+    # llm families
+    "embed_stats": ["embed_norms", "label_centroid_dims"],
+    "text_tokens": ["token_stats", "context_length_buckets", "corpus_mix_weights"],
+    "text_quality": ["quality_score", "lang_id_heuristic", "char_entropy"],
+    "doc_fingerprints": ["doc_fingerprint", "doc_rolling_hash"],
+    "term_stats": ["corpus_bigram_topk", "tfidf_top_terms"],
+    "nb_family": ["nb_lang_predictions", "nb_lang_confusion"],
+    "multimodal_family": [
+        "multimodal_binary_meta", "multimodal_decode_features",
+        "multimodal_frame_sample",
+    ],
+    "sampling_family": [
+        "sample_hash_mod", "train_val_test_split", "stratified_sample_per_lang",
+    ],
+    "privacy_family": ["pseudonymize_users", "redact_pii"],
+    # streaming families
+    "event_windows": [
+        "window_tumbling_hourly", "window_sliding_1h_30m", "events_multi_rollup",
+    ],
+    "sessions_family": ["session_window_10m", "session_stats_per_user"],
+}
+
+_COMPOSED = {m for members in COMPOSITES.values() for m in members}
+
+# Registration order: one row per capability family, every row inside
+# the driver's 50-entry window — no rotation needed.
+REGISTER_ORDER = [
+    # relational (13)
+    "q1_pricing_summary",
+    "tpch_shapes",
+    "scan_preview",
+    "filter_family",
+    "join_family",
+    "agg_family",
+    "multidim_agg",
+    "window_family",
+    "set_ops",
+    "scalar_funcs",
+    "subquery_family",
+    "approx_family",
+    "ingest_parity",
+    # dedup (8)
+    "dedup_exact",
+    "dedup_exact_by_key",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_assign",
+    "dedup_keep_corpus",
+    # similarity / ANN (6)
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "ann_recall_report",
+    "dedup_embedding_pairs",
+    "embed_stats",
+    # text analysis (4)
+    "text_tokens",
+    "text_quality",
+    "doc_fingerprints",
+    "term_stats",
+    # classification (1)
+    "nb_family",
+    # multimodal (1)
+    "multimodal_family",
+    # sampling / privacy (2)
+    "sampling_family",
+    "privacy_family",
+    # streaming (6)
+    "event_windows",
+    "sessions_family",
+    "events_dedup_earliest",
+    "stream_tumbling_counts",
+    "events_interval_join",
+    "events_asof_join",
+    # UDF surface (1)
+    "udf_text_normalize",
+]
+
+
+def make_composite(name: str, members: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [block_digest(MEMBER_QUERIES[m](spark, sf_dir), m) for m in members]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    q.__name__ = name
+    q.__doc__ = f"Family composite over members: {', '.join(members)}."
+    return q
+
+
+def registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in REGISTER_ORDER:
+        if name in COMPOSITES:
+            out[name] = make_composite(name, COMPOSITES[name])
+        else:
+            out[name] = MEMBER_QUERIES[name]
+    return out
+
+
+def registered_oracles() -> dict[str, str]:
+    from generic_data_ingestor_framework_spark._composite_manifest import MANIFEST
+
+    out: dict[str, str] = {}
+    for name in REGISTER_ORDER:
+        if name in COMPOSITES:
+            members = COMPOSITES[name]
+            missing = [m for m in members if m not in MEMBER_ORACLES]
+            if missing:  # composites must stay fully oracle-backed
+                raise KeyError(f"composite {name} members lack oracles: {missing}")
+            out[name] = "\nUNION ALL\n".join(
+                _oracle_block(m, MEMBER_ORACLES[m], MANIFEST[m]) for m in members
+            )
+        elif name in MEMBER_ORACLES:
+            out[name] = MEMBER_ORACLES[name]
+    return out

@@ -1,0 +1,69 @@
+"""Composite-layer invariants: registry fits the driver window, covers
+every member exactly once, the static DuckDB manifest matches live
+Spark schemas, and a composite's checksum rows agree with DuckDB.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from generic_data_ingestor_framework_spark import composite
+from generic_data_ingestor_framework_spark._composite_manifest import MANIFEST
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_registered_surface_fits_driver_window():
+    regs = composite.REGISTER_ORDER
+    assert len(regs) <= 50, f"{len(regs)} registered queries exceed the 50-entry gate"
+    assert len(regs) == len(set(regs))
+
+
+def test_members_partition_exactly():
+    """Every member is registered standalone XOR via exactly one composite."""
+    composed: list[str] = []
+    for members in composite.COMPOSITES.values():
+        composed.extend(members)
+    assert len(composed) == len(set(composed)), "member in two composites"
+    standalone = [n for n in composite.REGISTER_ORDER if n not in composite.COMPOSITES]
+    for s in standalone:
+        assert s in composite.MEMBER_QUERIES
+        assert s not in composed, f"{s} registered both standalone and composed"
+    assert set(standalone) | set(composed) == set(composite.MEMBER_QUERIES)
+
+
+def test_manifest_covers_all_members():
+    assert set(MANIFEST) == set(composite.MEMBER_QUERIES)
+
+
+@pytest.mark.parametrize(
+    "member",
+    [  # cheap representatives, one per module family
+        "preview_limit", "window_rank", "approx_sketches", "date_funcs",
+        "dedup_exact", "token_stats", "sample_hash_mod",
+        "window_tumbling_hourly", "udf_text_normalize",
+    ],
+)
+def test_manifest_matches_live_schema(spark, member):
+    df = composite.MEMBER_QUERIES[member](spark, SF_DIR)
+    live = [(c, composite.kind_of(dt)) for c, dt in df.dtypes]
+    assert live == MANIFEST[member], f"manifest drift for {member}: regenerate via tools/gen_manifest.py"
+
+
+def test_composite_checksums_match_duckdb(spark):
+    """End-to-end: one composite's (fam, n, checksum) rows equal DuckDB's."""
+    name = "set_ops"
+    q = composite.registered_queries()[name]
+    srows = {tuple(r) for r in q(spark, SF_DIR).collect()}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    drows = {tuple(r) for r in con.execute(composite.registered_oracles()[name]).fetchall()}
+    assert srows == drows
+    assert len(srows) == len(composite.COMPOSITES[name])

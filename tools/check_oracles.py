@@ -4,7 +4,10 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive multiset of stringified rows.
 
-Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracles.py [--members] [sf_dir] [query_name ...]
+
+``--members`` checks the FULL member registry (every query folded into
+a family composite, individually) instead of the registered surface.
 """
 
 from __future__ import annotations
@@ -55,15 +58,20 @@ def rows_to_multiset(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--members"]
+    members = "--members" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if members:
+        qs, oracles = entry_mod.member_queries(), entry_mod.member_oracles()
+    else:
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     passed, failed, rows_only = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
