@@ -64,6 +64,9 @@ def detect_encoding(path: str | Path) -> str:
 
 CORRUPT_COL = "_corrupt_record"
 SOURCE_COL = "_source_file"
+# bounded driver-side sample for salvage element-schema inference (A11
+# sample-based contract; the bulk re-parse stays fully in-plan)
+SALVAGE_SCHEMA_SAMPLE = 100
 
 
 @dataclass
@@ -131,12 +134,19 @@ def salvage_json_elements(
     binary read → ``decode`` with the sniffed encoding (the text
     source has no encoding option and would U+FFFD-mangle latin-1) →
     ``from_json(..., 'array<string>')`` (object elements come back as
-    raw JSON text) → keep ``{``-prefixed elements → re-parse them as
-    a distributed JSON dataset.
+    raw JSON text) → keep ``{``-prefixed elements → ``from_json``
+    them against an element schema inferred from a bounded sample →
+    ``select("s.*")``.  The whole bulk path is JVM-side Catalyst
+    expressions: no RDD scan, no Python runner stage (a multi-GB
+    hostile file pays one decode, not a JVM→Python→JVM round-trip).
 
-    Only scalar COUNTS ever reach the driver; the file's contents stay
-    in executors end-to-end, so a multi-GB malformed file cannot OOM
-    the driver (the old implementation collected the whole document).
+    Schema contract: the element schema is inferred from the first
+    ``SALVAGE_SCHEMA_SAMPLE`` object elements — the same bounded
+    sample-based inference contract as A11's ``infer_schema_sample``
+    (the reference's own schema unify samples 10 records,
+    ``main.py:121-128``); a field first appearing after the sample
+    window is dropped from the salvaged projection.  Only that bounded
+    sample and scalar counts ever reach the driver.
 
     Returns (parsed_df | None, n_dropped_non_dict).
     """
@@ -173,11 +183,16 @@ def salvage_json_elements(
     dropped = int(stats["n_elems"]) - int(stats["n_objs"])
     if not stats["n_objs"]:
         return None, dropped  # valid array, zero dict records (not an error)
-    obj_strings = (
-        arr_df.select(F.explode(F.filter("arr", is_obj)).alias("elem"))
-        .rdd.map(lambda r: r.elem)
+    obj_df = arr_df.select(F.explode(F.filter("arr", is_obj)).alias("elem"))
+    sample = [r.elem for r in obj_df.limit(SALVAGE_SCHEMA_SAMPLE).collect()]
+    schema = (
+        spark.read.option("allowSingleQuotes", "false")
+        .json(spark.sparkContext.parallelize(sample))
+        .schema
     )
-    parsed = spark.read.option("allowSingleQuotes", "false").json(obj_strings)
+    parsed = obj_df.select(
+        F.from_json("elem", schema, {"allowSingleQuotes": "false"}).alias("s")
+    ).select("s.*")
     return parsed, dropped
 
 

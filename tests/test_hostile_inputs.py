@@ -126,3 +126,20 @@ def test_hostile_csv_ragged_and_empty(spark, tmp_path):
     assert report.files_failed == 0
     ragged = df.filter(F.col("_source_file") == "ragged.csv")
     assert ragged.count() == 3  # every data row kept, short/long rows padded/truncated
+
+
+def test_salvage_plan_is_jvm_only(spark, tmp_path):
+    """The salvaged bulk path must be pure Catalyst: no RDD scan, no
+    Python runner stage (only the bounded schema sample touches the
+    driver)."""
+    from generic_data_ingestor_framework_spark.ingest import salvage_json_elements
+
+    p = tmp_path / "mixed.json"
+    p.write_text('[{"a": 1, "b": "x"}, 7, {"a": 2}, "loose"]')
+    df, dropped = salvage_json_elements(spark, str(p))
+    assert dropped == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ExistingRDD", "EvalPython", "PythonRunner", "MapPartitions"):
+        assert marker not in plan, f"Python/RDD stage in salvage plan: {marker}"
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(1, "x"), (2, None)}
