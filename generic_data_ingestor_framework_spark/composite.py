@@ -197,7 +197,7 @@ COMPOSITES: dict[str, list[str]] = {
     "text_quality": ["quality_score", "lang_id_heuristic", "char_entropy"],
     "doc_fingerprints": ["doc_fingerprint", "doc_rolling_hash"],
     "term_stats": ["corpus_bigram_topk", "tfidf_top_terms"],
-    "nb_family": ["nb_lang_predictions", "nb_lang_confusion"],
+    "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
     "multimodal_family": [
         "multimodal_binary_meta", "multimodal_decode_features",
         "multimodal_frame_sample",
@@ -253,6 +253,7 @@ REGISTER_ORDER = [
     "text_quality",
     "doc_fingerprints",
     "term_stats",
+    "cms_heavy_hitters",
     # classification (1)
     "nb_family",
     # multimodal (1)

@@ -47,11 +47,28 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document predicted lang vs actual (self-train demo of the
-    pipeline; a real run trains on a labeled split and scores the
-    rest — identical plan shape)."""
-    toks = _doc_tokens(spark, sf_dir).cache()
+# Holdout split: train on hash(doc_id)%100 < 80, score the rest — the
+# same portable-hash 80/20 boundary as sampling.train_val_test_split,
+# so split membership is engine- and partitioning-independent.
+TRAIN_PCT = 80
+
+
+def _split_cond(train: bool):
+    from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 100
+    return bucket < TRAIN_PCT if train else bucket >= TRAIN_PCT
+
+
+def _nb_predictions(
+    spark: SparkSession, sf_dir: str, holdout: bool = False
+) -> DataFrame:
+    """NB pipeline; ``holdout=True`` trains the model on the 80% hash
+    split and scores only the held-out 20% (honest accuracy), else
+    self-train (pipeline-shape demo). Identical plan shape either way."""
+    all_toks = _doc_tokens(spark, sf_dir).cache()
+    toks = all_toks.filter(_split_cond(True)) if holdout else all_toks
+    score_src = all_toks.filter(_split_cond(False)) if holdout else all_toks
 
     # model: smoothed log P(token | lang) and log P(lang)
     lang_tok = toks.groupBy("lang", "tok").agg(F.sum("n").alias("c"))
@@ -69,7 +86,9 @@ def nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score every doc against every lang: per-doc token counts joined to
     # the (broadcast) model; unseen (lang, token) falls back to the
     # smoothing floor log(LAPLACE / (total + LAPLACE * V))
-    doc_toks = toks.select("doc_id", F.col("lang").alias("actual_lang"), "tok", "n")
+    doc_toks = score_src.select(
+        "doc_id", F.col("lang").alias("actual_lang"), "tok", "n"
+    )
     model = (
         lang_tok.join(lang_tot, "lang")
         .select(
@@ -104,10 +123,28 @@ def nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds
 
 
+def nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document predicted lang vs actual (self-train demo of the
+    pipeline; ``nb_holdout_confusion`` is the honest-evaluation run)."""
+    return _nb_predictions(spark, sf_dir, holdout=False)
+
+
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of the NB classifier (actual × predicted doc
-    counts) — the accuracy report a pipeline gates model rollout on."""
+    """Confusion matrix of the self-train NB run (actual × predicted
+    doc counts). Overstates accuracy by construction — gate rollouts on
+    ``nb_holdout_confusion`` instead."""
     preds = nb_lang_predictions(spark, sf_dir)
+    return (
+        preds.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest NB evaluation: model trained on the 80% hash split, the
+    confusion matrix computed only over the held-out 20% (train∩test=∅)."""
+    preds = _nb_predictions(spark, sf_dir, holdout=True)
     return (
         preds.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -118,17 +155,25 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "nb_lang_predictions": nb_lang_predictions,
     "nb_lang_confusion": nb_lang_confusion,
+    "nb_holdout_confusion": nb_holdout_confusion,
 }
 
-_NB_CTES = f"""
+# portable 80/20 split boundary in DuckDB terms (same hash as Spark side)
+_SPLIT_BUCKET = "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100)"
+
+
+def _nb_ctes(train_where: str = "TRUE", score_where: str = "TRUE") -> str:
+    return f"""
         tok0 AS (
           SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
           FROM documents
         ),
-        toks AS MATERIALIZED (
+        toks_all AS MATERIALIZED (
           SELECT doc_id, lang, tok, count(*) AS n FROM tok0
           WHERE tok <> '' GROUP BY doc_id, lang, tok
         ),
+        toks AS MATERIALIZED (SELECT * FROM toks_all WHERE {train_where}),
+        score_toks AS MATERIALIZED (SELECT * FROM toks_all WHERE {score_where}),
         lang_tok AS MATERIALIZED (
           SELECT lang, tok, sum(n) AS c FROM toks GROUP BY lang, tok
         ),
@@ -153,7 +198,7 @@ _NB_CTES = f"""
           SELECT d.doc_id, d.lang AS actual_lang, f.m_lang,
                  round(sum(d.n * coalesce(m.log_p, f.log_floor)) + any_value(p.log_prior),
                        {SCORE_DP}) AS score
-          FROM toks d
+          FROM score_toks d
           CROSS JOIN floors f
           LEFT JOIN model m ON m.m_lang = f.m_lang AND m.tok = d.tok
           JOIN priors p ON p.p_lang = f.m_lang
@@ -168,13 +213,24 @@ _NB_CTES = f"""
         )
 """
 
+
+_HOLDOUT_CTES = _nb_ctes(
+    train_where=f"{_SPLIT_BUCKET} < {TRAIN_PCT}",
+    score_where=f"{_SPLIT_BUCKET} >= {TRAIN_PCT}",
+)
+
 ORACLES = {
     "nb_lang_predictions": f"""
-        WITH {_NB_CTES}
+        WITH {_nb_ctes()}
         SELECT doc_id, lang, pred_lang FROM preds
     """,
     "nb_lang_confusion": f"""
-        WITH {_NB_CTES}
+        WITH {_nb_ctes()}
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM preds GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    "nb_holdout_confusion": f"""
+        WITH {_HOLDOUT_CTES}
         SELECT lang, pred_lang, count(*) AS n_docs
         FROM preds GROUP BY lang, pred_lang ORDER BY lang, pred_lang
     """,

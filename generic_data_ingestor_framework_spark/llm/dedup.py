@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import warnings
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,11 +91,24 @@ sh AS (
 """
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → exploded distinct shingles, cached: every dedup plan
+# Storage policy for the shared shingle relation. The exploded
+# (doc_id, shingle) relation is the SAME order of magnitude as the
+# tokenized corpus itself (k overlapping grams per token, deduped
+# per-doc) — at 100 TB of text it does NOT fit in cluster storage
+# memory. Default keeps local/test behavior (memory with disk
+# spillover); a 100 TB run should pass StorageLevel.DISK_ONLY, or
+# materialize the relation to parquet once and share it across the
+# whole dedup family.
+DEFAULT_SHINGLE_STORAGE = StorageLevel.MEMORY_AND_DISK
+
+
+def _exploded_shingles(
+    spark: SparkSession, sf_dir: str, storage: StorageLevel | None = None
+) -> DataFrame:
+    """doc_id → exploded distinct shingles, persisted: every dedup plan
     branches over this relation 2-4 times (self-join sides, size table),
-    and Spark re-executes uncached branches. At cluster scale this is a
-    few GB per TB of text — well inside executor storage memory."""
+    and Spark re-executes unpersisted branches. Storage level per
+    ``DEFAULT_SHINGLE_STORAGE`` (corpus-sized — see note above)."""
     d = load_table(spark, sf_dir, "documents")
     # small single-file inputs arrive as ONE partition; spread the
     # CPU-heavy gram explosion across the cluster before computing it
@@ -104,7 +118,7 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", tokens_col().alias("toks")).repartition(par)
     return toks.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle")
-    ).cache()
+    ).persist(storage or DEFAULT_SHINGLE_STORAGE)
 
 
 # ---------------------------------------------------------------------------

@@ -248,6 +248,65 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch shape: d hash rows × w buckets, fixed memory
+# regardless of corpus size. Deterministic md5-based row hashes so the
+# sketch (and therefore the bounded-error booleans) is identical on any
+# engine, cluster size, or partitioning.
+CMS_D = 4
+CMS_W = 1024
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token frequencies via an in-engine count-min sketch.
+
+    The sketch is a (row, bucket) → count hash-aggregate: constant
+    O(d·w) state however large the corpus, the structure you'd publish
+    from a 100 TB token-frequency pass instead of a full vocabulary
+    count. Like ``approx_sketches``, raw sketch cells are
+    implementation-specific, so the query emits *bounded-error
+    booleans* per top-k token against exact counts computed in the same
+    job: ``est_ge_exact`` (CMS never underestimates — structural
+    invariant) and ``est_within_eps`` (overestimate ≤ 8·N/w, far beyond
+    the expected N/w collision mass for a min over d=4 rows). The
+    DuckDB oracle is the exact top-k with constant-true flags; a sketch
+    drifting out of bound hash-mismatches.
+    """
+    from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col()).alias("tok")).filter(F.col("tok") != "")
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    bucket = portable_hash32(F.concat_ws(":", F.col("r"), F.col("tok"))) % CMS_W
+    cms = (
+        toks.select("tok", rows)
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = exact.orderBy(F.desc("exact_n"), "tok").limit(CMS_TOPK)
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+
+    est = (
+        topk.select("tok", "exact_n", rows)
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+        (F.col("est") - F.col("exact_n") <= 8 * F.col("n_total") / CMS_W).alias(
+            "est_within_eps"
+        ),
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "context_length_buckets": context_length_buckets,
@@ -259,12 +318,22 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "char_entropy": char_entropy,
     "doc_rolling_hash": doc_rolling_hash,
+    "cms_heavy_hitters": cms_heavy_hitters,
 }
 
 _TOKS = "string_split_regex(lower(text), '\\s+')"
 _STOP_IN = "','".join(STOPWORDS)
 
 ORACLES = {
+    "cms_heavy_hitters": f"""
+        WITH tok0 AS (
+          SELECT unnest({_TOKS}) AS tok FROM documents
+        ),
+        toks AS (SELECT tok FROM tok0 WHERE tok <> ''),
+        exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok)
+        SELECT tok, exact_n, TRUE AS est_ge_exact, TRUE AS est_within_eps
+        FROM exact ORDER BY exact_n DESC, tok LIMIT {CMS_TOPK}
+    """,
     "context_length_buckets": f"""
         WITH t AS (
           SELECT CASE WHEN len({_TOKS}) <= {CONTEXT_BUCKETS[0]} THEN '<= {CONTEXT_BUCKETS[0]}'

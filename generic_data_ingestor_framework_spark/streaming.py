@@ -510,6 +510,51 @@ def stream_ingest_json(
     q.awaitTermination(120)
 
 
+def stream_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    target_table: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    schema: T.StructType,
+    partition_cols: list[str] | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 180,
+) -> None:
+    """CDC streaming sink: each microbatch upserts into ``target_table``
+    via foreachBatch + ``sink.merge_into`` (or the partition-bounded
+    ``merge_into_partitioned`` when ``partition_cols`` is given) — later
+    batches overwrite earlier rows with the same key, exactly once per
+    batch via the checkpoint.
+
+    AvailableNow drains the directory and stops; dropping the trigger
+    makes it a continuous CDC applier. At scale, pass ``partition_cols``
+    so each batch rewrites only its touched partitions.
+    """
+    from generic_data_ingestor_framework_spark import sink as _sink
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            sess = batch_df.sparkSession
+            if partition_cols:
+                _sink.merge_into_partitioned(
+                    sess, target_table, batch_df, key_cols, partition_cols
+                )
+            else:
+                _sink.merge_into(sess, target_table, batch_df, key_cols)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_1h_30m": window_sliding_1h_30m,

@@ -212,3 +212,21 @@ def test_connected_components_vs_union_find(spark):
             for r in connected_components(docs, pairs, "doc_a", "doc_b").collect()
         }
         assert got == uf_components(n, edges), f"seed {seed}"
+
+
+def test_shingle_storage_level_parameterized(spark):
+    """100 TB policy knob: the shared shingle relation accepts an
+    explicit StorageLevel (DISK_ONLY for corpus-scale runs)."""
+    from pyspark import StorageLevel
+
+    from generic_data_ingestor_framework_spark.llm.dedup import _exploded_shingles
+
+    # earlier dedup tests may have cached the identical plan at the
+    # default level; Spark keeps the first level for a cached plan
+    spark.catalog.clearCache()
+    df = _exploded_shingles(spark, "/root/testdata/sf0.001", storage=StorageLevel.DISK_ONLY)
+    try:
+        assert df.storageLevel == StorageLevel.DISK_ONLY
+        assert df.count() > 0
+    finally:
+        df.unpersist()

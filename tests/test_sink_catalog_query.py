@@ -129,3 +129,44 @@ def test_merge_into_upserts(spark):
     assert stats == {"updated": 1, "inserted": 1, "total": 4}
     rows = {r["id"]: (r["name"], r["v"]) for r in spark.table(t).collect()}
     assert rows == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_merge_into_partitioned_rewrites_only_touched(spark, tmp_path):
+    """Dynamic-partition upsert: untouched partition files must be
+    byte-identical (same path, mtime, content) after the merge."""
+    import glob
+    import hashlib
+    import os
+
+    t = "t_merge_part"
+    base = spark.createDataFrame(
+        [(1, "a", 10, "p1"), (2, "b", 20, "p1"), (3, "c", 30, "p2")],
+        "id bigint, name string, v bigint, pt string",
+    )
+    base.write.mode("overwrite").partitionBy("pt").saveAsTable(t)
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    p2_files = sorted(glob.glob(os.path.join(warehouse, t, "pt=p2", "*.parquet")))
+    assert p2_files
+    before = {
+        f: (os.path.getmtime(f), hashlib.md5(open(f, "rb").read()).hexdigest())
+        for f in p2_files
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21, "p1"), (4, "d", 40, "p1")],
+        "id bigint, name string, v bigint, pt string",
+    )
+    stats = sink.merge_into_partitioned(spark, t, updates, ["id"], ["pt"])
+    assert stats == {"updated": 1, "inserted": 1, "total": 3}
+
+    rows = {r["id"]: (r["name"], r["v"], r["pt"]) for r in spark.table(t).collect()}
+    assert rows == {
+        1: ("a", 10, "p1"), 2: ("b2", 21, "p1"),
+        3: ("c", 30, "p2"), 4: ("d", 40, "p1"),
+    }
+    after = {
+        f: (os.path.getmtime(f), hashlib.md5(open(f, "rb").read()).hexdigest())
+        for f in sorted(glob.glob(os.path.join(warehouse, t, "pt=p2", "*.parquet")))
+    }
+    assert after == before, "untouched partition p2 was rewritten"

@@ -108,12 +108,12 @@ def test_stream_interval_join_subset_of_batch(spark):
 
 
 def test_foreach_batch_streaming_upsert(spark, tmp_path):
-    """CDC-style streaming sink: each microbatch upserts into a managed
-    table via merge_into (foreachBatch) — later batches overwrite
-    earlier rows with the same key."""
+    """CDC-style streaming sink via the stream_upsert API: each
+    microbatch upserts into a managed table (foreachBatch + merge_into)
+    — later batches overwrite earlier rows with the same key."""
     import json as _json
 
-    from generic_data_ingestor_framework_spark.sink import merge_into
+    from generic_data_ingestor_framework_spark.streaming import stream_upsert
 
     src = tmp_path / "cdc"
     src.mkdir()
@@ -129,20 +129,10 @@ def test_foreach_batch_streaming_upsert(spark, tmp_path):
     table = "t_stream_upsert"
     spark.createDataFrame([], schema).write.mode("overwrite").saveAsTable(table)
 
-    def upsert(batch_df, batch_id):
-        if batch_df.count():
-            merge_into(batch_df.sparkSession, table, batch_df, ["id"])
-
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")  # one file per microbatch
-        .json(str(src))
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    stream_upsert(
+        spark, str(src), table, ["id"], str(tmp_path / "ckpt"), schema,
+        max_files_per_trigger=1,
     )
-    q.awaitTermination(180)
     rows = {r["id"]: r["v"] for r in spark.table(table).collect()}
     assert rows == {
         0: "old0", 1: "old1", 2: "old2",
