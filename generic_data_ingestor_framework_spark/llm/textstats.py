@@ -288,7 +288,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
     topk = exact.orderBy(F.desc("exact_n"), "tok").limit(CMS_TOPK)
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # total token mass from the exact relation — avoids a third
+    # explosion of the corpus (the cms build and exact counts are the
+    # only two token-stream scans)
+    total = exact.agg(F.sum("exact_n").alias("n_total"))
 
     est = (
         topk.select("tok", "exact_n", rows)
