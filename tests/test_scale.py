@@ -114,3 +114,45 @@ def test_q6_is_scan_only_no_shuffle(spark):
 
     df = q6_forecast_revenue(spark, SF)
     assert count_exchanges(df) == 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join demo: a 95%-hot key joined sort-merge must show
+    ``isSkew=true``/skew handling in the final adaptive plan.
+
+    Thresholds are lowered so test-sized data crosses the skew bar —
+    the mechanism (OptimizeSkewedJoin splitting the hot partition into
+    multiple tasks) is identical at 100 TB with the defaults."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = hot.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        [row] = joined.collect()
+        # 190k hot rows (k=7) + multiples of 20 below right's 50k range
+        assert row["n"] == 192_500
+        plan = explain_string(joined, "formatted")
+        assert "AdaptiveSparkPlan" in plan
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan.lower() or "isSkew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

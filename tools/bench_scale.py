@@ -1,0 +1,126 @@
+"""Scale proof: bench representative queries at sf0.1 vs the sf1
+decade-up (tools/gen_scale.py) and record per-query scaling ratios.
+
+With 10× the data, a healthy distributed plan should scale ≤~10× in
+wall time (minus fixed overheads, plus small log factors); a plan with
+a hidden quadratic term (e.g. an uncapped hot-shingle self-join)
+scales far worse. The sf1 documents table carries a DELIBERATE
+corpus-wide hot shingle (5% of docs share a sentence), so
+``dedup_ngram_jaccard``'s DF-cap is load-bearing here: the report
+includes the hot-shingle document frequencies and the candidate-pair
+mass the cap removes.
+
+Writes BENCH_SF1.json and prints a one-line JSON summary.
+
+Usage: python tools/bench_scale.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from generic_data_ingestor_framework_spark.llm import dedup  # noqa: E402
+from generic_data_ingestor_framework_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/root/repo/_scale/sf1"
+DATA_SCALE = 10.0
+RUNS = 3
+
+QUERIES = [
+    # TPC-H shapes (facts ×10, joins key-remapped consistently)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "agg_having_distinct",
+    "window_rank",
+    # dedup family (documents ×10 + deliberate hot shingle)
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_assign",
+    # text / classification
+    "nb_lang_confusion",
+    "cms_heavy_hitters",
+    "token_stats",
+    "tfidf_top_terms",
+    # embeddings
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    # event-time
+    "window_tumbling_hourly",
+    "session_window_10m",
+    "events_asof_join",
+]
+
+
+def _run(fn, spark, sf_dir) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    runs = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.time() - t0, 3))
+    return sorted(runs)[len(runs) // 2]
+
+
+def _skew_evidence(spark) -> dict:
+    """Hot-shingle facts at sf1: what the DF-cap is protecting against."""
+    from pyspark.sql import functions as F
+
+    sh = dedup._exploded_shingles(spark, SF1)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    top = df_counts.orderBy(F.desc("df")).limit(5).collect()
+    over_cap = df_counts.filter(F.col("df") > dedup.DF_CAP)
+    # candidate-pair mass the cap removes: sum over capped shingles of C(df,2)
+    removed = over_cap.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs")
+    ).collect()[0]["pairs"]
+    sh.unpersist()
+    return {
+        "df_cap": dedup.DF_CAP,
+        "top_shingle_dfs": [int(r["df"]) for r in top],
+        "n_shingles_over_cap": over_cap.count(),
+        "candidate_pairs_removed_by_cap": int(removed or 0),
+    }
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark("bench-scale")
+    spark.range(1000).count()
+    qs = entry_mod.member_queries()
+    names = QUERIES[:6] if quick else QUERIES
+
+    out = {"sf0.1": {}, "sf1": {}, "ratio": {}, "data_scale": DATA_SCALE}
+    for name in names:
+        t01 = _run(qs[name], spark, SF01)
+        t1 = _run(qs[name], spark, SF1)
+        out["sf0.1"][name] = t01
+        out["sf1"][name] = t1
+        out["ratio"][name] = round(t1 / t01, 2) if t01 > 0 else None
+        print(f"{name}: sf0.1={t01}s sf1={t1}s ratio={out['ratio'][name]}")
+
+    out["skew"] = _skew_evidence(spark)
+    superlinear = {n: r for n, r in out["ratio"].items() if r and r > 3 * DATA_SCALE}
+    out["superlinear_over_3x_data_scale"] = superlinear
+
+    with open("/root/repo/BENCH_SF1.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({
+        "metric": "sf1_decade_up",
+        "median_ratio": sorted(out["ratio"].values())[len(out["ratio"]) // 2],
+        "max_ratio": max(out["ratio"].values()),
+        "superlinear": superlinear,
+        "skew": out["skew"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
