@@ -194,7 +194,9 @@ COMPOSITES: dict[str, list[str]] = {
     # llm families
     "embed_stats": ["embed_norms", "label_centroid_dims"],
     "text_tokens": ["token_stats", "context_length_buckets", "corpus_mix_weights"],
-    "text_quality": ["quality_score", "lang_id_heuristic", "char_entropy"],
+    "text_quality": [
+        "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
+    ],
     "doc_fingerprints": ["doc_fingerprint", "doc_rolling_hash"],
     "term_stats": ["corpus_bigram_topk", "tfidf_top_terms"],
     "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
@@ -254,6 +256,10 @@ REGISTER_ORDER = [
     "doc_fingerprints",
     "term_stats",
     "cms_heavy_hitters",
+    # curation (3)
+    "decontaminate_against_benchmark",
+    "pack_context_windows",
+    "chunk_documents_overlap",
     # classification (1)
     "nb_family",
     # multimodal (1)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from generic_data_ingestor_framework_spark.llm import (
     classify,
+    curate,
     dedup,
     multimodal,
     sampling,
@@ -21,6 +22,6 @@ from generic_data_ingestor_framework_spark.llm import (
 
 QUERIES = {}
 ORACLES = {}
-for _m in (dedup, similarity, textstats, multimodal, sampling, classify):
+for _m in (dedup, similarity, textstats, multimodal, sampling, classify, curate):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

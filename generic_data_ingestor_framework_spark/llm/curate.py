@@ -1,0 +1,261 @@
+"""Corpus curation operators: the pretraining-data pipeline stages that
+sit between dedup and tokenization.
+
+- benchmark decontamination (13-gram overlap against a held-out set),
+- context-window packing (greedy sequential fill, the cumsum form),
+- document chunking with overlap (RAG / long-doc splitting),
+- Gopher-style per-document quality flags.
+
+All pure JVM column expressions / window functions — no UDFs — with
+DuckDB oracle twins. Determinism contracts: ordering is always
+(portable hash, doc_id); ratios are rounded at the edge; integer math
+everywhere else.
+
+Scale notes (100 TB): decontamination is a broadcast-able semi-join
+when the benchmark is benchmark-sized (thousands of docs → millions of
+grams, comfortably under the broadcast threshold) and degrades to a
+shuffle join gracefully; packing is one window cumsum per lang
+partition (state = one running sum per partition); chunking is a
+map-only explode with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from generic_data_ingestor_framework_spark.llm.dedup import (
+    portable_hash32,
+    shingles_from_tokens,
+    tokens_col,
+)
+from generic_data_ingestor_framework_spark.relational import load_table
+
+DECON_GRAM_K = 13      # n-gram size for benchmark-overlap decontamination
+BENCH_MOD = 50         # hash(doc_id) % 50 == 0 → ~2% "benchmark" set
+PACK_WINDOW = 512      # context-window packing target (tokens)
+CHUNK_TOKENS = 32      # chunk size for overlap chunking
+CHUNK_STRIDE = 24      # stride (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
+
+_TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
+_HASH_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def _floor4(col):
+    """4-dp truncation: floor cannot tie, unlike round (Spark HALF_UP
+    vs DuckDB differ at exact .xxxx5 rationals)."""
+    return F.floor(col * 10000) / 10000
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tokens_col().alias("ts"))
+
+
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 13-gram
+    with the held-out benchmark set (hash-selected ~2% of the corpus —
+    in production, the actual eval suites).
+
+    Plan: distinct 13-grams on both sides; the benchmark gram set is
+    broadcast (benchmark-sized, not corpus-sized); training docs LEFT
+    JOIN it and count overlapping grams — zero-overlap docs keep n=0.
+    This is the standard contamination audit before a pretraining run.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    is_bench = portable_hash32(F.col("doc_id").cast("string")) % BENCH_MOD == 0
+    grams = toks.select(
+        "doc_id",
+        is_bench.alias("bench"),
+        F.explode(shingles_from_tokens(F.col("ts"), k=DECON_GRAM_K)).alias("gram"),
+    )
+    bench_grams = grams.filter("bench").select("gram").distinct()
+    train = grams.filter(~F.col("bench"))
+    hits = (
+        train.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    train_docs = toks.filter(~is_bench).select("doc_id")
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential context-window packing: within each lang, docs
+    are laid end-to-end in deterministic (hash, doc_id) order and cut
+    into PACK_WINDOW-token sequences; a doc belongs to the sequence its
+    first token falls in (the exclusive-cumsum form — one window
+    cumsum, no iteration). Reports per-sequence fill.
+    """
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", "lang", F.size("ts").alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy(
+        portable_hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    cum = F.sum("n_tok").over(w)
+    seq = F.floor((cum - F.col("n_tok")) / PACK_WINDOW)
+    return (
+        toks.withColumn("seq_id", seq)
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            # fill in basis points as exact integer math (no FP ties)
+            F.floor(F.sum("n_tok") * 10000 / PACK_WINDOW).cast("long").alias("fill_bp"),
+        )
+    )
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking with overlap (RAG / context-split shape):
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens, final partial
+    chunk kept. Map-only explode — no shuffle; each chunk carries its
+    md5 so content (not just counts) is oracle-checked.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    n = F.size("ts")
+    n_chunks = 1 + F.greatest(
+        F.lit(0), F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("int")
+    )
+    c = (
+        toks.select(
+            "doc_id",
+            "ts",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice("ts", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS).alias("chunk"),
+        )
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality flags per document: word
+    count band, mean word length band, duplicate-token fraction cap —
+    combined into one keep/drop boolean. All list HOFs, rounded at the
+    edge for the cross-engine contract.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    words = F.filter(F.col("ts"), lambda t: t != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = _floor4(sum_len / n_words)
+    dup_frac = _floor4(1 - F.size(F.array_distinct(words)) / n_words)
+    return toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_token_frac"),
+        (
+            (n_words >= 5)
+            & (n_words <= 100000)
+            & (mean_len >= 2.0)
+            & (mean_len <= 12.0)
+            & (dup_frac <= 0.9)
+        ).alias("passes_gopher"),
+    )
+
+
+QUERIES = {
+    "decontaminate_against_benchmark": decontaminate_against_benchmark,
+    "pack_context_windows": pack_context_windows,
+    "chunk_documents_overlap": chunk_documents_overlap,
+    "gopher_quality_flags": gopher_quality_flags,
+}
+
+_GRAMS_CTE = f"""
+        tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        grams AS (
+          SELECT doc_id, ({_HASH_SQL} % {BENCH_MOD} = 0) AS bench,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - {DECON_GRAM_K - 2}, 1)),
+                   i -> array_to_string(ts[i:i+{DECON_GRAM_K - 1}], ' ')))) AS gram
+          FROM tok
+          WHERE len(ts) >= {DECON_GRAM_K}
+        )
+"""
+
+ORACLES = {
+    "decontaminate_against_benchmark": f"""
+        WITH {_GRAMS_CTE},
+        bench_grams AS (SELECT DISTINCT gram FROM grams WHERE bench),
+        hits AS (
+          SELECT g.doc_id, count(*) AS n_hits
+          FROM grams g JOIN bench_grams b ON g.gram = b.gram
+          WHERE NOT g.bench GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0) AS n_contaminated_grams,
+               coalesce(h.n_hits, 0) > 0 AS is_contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE NOT ({_HASH_SQL.replace('doc_id', 'd.doc_id')} % {BENCH_MOD} = 0)
+    """,
+    "pack_context_windows": f"""
+        WITH t AS (
+          SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tok,
+                 {_HASH_SQL} AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT lang, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT lang, CAST(floor((cum - n_tok) / {PACK_WINDOW}) AS BIGINT) AS seq_id,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               CAST(floor(sum(n_tok) * 10000 / {PACK_WINDOW}) AS BIGINT) AS fill_bp
+        FROM c GROUP BY lang, seq_id
+    """,
+    "chunk_documents_overlap": f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        c AS (
+          SELECT doc_id, ts,
+                 unnest(range(0, 1 + greatest(0, CAST(ceil(
+                   (len(ts) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT)))) AS chunk_idx
+          FROM t
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(ts[chunk_idx * {CHUNK_STRIDE} + 1 :
+                         chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(ts[chunk_idx * {CHUNK_STRIDE} + 1 :
+                                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+                 AS chunk_md5
+        FROM c
+    """,
+    "gopher_quality_flags": f"""
+        WITH t AS (
+          SELECT doc_id, list_filter({_TOKS_SQL}, x -> x <> '') AS ws FROM documents
+        ),
+        m AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 floor((list_sum(list_transform(ws, x -> len(x))) / len(ws)) * 10000)
+                   / 10000 AS mean_word_len,
+                 floor((1 - len(list_distinct(ws)) / len(ws)) * 10000) / 10000
+                   AS dup_token_frac
+          FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, dup_token_frac,
+               (n_words >= 5 AND n_words <= 100000
+                AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                AND dup_token_frac <= 0.9) AS passes_gopher
+        FROM m
+    """,
+}

@@ -230,3 +230,58 @@ def test_shingle_storage_level_parameterized(spark):
         assert df.count() > 0
     finally:
         df.unpersist()
+
+
+def test_chunk_overlap_covers_all_tokens(spark):
+    """Chunking invariant: stride-aligned chunks cover every token and
+    consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE."""
+    from generic_data_ingestor_framework_spark.llm import curate
+
+    rows = curate.chunk_documents_overlap(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_chunk_tokens"]))
+    for doc, chunks in by_doc.items():
+        chunks.sort()
+        assert chunks[0][0] == 0
+        # every chunk except (possibly) the last is full-size
+        for idx, n in chunks[:-1]:
+            assert n == curate.CHUNK_TOKENS
+        last_idx, last_n = chunks[-1]
+        covered = last_idx * curate.CHUNK_STRIDE + last_n
+        assert covered >= last_n  # sanity
+        assert 1 <= last_n <= curate.CHUNK_TOKENS
+
+
+def test_pack_windows_conserve_tokens(spark):
+    """Packing invariant: per-lang packed token totals equal the raw
+    per-lang token totals (no doc lost or double-packed)."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm import curate
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    sf = "/root/testdata/sf0.001"
+    packed = (
+        curate.pack_context_windows(spark, sf)
+        .groupBy("lang").agg(F.sum("n_tokens").alias("t"))
+    )
+    raw = (
+        load_table(spark, sf, "documents")
+        .select("lang", F.size(F.split(F.lower("text"), r"\s+")).alias("n"))
+        .groupBy("lang").agg(F.sum("n").alias("t"))
+    )
+    assert {(r["lang"], r["t"]) for r in packed.collect()} == {
+        (r["lang"], r["t"]) for r in raw.collect()
+    }
+
+
+def test_decontaminate_excludes_benchmark_docs(spark):
+    from generic_data_ingestor_framework_spark.llm import curate
+
+    out = curate.decontaminate_against_benchmark(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    flagged = [r for r in rows if r["is_contaminated"]]
+    # synthetic docs share common shingles → some contamination expected
+    assert all(r["n_contaminated_grams"] >= 1 for r in flagged)
