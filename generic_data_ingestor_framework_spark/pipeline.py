@@ -125,6 +125,78 @@ def _step_union(df: DataFrame, p: dict) -> DataFrame:
     return df.unionByName(other, allowMissingColumns=p.get("allow_missing", True))
 
 
+def _step_chunk_overlap(df: DataFrame, p: dict) -> DataFrame:
+    """Split ``column`` into strided overlap chunks (map-only explode);
+    the text column is REPLACED by the chunk text and ``chunk_idx`` is
+    appended — downstream steps see chunk-level rows."""
+    from generic_data_ingestor_framework_spark.llm.curate import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    col = p.get("column", "text")
+    chunk = int(p.get("chunk", CHUNK_TOKENS))
+    stride = int(p.get("stride", CHUNK_STRIDE))
+    ts = F.split(F.col(col), r"\s+")
+    n = F.size(ts)
+    n_chunks = 1 + F.greatest(
+        F.lit(0), F.ceil((n - chunk) / F.lit(float(stride))).cast("int")
+    )
+    return (
+        df.withColumn("__ts", ts)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            col,
+            F.array_join(F.slice("__ts", F.col("chunk_idx") * stride + 1, chunk), " "),
+        )
+        .drop("__ts")
+    )
+
+
+def _step_quality_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Gopher-style keep/drop gate on ``column`` (word count band, mean
+    word length band, duplicate-token fraction cap)."""
+    col = p.get("column", "text")
+    ws = F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
+    n = F.size(ws)
+    mean_len = F.aggregate(ws, F.lit(0), lambda a, t: a + F.length(t)) / n
+    dup = 1 - F.size(F.array_distinct(ws)) / n
+    cond = (
+        (n >= int(p.get("min_words", 5)))
+        & (n <= int(p.get("max_words", 100000)))
+        & (mean_len >= float(p.get("min_mean_word_len", 2.0)))
+        & (mean_len <= float(p.get("max_mean_word_len", 12.0)))
+        & (dup <= float(p.get("max_dup_token_frac", 0.9)))
+    )
+    return df.filter(cond)
+
+
+def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
+    """Drop rows whose ``column`` shares any k-gram with the benchmark
+    source (anti-join against a broadcast benchmark gram set)."""
+    from generic_data_ingestor_framework_spark.llm.curate import DECON_GRAM_K
+    from generic_data_ingestor_framework_spark.llm.dedup import shingles_from_tokens
+
+    col = p.get("column", "text")
+    idc = p["id"]
+    k = int(p.get("k", DECON_GRAM_K))
+    bench = _load_source(df.sparkSession, p["benchmark"])
+    bcol = p.get("benchmark_column", col)
+    bgrams = (
+        bench.select(F.split(F.lower(F.col(bcol)), r"\s+").alias("__ts"))
+        .select(F.explode(shingles_from_tokens(F.col("__ts"), k=k)).alias("gram"))
+        .distinct()
+    )
+    hit_ids = (
+        df.select(idc, F.split(F.lower(F.col(col)), r"\s+").alias("__ts"))
+        .select(idc, F.explode(shingles_from_tokens(F.col("__ts"), k=k)).alias("gram"))
+        .join(F.broadcast(bgrams), "gram", "semi")
+        .select(idc)
+        .distinct()
+    )
+    return df.join(hit_ids, idc, "anti")
+
+
 STEP_REGISTRY: dict[str, StepFn] = {
     "filter": _step_filter,
     "select": _step_select,
@@ -139,6 +211,9 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "sql": _step_sql,
     "join": _step_join,
     "union": _step_union,
+    "chunk_overlap": _step_chunk_overlap,
+    "quality_filter": _step_quality_filter,
+    "decontaminate": _step_decontaminate,
 }
 
 

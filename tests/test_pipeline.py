@@ -109,3 +109,40 @@ def test_pipeline_join_and_union_steps(spark, tmp_path):
     # the broadcast hint must reach the physical plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_curation_steps(spark):
+    """End-to-end curation pipeline: quality gate -> decontaminate
+    against a benchmark parquet -> chunk with overlap; one lazy plan."""
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    spec = {
+        "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+        "steps": [
+            {"op": "quality_filter", "column": "text", "min_words": 5},
+            {
+                "op": "decontaminate",
+                "column": "text",
+                "id": "doc_id",
+                "k": 13,
+                # self-benchmark: every doc shares its own grams -> all dropped
+                "benchmark": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+            },
+        ],
+    }
+    df, manifest = run_pipeline(spark, spec)
+    # docs long enough to have a 13-gram are all contaminated vs themselves;
+    # only sub-13-token docs (no grams) can survive
+    for r in df.collect():
+        assert len([t for t in r["text"].split() if t]) < 13
+    assert [s["op"] for s in manifest["steps"]] == ["quality_filter", "decontaminate"]
+
+    chunk_spec = {
+        "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+        "steps": [{"op": "chunk_overlap", "column": "text", "chunk": 16, "stride": 12}],
+    }
+    chunks, _ = run_pipeline(spark, chunk_spec)
+    rows = chunks.limit(200).collect()
+    assert all(len(r["text"].split()) <= 16 for r in rows)
+    assert any(r["chunk_idx"] > 0 for r in rows)
