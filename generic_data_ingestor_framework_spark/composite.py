@@ -250,7 +250,7 @@ REGISTER_ORDER = [
     "ann_recall_report",
     "dedup_embedding_pairs",
     "embed_stats",
-    # text analysis (4)
+    # text analysis (5)
     "text_tokens",
     "text_quality",
     "doc_fingerprints",
