@@ -234,7 +234,7 @@ REGISTER_ORDER = [
     "subquery_family",
     "approx_family",
     "ingest_parity",
-    # dedup (8)
+    # dedup (9)
     "dedup_exact",
     "dedup_exact_by_key",
     "dedup_minhash_sig",
@@ -243,6 +243,7 @@ REGISTER_ORDER = [
     "dedup_simhash",
     "dedup_cluster_assign",
     "dedup_keep_corpus",
+    "dedup_incremental",
     # similarity / ANN (6)
     "ann_cosine_topk",
     "ann_lsh_bucketed",

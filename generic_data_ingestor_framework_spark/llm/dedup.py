@@ -341,6 +341,18 @@ def dedup_against_corpus(
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked wrapper of ``dedup_against_corpus``: the corpus
+    history is one hash half of ``documents`` (its md5 set), the new
+    batch is the other half; returns the admitted (never-seen,
+    batch-unique) documents — the every-crawl incremental dedup step."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 2
+    corpus = d.filter(bucket == 0).select(F.md5("text").alias("content_hash"))
+    batch = d.filter(bucket == 1).select("doc_id", "lang", "text")
+    return dedup_against_corpus(batch, corpus).select("doc_id", "lang")
+
+
 def connected_components(
     docs: DataFrame, pairs: DataFrame, a_col: str, b_col: str, max_iters: int = 12
 ) -> DataFrame:
@@ -418,6 +430,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_keep_corpus": dedup_keep_corpus,
+    "dedup_incremental": dedup_incremental,
 }
 
 _MINHASH_MINS = ",\n         ".join(
@@ -436,6 +449,24 @@ sig AS (
 """
 
 ORACLES = {
+    "dedup_incremental": """
+        WITH b AS (
+          SELECT doc_id, lang, md5(text) AS h,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+                   AS bucket
+          FROM documents
+        ),
+        corpus AS (SELECT h FROM b WHERE bucket = 0),
+        nk AS (
+          SELECT doc_id, lang, h FROM b
+          WHERE bucket = 1
+            AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+        )
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM nk) WHERE rn = 1
+    """,
     "dedup_keep_corpus": f"""
         WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
         banded AS (
