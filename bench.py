@@ -52,6 +52,8 @@ HEADLINE = [
     "nb_lang_confusion",
     "nb_holdout_confusion",
     "cms_heavy_hitters",
+    "decontaminate_against_benchmark",
+    "chunk_documents_overlap",
 ]
 
 REGRESSION_RATIO = 1.3

@@ -7,9 +7,12 @@ near-duplicate members into *family composites*: one registered query
 per capability family whose result is one row per member —
 ``(fam, n, checksum)`` — where ``checksum`` is an order-insensitive
 fold of a portable per-row digest.  Any value change in any member
-flips its md5-based row digest and therefore the family checksum, so
-the composite row carries the same regression-detection power as the
-member rows did, at 1/Nth the registry footprint.
+(any string/int/date/bool difference; any double difference ≥ 1e-4,
+the canon's truncation grain — members already round their float
+outputs at 2-6 dp as part of their own contracts) flips the md5-based
+row digest and therefore the family checksum, at 1/Nth the registry
+footprint.  Members additionally remain individually checkable at full
+``repr()`` precision via ``tools/check_oracles.py --members``.
 
 Cross-engine canonicalization (verified exact against DuckDB):
 - strings / ints / bools / dates: plain ``CAST(x AS STRING)`` — textual
