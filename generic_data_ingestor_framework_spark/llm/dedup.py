@@ -255,29 +255,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document over distinct tokens.
 
     bit b of the fingerprint = sign of Σ_tokens (±1 by bit b of the
-    token hash); near-duplicate docs land at small Hamming distance."""
+    token hash); near-duplicate docs land at small Hamming distance.
+
+    The 32 per-bit sums are COLUMNS of one hash-aggregate, not a ×32
+    row explosion: one shuffle on doc_id, partial aggregation upstream,
+    token-stream row count unchanged (a row-exploded formulation
+    measured ~5× slower at sf1)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
     ).withColumn("h", portable_hash32(F.col("tok")))
-    bits = toks.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    )
-    contrib = bits.groupBy("doc_id", "b").agg(
-        F.sum(
-            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    per_bit = [
+        F.sum(F.expr(f"CAST(((h >> {b}) & 1) * 2 - 1 AS BIGINT)")).alias(f"s{b}")
+        for b in range(32)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*per_bit)
+    simhash = F.lit(0).cast("long")
+    for b in range(32):
+        simhash = simhash + F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", simhash.alias("simhash"))
 
 
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

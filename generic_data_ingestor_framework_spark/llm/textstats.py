@@ -277,21 +277,28 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens_col()).alias("tok")).filter(F.col("tok") != "")
 
+    # ONE pass over the token stream: partial-agg to (tok, count).
+    # The sketch is then built from the pre-aggregated relation —
+    # cell = Σ counts of tokens hashing there, identical to counting
+    # raw tokens but the ×CMS_D row expansion runs over the VOCABULARY
+    # (thousands) instead of the corpus token stream (billions at
+    # scale). This is how a production sketch pass is structured:
+    # map-side combine first, sketch fold second.
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+
     rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
     bucket = portable_hash32(F.concat_ws(":", F.col("r"), F.col("tok"))) % CMS_W
     cms = (
-        toks.select("tok", rows)
-        .select("r", bucket.alias("bucket"))
+        exact.select("tok", "exact_n", rows)
+        .select("r", bucket.alias("bucket"), "exact_n")
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cell"))
+        .agg(F.sum("exact_n").alias("cell"))
     )
 
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
     topk = exact.orderBy(F.desc("exact_n"), "tok").limit(CMS_TOPK)
-    # total token mass from the exact relation — avoids a third
-    # explosion of the corpus (the cms build and exact counts are the
-    # only two token-stream scans)
-    total = exact.agg(F.sum("exact_n").alias("n_total"))
+    # every CMS row partitions the full token mass: row 0's cells sum
+    # to N exactly — no extra corpus scan for the total
+    total = cms.filter(F.col("r") == 0).agg(F.sum("cell").alias("n_total"))
 
     est = (
         topk.select("tok", "exact_n", rows)
