@@ -167,7 +167,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact so the only float op is one ln per (doc, term),
     rounded to 6 dp before ranking (term tie-break) — deterministic
     across engines. Scalars (N) stay in-plan as a broadcast 1-row agg,
-    no driver round trip."""
+    no driver round trip.
+
+    Document frequency is a COUNT window over the (doc, term) relation,
+    not a re-aggregated self-join: the corpus is exploded and
+    aggregated exactly once (the join formulation defeated exchange
+    reuse via column pruning and scanned the corpus twice)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -175,11 +180,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (
-        tf.join(df_counts, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
         .crossJoin(F.broadcast(nd))
         .withColumn(
             "score",
