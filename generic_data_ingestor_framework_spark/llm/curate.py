@@ -34,6 +34,7 @@ from generic_data_ingestor_framework_spark.relational import load_table
 DECON_GRAM_K = 13      # n-gram size for benchmark-overlap decontamination
 BENCH_MOD = 50         # hash(doc_id) % 50 == 0 → ~2% "benchmark" set
 PACK_WINDOW = 512      # context-window packing target (tokens)
+PACK_BUCKETS = 8       # parallel packing buckets per lang (scale knob)
 CHUNK_TOKENS = 32      # chunk size for overlap chunking
 CHUNK_STRIDE = 24      # stride (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
 
@@ -88,26 +89,50 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequential context-window packing: within each lang, docs
-    are laid end-to-end in deterministic (hash, doc_id) order and cut
-    into PACK_WINDOW-token sequences; a doc belongs to the sequence its
-    first token falls in (the exclusive-cumsum form — one window
-    cumsum, no iteration). Reports per-sequence fill.
+    """Greedy sequential context-window packing, two-level: docs are
+    bucketed by ``(lang, hash % PACK_BUCKETS)``; each bucket packs
+    independently (exclusive-cumsum in deterministic (hash, doc_id)
+    order — a doc belongs to the sequence its first token falls in),
+    then bucket-local sequence ids are made corpus-unique by offsetting
+    with the exclusive prefix of per-bucket sequence counts. Reports
+    per-sequence fill.
+
+    Scale shape: packing is greedy/approximate by contract, so bucket
+    boundaries are a policy choice, not an error — and the running-sum
+    sort state becomes per (lang, bucket), i.e. PACK_BUCKETS-way
+    parallel per language, instead of one sort task funneling 60% of a
+    100 TB corpus through a single English partition. The offset table
+    is PACK_BUCKETS rows per lang — broadcast, never a shuffle.
     """
-    toks = _docs_with_tokens(spark, sf_dir).select(
-        "doc_id", "lang", F.size("ts").alias("n_tok")
+    toks = (
+        _docs_with_tokens(spark, sf_dir)
+        .select("doc_id", "lang", F.size("ts").alias("n_tok"))
+        .withColumn("h", portable_hash32(F.col("doc_id").cast("string")))
+        .withColumn("bucket", F.col("h") % PACK_BUCKETS)
     )
-    w = W.partitionBy("lang").orderBy(
-        portable_hash32(F.col("doc_id").cast("string")), "doc_id"
-    )
+    w = W.partitionBy("lang", "bucket").orderBy("h", "doc_id")
     cum = F.sum("n_tok").over(w)
-    seq = F.floor((cum - F.col("n_tok")) / PACK_WINDOW)
+    seqs = toks.withColumn(
+        "local_seq", F.floor((cum - F.col("n_tok")) / PACK_WINDOW)
+    )
+    counts = seqs.groupBy("lang", "bucket").agg(
+        (F.max("local_seq") + 1).alias("n_seqs")
+    )
+    w_off = (
+        W.partitionBy("lang").orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("n_seqs").over(w_off), F.lit(0)).alias("off"),
+    )
     return (
-        toks.withColumn("seq_id", seq)
+        seqs.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn("seq_id", (F.col("off") + F.col("local_seq")).cast("long"))
         .groupBy("lang", "seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
             # fill in basis points as exact integer math (no FP ties)
             F.floor(F.sum("n_tok") * 10000 / PACK_WINDOW).cast("long").alias("fill_bp"),
         )
@@ -209,19 +234,37 @@ ORACLES = {
     "pack_context_windows": f"""
         WITH t AS (
           SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tok,
-                 {_HASH_SQL} AS h
+                 {_HASH_SQL} AS h, {_HASH_SQL} % {PACK_BUCKETS} AS bucket
           FROM documents
         ),
         c AS (
-          SELECT lang, n_tok,
-                 sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+          SELECT lang, bucket, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang, bucket ORDER BY h, doc_id
                                   ROWS UNBOUNDED PRECEDING) AS cum
           FROM t
+        ),
+        s AS (
+          SELECT lang, bucket, n_tok,
+                 CAST(floor((cum - n_tok) / {PACK_WINDOW}) AS BIGINT) AS local_seq
+          FROM c
+        ),
+        k AS (
+          SELECT lang, bucket, max(local_seq) + 1 AS n_seqs
+          FROM s GROUP BY lang, bucket
+        ),
+        o AS (
+          SELECT lang, bucket,
+                 COALESCE(sum(n_seqs) OVER (PARTITION BY lang ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS off
+          FROM k
         )
-        SELECT lang, CAST(floor((cum - n_tok) / {PACK_WINDOW}) AS BIGINT) AS seq_id,
-               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+        SELECT s.lang, CAST(o.off + s.local_seq AS BIGINT) AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                CAST(floor(sum(n_tok) * 10000 / {PACK_WINDOW}) AS BIGINT) AS fill_bp
-        FROM c GROUP BY lang, seq_id
+        FROM s JOIN o ON s.lang = o.lang AND s.bucket = o.bucket
+        GROUP BY s.lang, seq_id
     """,
     "chunk_documents_overlap": f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),

@@ -35,15 +35,12 @@ from pyspark.sql import functions as F
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one test table (predicate/column pushdown applies).
 
-    The ``events`` table is written with parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read nanos as long and convert to
-    a microsecond timestamp (integer div — no double precision loss).
+    All timestamp columns (``events.ts``, order/ship dates) are parquet
+    ``timestamp[us]`` — Spark's native unit — so the vectorized reader
+    handles them directly; no session-conf mutation, no unit conversion
+    (shared-session hygiene: queries must not leave global state behind).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str):

@@ -34,13 +34,33 @@ from generic_data_ingestor_framework_spark.relational import load_table
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampType()),  # parquet timestamp[us]
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+_SINK_SEQ = 0
+
+
+def _unique_sink(base: str) -> str:
+    """Memory-sink query names must be unique per invocation: a second
+    start() with the same name in one session fails, and reusing a name
+    would read a stale table if the new query hasn't committed yet."""
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    return f"{base}_{_SINK_SEQ}"
+
+
+def _run_to_completion(q, what: str) -> None:
+    """AvailableNow contract: drain ALL input, then stop. No timeout —
+    a timed awaitTermination that falls through would silently read a
+    partial sink on a loaded machine."""
+    q.awaitTermination()
+    if q.exception() is not None:
+        raise RuntimeError(f"{what} failed: {q.exception()}")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +372,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("user_id", "click_id", "purchase_id")
-    sink = "stream_interval_join_sink"
+    sink = _unique_sink("stream_interval_join_sink")
     q = (
         joined.writeStream.format("memory")
         .queryName(sink)
@@ -360,7 +380,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _run_to_completion(q, "stream_interval_join")
     return spark.table(sink)
 
 
@@ -369,16 +389,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet (``ts`` is native
+    ``timestamp[us]`` — read directly as TimestampType, no unit
+    conversion and no session-conf mutation)."""
     # the file stream source wants a directory; glob-filter to the table
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +410,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    sink = "stream_tumbling_counts_sink"
+    sink = _unique_sink("stream_tumbling_counts_sink")
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)
@@ -399,7 +418,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _run_to_completion(q, "stream_tumbling_counts")
     return spark.table(sink).select(
         F.col("w.start").alias("window_start"), "n"
     )
@@ -446,7 +465,7 @@ def stream_stateful_user_counts(
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )
 
-    sink = "stream_stateful_user_counts_sink"
+    sink = _unique_sink("stream_stateful_user_counts_sink")
     # streaming state partitioning is fixed by shuffle.partitions at the
     # first checkpoint and AQE never coalesces it — bound it explicitly
     # so a driver-default session (200) doesn't run 200 state tasks for
@@ -467,7 +486,7 @@ def stream_stateful_user_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _run_to_completion(q, "stream_stateful_user_counts")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # with `update` mode the sink holds one row per state update; the
@@ -507,7 +526,7 @@ def stream_ingest_json(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _run_to_completion(q, "stream_ingest_json")
 
 
 def stream_upsert(
@@ -552,7 +571,7 @@ def stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _run_to_completion(q, "stream_upsert")
 
 
 QUERIES = {

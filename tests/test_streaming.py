@@ -147,12 +147,14 @@ def test_streaming_drop_duplicates_matches_batch_keys(spark):
     dependent in a stream, so the contract is the KEY SET, not the
     picked event_id)."""
     from generic_data_ingestor_framework_spark.streaming import (
+        _run_to_completion,
+        _unique_sink,
         events_dedup_earliest,
         read_events_stream,
     )
 
     events = read_events_stream(spark, SF)
-    sink = "stream_dedup_sink"
+    sink = _unique_sink("stream_dedup_sink")
     q = (
         events.withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
@@ -163,7 +165,7 @@ def test_streaming_drop_duplicates_matches_batch_keys(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _run_to_completion(q, "stream_dedup")
     streamed = {(r["user_id"], r["event_type"]) for r in spark.table(sink).collect()}
     batch = {
         (r["user_id"], r["event_type"])

@@ -51,7 +51,6 @@ COPY = ["region", "nation"]
 
 def main() -> None:
     spark = get_spark("gen-scale")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     for t in COPY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
@@ -75,9 +74,11 @@ def main() -> None:
                 "text", F.when(hot, F.concat(F.col("text"), F.lit(HOT_SENTENCE))).otherwise(F.col("text"))
             )
         if t == "events":
-            # keep event times distinct across replicas (ts is the
-            # nanos-as-long raw column at this layer)
-            df = df.withColumn("ts", F.col("ts") + F.col("_r") * 1000)
+            # keep event times distinct across replicas: shift each
+            # replica by r microseconds (ts is native timestamp[us])
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.unix_micros(F.col("ts")) + F.col("_r"))
+            )
         n = df.drop("_r").write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         print(f"wrote {t} x{REPLICAS}")
 
