@@ -74,9 +74,22 @@ def _vs_prev(times: dict[str, float], total: float) -> dict | None:
             prev = json.load(fh)
     except (OSError, json.JSONDecodeError):
         return None
-    # the driver wraps the bench line in {"parsed": {...}, ...}
-    prev = prev.get("parsed", prev) or {}
-    prev_q = prev.get("queries", {})
+    # the driver wraps the bench line in {"parsed": {...}, ...}; when
+    # console noise pushed the JSON line out of the driver's tail window
+    # "parsed" is null — recover the line from the raw "tail" string
+    parsed = prev.get("parsed", prev) or {}
+    if "queries" not in parsed and isinstance(prev.get("tail"), str):
+        tail = prev["tail"].strip()
+        m2 = re.search(r'\{"metric":.*\}', tail)
+        candidate = m2.group(0) if m2 else None
+        if candidate is None and tail.startswith('"value"'):
+            candidate = '{"metric": null,' + tail  # head cut off mid-line
+        if candidate:
+            try:
+                parsed = json.loads(candidate)
+            except json.JSONDecodeError:
+                parsed = {}
+    prev_q = parsed.get("queries", {})
     common = [n for n in times if n in prev_q and prev_q[n] > 0]
     if not common:
         return None
@@ -123,6 +136,11 @@ def main() -> None:
         times[name] = sorted(runs)[len(runs) // 2]
         spread[name] = [min(runs), max(runs)]
 
+    # release query-phase persisted intermediates so ingest throughput
+    # is measured without sf0.1 relations occupying storage memory
+    from generic_data_ingestor_framework_spark import clear_caches
+
+    clear_caches()
     ingest_rps = _bench_ingest(spark)
 
     total = round(sum(times.values()), 3)

@@ -19,8 +19,12 @@ query       SQL pass-through, preview, parameterized queries
 relational  the full relational operator surface as reusable builders
 errors      quarantine + error-summary aggregation
 metrics     observe()/accumulator run metrics
+cachemgr    session-scoped registry for persisted intermediates
 llm         LLM-data-pipeline ops: dedup, similarity, text stats, multimodal
 streaming   Structured Streaming ingest + event-time windowing
 """
 
+from generic_data_ingestor_framework_spark.cachemgr import clear_caches
+
 __version__ = "0.1.0"
+__all__ = ["clear_caches", "__version__"]

@@ -38,13 +38,21 @@ SCORE_DP = 4  # round scores to 4 dp before argmax (cross-engine tie contract)
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", "lang", F.explode(tokens_col()).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id", "lang", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    """Per-(doc, lang, token) counts, persisted once per session: the
+    relation feeds the model, the priors, the scoring side, and both
+    confusion queries — and repeated invocations must reuse one copy."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return (
+            d.select("doc_id", "lang", F.explode(tokens_col()).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("doc_id", "lang", "tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return shared_persist(spark, ("nb_doc_tokens", sf_dir), build)
 
 
 # Holdout split: train on hash(doc_id)%100 < 80, score the rest — the
@@ -66,15 +74,19 @@ def _nb_predictions(
     """NB pipeline; ``holdout=True`` trains the model on the 80% hash
     split and scores only the held-out 20% (honest accuracy), else
     self-train (pipeline-shape demo). Identical plan shape either way."""
-    all_toks = _doc_tokens(spark, sf_dir).cache()
+    all_toks = _doc_tokens(spark, sf_dir)
     toks = all_toks.filter(_split_cond(True)) if holdout else all_toks
     score_src = all_toks.filter(_split_cond(False)) if holdout else all_toks
 
     # model: smoothed log P(token | lang) and log P(lang)
     lang_tok = toks.groupBy("lang", "tok").agg(F.sum("n").alias("c"))
     lang_tot = lang_tok.groupBy("lang").agg(F.sum("c").alias("total"))
-    vocab_n = lang_tok.select("tok").distinct().count()
-    n_docs = toks.select("doc_id").distinct().count()
+    # both model scalars in ONE driver action (they were two separate
+    # jobs, each re-deriving the token relation)
+    scalars = toks.agg(
+        F.countDistinct("tok").alias("v"), F.countDistinct("doc_id").alias("nd")
+    ).collect()[0]
+    vocab_n, n_docs = scalars["v"], scalars["nd"]
     priors = (
         toks.select("doc_id", "lang")
         .distinct()

@@ -105,20 +105,31 @@ DEFAULT_SHINGLE_STORAGE = StorageLevel.MEMORY_AND_DISK
 def _exploded_shingles(
     spark: SparkSession, sf_dir: str, storage: StorageLevel | None = None
 ) -> DataFrame:
-    """doc_id → exploded distinct shingles, persisted: every dedup plan
-    branches over this relation 2-4 times (self-join sides, size table),
-    and Spark re-executes unpersisted branches. Storage level per
-    ``DEFAULT_SHINGLE_STORAGE`` (corpus-sized — see note above)."""
-    d = load_table(spark, sf_dir, "documents")
-    # small single-file inputs arrive as ONE partition; spread the
-    # CPU-heavy gram explosion across the cluster before computing it
-    # (a big corpus already has enough input splits — repartition of a
-    # thin (id, tokens) projection is cheap either way)
-    par = spark.sparkContext.defaultParallelism
-    toks = d.select("doc_id", tokens_col().alias("toks")).repartition(par)
-    return toks.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle")
-    ).persist(storage or DEFAULT_SHINGLE_STORAGE)
+    """doc_id → exploded distinct shingles, persisted ONCE per session
+    via the cache registry: every dedup plan branches over this relation
+    2-4 times (self-join sides, size table), Spark re-executes
+    unpersisted branches, and repeated invocations in a long-lived
+    session must reuse one copy rather than leak one per call. Storage
+    level per ``DEFAULT_SHINGLE_STORAGE`` (corpus-sized — see note
+    above)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        # small single-file inputs arrive as ONE partition; spread the
+        # CPU-heavy gram explosion across the cluster before computing
+        # it (a big corpus already has enough input splits — repartition
+        # of a thin (id, tokens) projection is cheap either way)
+        par = spark.sparkContext.defaultParallelism
+        toks = d.select("doc_id", tokens_col().alias("toks")).repartition(par)
+        return toks.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle")
+        )
+
+    level = storage or DEFAULT_SHINGLE_STORAGE
+    # the storage level is part of the key: an explicit DISK_ONLY
+    # request must not silently reuse a MEMORY_AND_DISK relation
+    return shared_persist(spark, ("shingles", sf_dir, str(level)), build, level)
 
 
 # ---------------------------------------------------------------------------
@@ -153,15 +164,22 @@ def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _exploded_shingles(spark, sf_dir)
-    # hash ONCE per shingle in a projection; the 8 permutations are
-    # cheap affine transforms of that single value
-    hashed = sh.select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % MOD).alias(f"mh{j}")
-        for j in range(N_PERM)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    """Signature relation, persisted once per session (it feeds both
+    sides of the LSH self-join and the cluster/keep-corpus pipelines)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def build() -> DataFrame:
+        sh = _exploded_shingles(spark, sf_dir)
+        # hash ONCE per shingle in a projection; the 8 permutations are
+        # cheap affine transforms of that single value
+        hashed = sh.select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
+        aggs = [
+            F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % MOD).alias(f"mh{j}")
+            for j in range(N_PERM)
+        ]
+        return hashed.groupBy("doc_id").agg(*aggs)
+
+    return shared_persist(spark, ("minhash_sig", sf_dir), build)
 
 
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,8 +193,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join key is (band_idx, band_sig) — candidate generation scales
     with bucket sizes, never with the number of document pairs."""
-    # cache: the banded relation feeds both sides of the self-join
-    sig = _minhash_sig_df(spark, sf_dir).cache()
+    # the signature relation (persisted in _minhash_sig_df) feeds both
+    # sides of the self-join
+    sig = _minhash_sig_df(spark, sf_dir)
     bands = F.array(
         *[
             F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
@@ -365,47 +384,53 @@ def connected_components(
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     changed = 0
-    for _ in range(max_iters):  # ≥ log2(max component diameter), with slack
-        neighbor_min = (
-            labels.join(edges, labels.doc_id == edges.a)
-            .groupBy(F.col("b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        propagated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+    try:
+        for _ in range(max_iters):  # ≥ log2(max component diameter), with slack
+            neighbor_min = (
+                labels.join(edges, labels.doc_id == edges.a)
+                .groupBy(F.col("b").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-        )
-        parent = propagated.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
-        )
-        new_labels = (
-            propagated.join(parent, propagated.cluster_id == parent.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+            propagated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
             )
-        )
-        # localCheckpoint (not cache): the pointer-jump self-join puts
-        # the prior plan in the tree TWICE per iteration, so without
-        # lineage truncation the analyzed plan grows 2^iterations and
-        # OOMs the driver long before any data does
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            parent = propagated.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+            )
+            new_labels = (
+                propagated.join(parent, propagated.cluster_id == parent.p_id, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+            )
+            # localCheckpoint (not cache): the pointer-jump self-join puts
+            # the prior plan in the tree TWICE per iteration, so without
+            # lineage truncation the analyzed plan grows 2^iterations and
+            # OOMs the driver long before any data does
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # the returned labels are localCheckpoint-materialized, so they
+        # no longer reference the edge lineage — release it now rather
+        # than leaking one cached edge relation per invocation
+        edges.unpersist()
     if changed:
         # a component needing more than the iteration bound would yield
         # silently-wrong cluster ids; surface it instead of returning

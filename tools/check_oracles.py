@@ -4,10 +4,17 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive multiset of stringified rows.
 
-Usage: python tools/check_oracles.py [--members] [sf_dir] [query_name ...]
+Usage: python tools/check_oracles.py [--members] [--strict] [sf_dir] [query_name ...]
 
 ``--members`` checks the FULL member registry (every query folded into
 a family composite, individually) instead of the registered surface.
+
+``--strict`` disables the integral-float collapse in value
+normalization (``54.0`` stays ``"54.0"``, never ``"54"``): the
+driver's hashing may be stricter than ours, so a gate-red row that
+passes here should be re-run with --strict before suspecting
+session-state. The default (registered, no filter) run is already
+gate-shaped: ONE shared session, entries executed in REGISTER_ORDER.
 """
 
 from __future__ import annotations
@@ -30,6 +37,9 @@ TABLES = [
 ]
 
 
+STRICT = False  # --strict: no integral-float collapse (driver-style hashing)
+
+
 def norm_value(v):
     if v is None:
         return "NULL"
@@ -38,7 +48,7 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
+        if not STRICT and v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
     if isinstance(v, datetime):
@@ -58,8 +68,10 @@ def rows_to_multiset(rows, colnames):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--members"]
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a not in ("--members", "--strict")]
     members = "--members" in sys.argv[1:]
+    STRICT = "--strict" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
