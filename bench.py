@@ -53,6 +53,7 @@ HEADLINE = [
     "nb_holdout_confusion",
     "cms_heavy_hitters",
     "decontaminate_against_benchmark",
+    "pack_context_windows",
     "chunk_documents_overlap",
 ]
 

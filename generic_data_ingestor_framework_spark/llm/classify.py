@@ -73,58 +73,107 @@ def _nb_predictions(
 ) -> DataFrame:
     """NB pipeline; ``holdout=True`` trains the model on the 80% hash
     split and scores only the held-out 20% (honest accuracy), else
-    self-train (pipeline-shape demo). Identical plan shape either way."""
+    self-train (pipeline-shape demo). Identical plan shape either way.
+
+    Scale shape: the model is PIVOTED to one row per token (a column of
+    per-lang log-likelihoods), so the corpus-sized token relation joins
+    the broadcast model ONCE and flows through ONE hash aggregate —
+    instead of being multiplied ×|langs| by a crossJoin before the
+    aggregate (the round-3 plan; |langs|× more shuffle bytes on the hot
+    path). Per-lang scores melt back to rows only at doc granularity
+    (docs ≪ tokens) for the window argmax. Model scalars and per-lang
+    floors/priors are driver-held literals (a few rows, log computed
+    Spark-side so both formulations share one FP contract)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
     all_toks = _doc_tokens(spark, sf_dir)
     toks = all_toks.filter(_split_cond(True)) if holdout else all_toks
     score_src = all_toks.filter(_split_cond(False)) if holdout else all_toks
 
-    # model: smoothed log P(token | lang) and log P(lang)
-    lang_tok = toks.groupBy("lang", "tok").agg(F.sum("n").alias("c"))
-    lang_tot = lang_tok.groupBy("lang").agg(F.sum("c").alias("total"))
-    # both model scalars in ONE driver action (they were two separate
-    # jobs, each re-deriving the token relation)
-    scalars = toks.agg(
-        F.countDistinct("tok").alias("v"), F.countDistinct("doc_id").alias("nd")
-    ).collect()[0]
-    vocab_n, n_docs = scalars["v"], scalars["nd"]
-    priors = (
-        toks.select("doc_id", "lang")
-        .distinct()
-        .groupBy(F.col("lang").alias("p_lang"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("log_prior", F.log(F.col("n_docs") / F.lit(n_docs)))
+    # model: smoothed log P(token | lang), persisted (vocab × |langs|
+    # rows — every downstream action reuses it instead of re-shuffling
+    # the token relation)
+    lang_tok = shared_persist(
+        spark,
+        ("nb_lang_tok", sf_dir, holdout),
+        lambda: toks.groupBy("lang", "tok").agg(F.sum("n").alias("c")),
     )
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("c").alias("total"))
+    # model scalars from the SMALL persisted relations (deriving them
+    # from the raw token relation re-shuffles the corpus)
+    vocab_n = lang_tok.select("tok").distinct().count()
+    # per-lang priors: doc counts per lang — a handful of rows
+    prior_counts = {
+        r["lang"]: r["nd"]
+        for r in toks.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .collect()
+    }
+    n_docs = sum(prior_counts.values())
+    # per-lang smoothing floors, log computed in-engine (one tiny job)
+    floors = {
+        r["lang"]: r["log_floor"]
+        for r in lang_tot.select(
+            "lang",
+            F.log(F.lit(LAPLACE) / (F.col("total") + LAPLACE * vocab_n)).alias("log_floor"),
+        ).collect()
+    }
+    priors = {
+        r["lang"]: r["log_prior"]
+        for r in (
+            lang_tot.join(
+                spark.createDataFrame(
+                    sorted(prior_counts.items()), "lang string, nd long"
+                ),
+                "lang",
+            )
+            .select("lang", F.log(F.col("nd") / F.lit(n_docs)).alias("log_prior"))
+            .collect()
+        )
+    }
+    langs = sorted(floors)
 
-    # score every doc against every lang: per-doc token counts joined to
-    # the (broadcast) model; unseen (lang, token) falls back to the
-    # smoothing floor log(LAPLACE / (total + LAPLACE * V))
+    # one row per token, one log-prob column per lang (broadcast-sized:
+    # vocab × |langs| doubles), persisted per (sf_dir, split)
+    log_p = F.log((F.col("c") + LAPLACE) / (F.col("total") + LAPLACE * vocab_n))
+    model_wide = shared_persist(
+        spark,
+        ("nb_model_wide", sf_dir, holdout),
+        lambda: (
+            lang_tok.join(lang_tot, "lang")
+            .groupBy("tok")
+            .pivot("lang", langs)
+            .agg(F.first(log_p))
+            .select(
+                "tok", *[F.col(f"`{L}`").alias(f"_lp_{i}") for i, L in enumerate(langs)]
+            )
+        ),
+    )
     doc_toks = score_src.select(
         "doc_id", F.col("lang").alias("actual_lang"), "tok", "n"
     )
-    model = (
-        lang_tok.join(lang_tot, "lang")
-        .select(
-            F.col("lang").alias("m_lang"),
-            "tok",
-            F.log((F.col("c") + LAPLACE) / (F.col("total") + LAPLACE * vocab_n)).alias("log_p"),
-        )
+    # unseen (lang, token) — including tokens absent from the model
+    # entirely — falls back to the lang's floor via the same coalesce
+    per_lang_sums = [
+        F.sum(
+            F.col("n") * F.coalesce(F.col(f"_lp_{i}"), F.lit(floors[L]))
+        ).alias(f"_s_{i}")
+        for i, L in enumerate(langs)
+    ]
+    scored_wide = (
+        doc_toks.join(F.broadcast(model_wide), "tok", "left")
+        .groupBy("doc_id", "actual_lang")
+        .agg(*per_lang_sums)
     )
-    floors = lang_tot.select(
-        F.col("lang").alias("m_lang"),
-        F.log(F.lit(LAPLACE) / (F.col("total") + LAPLACE * vocab_n)).alias("log_floor"),
+    stack_args = ", ".join(
+        f"'{L}', round(_s_{i} + {priors[L]!r}, {SCORE_DP})" for i, L in enumerate(langs)
     )
-    scored = (
-        doc_toks.crossJoin(F.broadcast(floors))
-        .join(F.broadcast(model), ["m_lang", "tok"], "left")
-        .groupBy("doc_id", "actual_lang", "m_lang")
-        .agg(F.sum(F.col("n") * F.coalesce(F.col("log_p"), F.col("log_floor"))).alias("ll"))
-        .join(F.broadcast(priors), F.col("m_lang") == F.col("p_lang"))
-        .select(
-            "doc_id",
-            "actual_lang",
-            "m_lang",
-            F.round(F.col("ll") + F.col("log_prior"), SCORE_DP).alias("score"),
-        )
+    scored = scored_wide.select(
+        "doc_id",
+        "actual_lang",
+        F.expr(f"stack({len(langs)}, {stack_args}) AS (m_lang, score)"),
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), "m_lang")
     preds = (

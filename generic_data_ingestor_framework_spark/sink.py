@@ -163,8 +163,9 @@ def write_jdbc(
 ) -> None:
     """Distributed JDBC sink (each partition opens its own connection —
     the scale-out counterpart of ``write_sqlite``). Requires the
-    target's JDBC driver jar on the Spark classpath; this sandbox
-    ships none, so the call is exercised only where a driver exists."""
+    target's JDBC driver jar on the Spark classpath; round-trip tested
+    against embedded Derby (shipped with Spark) in
+    ``tests/test_sink_catalog_query.py``."""
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
 
 

@@ -538,7 +538,6 @@ def stream_upsert(
     schema: T.StructType,
     partition_cols: list[str] | None = None,
     max_files_per_trigger: int = 1,
-    timeout_sec: int = 180,
 ) -> None:
     """CDC streaming sink: each microbatch upserts into ``target_table``
     via foreachBatch + ``sink.merge_into`` (or the partition-bounded

@@ -156,3 +156,24 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_packing_cumsum_partitions_by_lang_and_bucket(spark):
+    """Two-level packing scale contract: the running-sum window must
+    partition by (lang, bucket), never by lang alone — one sort task
+    per language would funnel a majority-language corpus through a
+    single executor at 100 TB."""
+    from generic_data_ingestor_framework_spark.llm.curate import pack_context_windows
+
+    plan = pack_context_windows(spark, "/root/testdata/sf0.001")._jdf.queryExecution().toString()
+    import re
+
+    # Window node format: `Window [sum(x) windowspecdefinition(...)],
+    # [partition cols], [order cols]` — grab the token-cumsum windows'
+    # partition column lists
+    specs = re.findall(r"Window \[sum\(n_tok[^\]]*\], \[([^\]]*)\], \[", plan)
+    assert specs, f"no n_tok cumsum window found in plan:\n{plan[:2000]}"
+    for cols in specs:
+        assert "lang" in cols and "bucket" in cols, (
+            f"running-sum window partitions by [{cols}], not (lang, bucket)"
+        )

@@ -50,6 +50,10 @@ QUERIES = [
     "cms_heavy_hitters",
     "token_stats",
     "tfidf_top_terms",
+    # curation (documents ×10; packing exercises the two-level cumsum)
+    "decontaminate_against_benchmark",
+    "pack_context_windows",
+    "chunk_documents_overlap",
     # embeddings
     "ann_cosine_topk",
     "ann_ivf_topk",

@@ -75,9 +75,10 @@ def main() -> None:
             )
         if t == "events":
             # keep event times distinct across replicas: shift each
-            # replica by r microseconds (ts is native timestamp[us])
+            # replica by r microseconds (interval arithmetic keeps the
+            # column's timestamp_ntz type intact)
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.unix_micros(F.col("ts")) + F.col("_r"))
+                "ts", F.col("ts") + F.expr("make_dt_interval(0, 0, 0, _r * 1e-6)")
             )
         n = df.drop("_r").write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         print(f"wrote {t} x{REPLICAS}")
