@@ -260,10 +260,11 @@ REGISTER_ORDER = [
     "doc_fingerprints",
     "term_stats",
     "cms_heavy_hitters",
-    # curation (3)
+    # curation (4)
     "decontaminate_against_benchmark",
     "pack_context_windows",
     "chunk_documents_overlap",
+    "paragraph_dedup_corpus",
     # classification (1)
     "nb_family",
     # multimodal (1)

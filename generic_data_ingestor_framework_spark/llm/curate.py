@@ -37,6 +37,8 @@ PACK_WINDOW = 512      # context-window packing target (tokens)
 PACK_BUCKETS = 8       # parallel packing buckets per lang (scale knob)
 CHUNK_TOKENS = 32      # chunk size for overlap chunking
 CHUNK_STRIDE = 24      # stride (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
+SEG_TOKENS = 10        # paragraph-dedup segment size (positional segments —
+                       # the flat test corpus has no newline paragraph marks)
 
 _TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
 _HASH_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
@@ -170,6 +172,52 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup: each document is cut into
+    consecutive SEG_TOKENS-token segments (positional "paragraphs" —
+    on real data the splitter becomes a newline split, same plan), and
+    a segment occurrence survives only if it is the corpus-wide FIRST
+    occurrence of its content (min (doc_id, pos)). Reports per-doc
+    segment counts and the md5 of the surviving text, so the gate
+    checks reconstructed content, not just counts — the stage that
+    strips boilerplate (headers, license blocks, navigation) repeated
+    across a crawl.
+
+    Plan: map-only segment explode → ONE shuffle on the segment content
+    (window row_number picks the canonical occurrence) → per-doc hash
+    aggregate (collect_list is bounded by segments-per-doc). No
+    corpus×corpus join anywhere; boilerplate-heavy hot segments cost
+    one window partition each, not a quadratic bucket.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    n_segs = F.ceil(F.size("ts") / F.lit(float(SEG_TOKENS))).cast("int")
+    segs = toks.select(
+        "doc_id",
+        "ts",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice("ts", F.col("pos") * SEG_TOKENS + 1, SEG_TOKENS), " "
+        ).alias("seg"),
+    )
+    w = W.partitionBy("seg").orderBy("doc_id", "pos")
+    marked = segs.withColumn("keep", F.row_number().over(w) == 1)
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.when(F.col("keep"), F.struct("pos", "seg")))),
+            lambda s: s["seg"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(kept_text).alias("kept_md5"),
+    )
+
+
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape quality flags per document: word
     count band, mean word length band, duplicate-token fraction cap —
@@ -201,6 +249,7 @@ QUERIES = {
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "pack_context_windows": pack_context_windows,
     "chunk_documents_overlap": chunk_documents_overlap,
+    "paragraph_dedup_corpus": paragraph_dedup_corpus,
     "gopher_quality_flags": gopher_quality_flags,
 }
 
@@ -282,6 +331,27 @@ ORACLES = {
                                       chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
                  AS chunk_md5
         FROM c
+    """,
+    "paragraph_dedup_corpus": f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        segs AS (
+          SELECT doc_id, CAST(pos AS INT) AS pos,
+                 array_to_string(ts[pos * {SEG_TOKENS} + 1 :
+                                 pos * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg
+          FROM (SELECT doc_id, ts,
+                       unnest(range(0, CAST(ceil(len(ts) / {SEG_TOKENS}.0) AS INT))) AS pos
+                FROM t)
+        ),
+        marked AS (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1 AS keep
+          FROM segs
+        )
+        SELECT doc_id, count(*) AS n_segments,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos),
+                            '')) AS kept_md5
+        FROM marked GROUP BY doc_id
     """,
     "gopher_quality_flags": f"""
         WITH t AS (

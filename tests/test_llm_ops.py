@@ -285,3 +285,37 @@ def test_decontaminate_excludes_benchmark_docs(spark):
     flagged = [r for r in rows if r["is_contaminated"]]
     # synthetic docs share common shingles → some contamination expected
     assert all(r["n_contaminated_grams"] >= 1 for r in flagged)
+
+
+def test_paragraph_dedup_invariants(spark):
+    """Corpus-wide paragraph dedup: the number of surviving segment
+    occurrences must equal the number of DISTINCT segment contents
+    (exactly one canonical occurrence each), and per-doc kept counts
+    never exceed segment counts."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm.curate import (
+        SEG_TOKENS,
+        paragraph_dedup_corpus,
+    )
+    from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = paragraph_dedup_corpus(spark, sf)
+    rows = out.collect()
+    assert all(0 <= r["n_kept"] <= r["n_segments"] for r in rows)
+
+    d = load_table(spark, sf, "documents").select("doc_id", tokens_col().alias("ts"))
+    n_segs = F.ceil(F.size("ts") / F.lit(float(SEG_TOKENS))).cast("int")
+    distinct_segs = (
+        d.select("ts", F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("pos"))
+        .select(
+            F.array_join(
+                F.slice("ts", F.col("pos") * SEG_TOKENS + 1, SEG_TOKENS), " "
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in rows) == distinct_segs
