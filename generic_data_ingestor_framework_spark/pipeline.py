@@ -197,6 +197,57 @@ def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
     return df.join(hit_ids, idc, "anti")
 
 
+def _step_paragraph_dedup(df: DataFrame, p: dict) -> DataFrame:
+    """CCNet-style cross-corpus paragraph dedup over ``column``: cut
+    rows into ``seg``-token segments, keep only the corpus-wide first
+    occurrence of each segment's content (min (id, pos)), and rewrite
+    the column to the surviving text. Rows left with no surviving
+    segments are dropped (fully-boilerplate documents). Same plan as
+    ``llm.curate.paragraph_dedup_corpus``: one explode, one shuffle on
+    segment content, one per-id aggregate, joined back on the id."""
+    from generic_data_ingestor_framework_spark.llm.curate import SEG_TOKENS
+
+    col = p.get("column", "text")
+    idc = p["id"]
+    seg_n = int(p.get("seg", SEG_TOKENS))
+    ts = F.split(F.lower(F.col(col)), r"\s+")
+    n_segs = F.ceil(F.size("__ts") / F.lit(float(seg_n))).cast("int")
+    segs = (
+        df.select(idc, ts.alias("__ts"))
+        .withColumn("__pos", F.explode(F.sequence(F.lit(0), n_segs - 1)))
+        .select(
+            idc,
+            "__pos",
+            F.array_join(F.slice("__ts", F.col("__pos") * seg_n + 1, seg_n), " ").alias(
+                "__seg"
+            ),
+        )
+    )
+    w = W.partitionBy("__seg").orderBy(idc, "__pos")
+    kept = (
+        segs.withColumn("__keep", F.row_number().over(w) == 1)
+        .groupBy(idc)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("__keep"), F.struct("__pos", "__seg")))
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                " ",
+            ).alias("__kept")
+        )
+    )
+    return (
+        df.drop(col)
+        .join(kept, idc)
+        .withColumnRenamed("__kept", col)
+        .filter(F.col(col) != "")
+        .select(*df.columns)
+    )
+
+
 STEP_REGISTRY: dict[str, StepFn] = {
     "filter": _step_filter,
     "select": _step_select,
@@ -214,6 +265,7 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "chunk_overlap": _step_chunk_overlap,
     "quality_filter": _step_quality_filter,
     "decontaminate": _step_decontaminate,
+    "paragraph_dedup": _step_paragraph_dedup,
 }
 
 

@@ -146,3 +146,22 @@ def test_pipeline_curation_steps(spark):
     rows = chunks.limit(200).collect()
     assert all(len(r["text"].split()) <= 16 for r in rows)
     assert any(r["chunk_idx"] > 0 for r in rows)
+
+
+def test_pipeline_paragraph_dedup_step(spark):
+    """paragraph_dedup rewrites text to the surviving segments: two
+    rows sharing a 10-token prefix keep it only in the lower id, and a
+    fully-duplicated row is dropped entirely."""
+    shared = " ".join(f"tok{i}" for i in range(10))
+    uniq = " ".join(f"own{i}" for i in range(10))
+    rows = [
+        (1, f"{shared} {uniq}"),
+        (2, f"{shared} {uniq}"),   # full duplicate of id=1 -> dropped
+        (3, f"{shared} extra words here"),  # shared prefix stripped
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    spec = {"op": "paragraph_dedup", "id": "id", "column": "text"}
+    from generic_data_ingestor_framework_spark.pipeline import STEP_REGISTRY
+
+    out = {r["id"]: r["text"] for r in STEP_REGISTRY["paragraph_dedup"](df, spec).collect()}
+    assert out == {1: f"{shared} {uniq}", 3: "extra words here"}

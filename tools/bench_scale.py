@@ -86,7 +86,9 @@ def _skew_evidence(spark) -> dict:
     removed = over_cap.agg(
         F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs")
     ).collect()[0]["pairs"]
-    sh.unpersist()
+    from generic_data_ingestor_framework_spark import clear_caches
+
+    clear_caches()
     return {
         "df_cap": dedup.DF_CAP,
         "top_shingle_dfs": [int(r["df"]) for r in top],
@@ -102,6 +104,8 @@ def main() -> None:
     qs = entry_mod.member_queries()
     names = QUERIES[:6] if quick else QUERIES
 
+    from generic_data_ingestor_framework_spark import clear_caches
+
     out = {"sf0.1": {}, "sf1": {}, "ratio": {}, "data_scale": DATA_SCALE}
     for name in names:
         t01 = _run(qs[name], spark, SF01)
@@ -110,6 +114,10 @@ def main() -> None:
         out["sf1"][name] = t1
         out["ratio"][name] = round(t1 / t01, 2) if t01 > 0 else None
         print(f"{name}: sf0.1={t01}s sf1={t1}s ratio={out['ratio'][name]}")
+        # per-query isolation: don't let one query's persisted
+        # intermediates (both scales stay registered) pressure the next
+        # query's storage memory
+        clear_caches()
 
     out["skew"] = _skew_evidence(spark)
     superlinear = {n: r for n, r in out["ratio"].items() if r and r > 3 * DATA_SCALE}
