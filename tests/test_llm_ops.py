@@ -319,3 +319,38 @@ def test_paragraph_dedup_invariants(spark):
         .count()
     )
     assert sum(r["n_kept"] for r in rows) == distinct_segs
+
+
+def test_pack_context_windows_invariants(spark):
+    """Two-level packing must conserve tokens (per-lang token sums
+    equal the corpus), produce contiguous corpus-unique seq ids per
+    lang, and report fill consistent with its own token counts."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm.curate import (
+        PACK_WINDOW,
+        pack_context_windows,
+    )
+    from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = pack_context_windows(spark, sf).collect()
+    got_tokens = {}
+    seqs_by_lang = {}
+    for r in rows:
+        got_tokens[r["lang"]] = got_tokens.get(r["lang"], 0) + r["n_tokens"]
+        seqs_by_lang.setdefault(r["lang"], set()).add(r["seq_id"])
+        assert r["fill_bp"] == r["n_tokens"] * 10000 // PACK_WINDOW
+        assert r["n_docs"] >= 1
+    want_tokens = {
+        r["lang"]: r["t"]
+        for r in load_table(spark, sf, "documents")
+        .select("lang", F.size(tokens_col()).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    assert got_tokens == want_tokens
+    for lang, seqs in seqs_by_lang.items():
+        assert seqs == set(range(len(seqs))), f"{lang}: seq ids not contiguous"
