@@ -383,6 +383,18 @@ def connected_components(
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+    # Convergence test: per-node labels are MONOTONE NON-INCREASING
+    # (both steps take minima), so any change strictly decreases the
+    # label sum — sum unchanged ⇔ fixpoint. One no-shuffle aggregate
+    # per iteration instead of the join+count diff (decimal(38) keeps
+    # the sum exact at any corpus size, no overflow wrap).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     changed = 0
     try:
         for _ in range(max_iters):  # ≥ log2(max component diameter), with slack
@@ -417,12 +429,9 @@ def connected_components(
             # lineage truncation the analyzed plan grows 2^iterations and
             # OOMs the driver long before any data does
             new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
+            new_sum = _label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
             labels = new_labels
             if changed == 0:
                 break
@@ -436,7 +445,7 @@ def connected_components(
         # silently-wrong cluster ids; surface it instead of returning
         warnings.warn(
             f"connected_components: min-label propagation did not converge "
-            f"({changed} labels still changing after {max_iters} iterations); "
+            f"(labels still changing after {max_iters} iterations); "
             f"cluster ids may split large components",
             RuntimeWarning,
             stacklevel=2,
