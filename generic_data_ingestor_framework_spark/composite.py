@@ -205,7 +205,7 @@ COMPOSITES: dict[str, list[str]] = {
     "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
     "multimodal_family": [
         "multimodal_binary_meta", "multimodal_decode_features",
-        "multimodal_frame_sample",
+        "multimodal_frame_sample", "multimodal_resize_buckets",
     ],
     "sampling_family": [
         "sample_hash_mod", "train_val_test_split", "stratified_sample_per_lang",

@@ -142,10 +142,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(frame_sample_stub, schema=_FRAME_SCHEMA)
 
 
+RESIZE_BUCKETS = 8
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("mean_val", T.DoubleType()),
+    ]
+)
+
+
+def resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize (area interpolation): the payload byte stream is
+    downsampled to RESIZE_BUCKETS buckets, each reporting its mean
+    intensity — the thumbnail/feature-pyramid step of an image
+    pipeline, with the same 1→K row expansion and Arrow batch shape a
+    real resize kernel produces. Payloads shorter than the bucket
+    count are skipped (no partial thumbnails)."""
+    B = RESIZE_BUCKETS
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "bucket": [], "mean_val": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n < B:
+                continue
+            for b in range(B):
+                lo, hi = (b * n) // B, ((b + 1) * n) // B
+                out["doc_id"].append(doc_id)
+                out["bucket"].append(b)
+                out["mean_val"].append(
+                    round(sum(payload[lo:hi]) / (hi - lo) / 255.0, 6)
+                )
+        yield pd.DataFrame(out).astype({"doc_id": "int64", "bucket": "int32"})
+
+
+def multimodal_resize_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-resize over binary payloads via mapInPandas (see
+    ``resize_stub``): map-only, Arrow-batched; the payload bytes stay
+    in their partition and only the fixed-width thumbnail rows move."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return d.mapInPandas(resize_stub, schema=_RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize_buckets": multimodal_resize_buckets,
 }
 
 ORACLES = {
@@ -174,6 +220,23 @@ ORACLES = {
                CAST(frame_idx * chunk AS INT) AS byte_offset,
                md5(substr(text, frame_idx * chunk + 1, chunk)) AS chunk_md5
         FROM sampled
+    """,
+    "multimodal_resize_buckets": f"""
+        WITH base AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) >= {RESIZE_BUCKETS}
+        ),
+        buckets AS (
+          SELECT doc_id, text, n, CAST(b AS INT) AS bucket,
+                 (b * n) // {RESIZE_BUCKETS} AS lo,
+                 ((b + 1) * n) // {RESIZE_BUCKETS} AS hi
+          FROM base, range(0, {RESIZE_BUCKETS}) t(b)
+        )
+        SELECT doc_id, bucket,
+               round(list_reduce(list_transform(range(lo + 1, hi + 1),
+                       i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS DOUBLE)),
+                     (a, b) -> a + b) / (hi - lo) / 255.0, 6) AS mean_val
+        FROM buckets
     """,
     "multimodal_decode_features": """
         SELECT doc_id,
