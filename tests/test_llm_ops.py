@@ -354,3 +354,41 @@ def test_pack_context_windows_invariants(spark):
     assert got_tokens == want_tokens
     for lang, seqs in seqs_by_lang.items():
         assert seqs == set(range(len(seqs))), f"{lang}: seq ids not contiguous"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Pointer-jumping min-label propagation vs a plain union-find on a
+    seeded random graph (chains, triangles, singletons): every node's
+    cluster_id must be the min doc_id of its component."""
+    import random
+
+    from generic_data_ingestor_framework_spark.llm.dedup import connected_components
+
+    rng = random.Random(42)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(200)]
+    # a long chain to exercise pointer jumping's log-diameter claim
+    edges += [(i, i + 1) for i in range(260, 299)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(docs, pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == want
