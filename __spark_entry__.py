@@ -5,15 +5,20 @@ exposes the registered query surface — one entry per capability family
 from SURVEY.md §2 — as ``(spark, sf_dir) -> DataFrame``;
 ``oracle_sql()`` gives the DuckDB equivalent for the correctness gate.
 
-Round 3 consolidation: the 106-member surface of round 2 is folded
-into family composites (``composite.py``) so EVERY capability family
-has a row inside the driver's 50-entry correctness window — no
-rotation.  Each composite returns one ``(fam, n, checksum)`` row per
-member, where ``checksum`` is a portable md5-fold of the member's full
-result, so member-level regressions still flip the gate.  The full
-member registry stays public via ``member_queries()`` /
-``member_oracles()`` (used by bench.py and ``tools/check_oracles.py
---members``).
+Round 3 consolidation: the member surface is folded into family
+composites (``composite.py``) so EVERY capability family has a row
+inside the driver's 50-entry correctness window — no rotation.  Each
+composite returns one ``(fam, n, checksum)`` row per member, where
+``checksum`` is a portable md5-fold of the member's full result, so
+member-level regressions still flip the gate.  The full member
+registry stays public via ``member_queries()`` / ``member_oracles()``
+(used by bench.py and ``tools/check_oracles.py --members``).
+
+Round 4: 48 registered entries over 115 members — adds
+``paragraph_dedup_corpus`` (direct entry) and
+``multimodal_resize_buckets`` (multimodal_family member); streaming
+reads ``ts`` as native ``timestamp[us]``; shared intermediates persist
+once per session via ``cachemgr``.
 """
 
 from __future__ import annotations

@@ -34,7 +34,12 @@ from generic_data_ingestor_framework_spark.relational import load_table
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),  # parquet timestamp[us]
+        # parquet timestamp[us]. The batch reader infers NTZ, but
+        # streaming watermarks REQUIRE TimestampType (LTZ) —
+        # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise — so the stream
+        # path declares LTZ; batch/stream parity therefore also needs a
+        # UTC session timezone (session.py pins it).
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
