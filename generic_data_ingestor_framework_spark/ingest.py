@@ -374,19 +374,34 @@ def ingest_directory(
 
 
 def read_json_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """The scale path: one distributed multi-path read; Spark unions
-    schemas natively and drops malformed documents inline.
+    """The scale path: one distributed multi-path read per JSON layout;
+    Spark unions schemas natively and drops malformed documents inline.
+
+    Line-delimited files (``.jsonl``/``.ndjson``) MUST be read with
+    ``multiLine=false`` — under ``multiLine=true`` Spark parses each
+    file as one document and silently keeps only the first object
+    (records 2..N lost). Whole-file JSON needs the opposite. So the
+    bulk read is one scan per layout, unioned with missing columns
+    allowed.
 
     DROPMALFORMED (not PERMISSIVE): the corrupt-record column of a raw
     scan can't be counted/aggregated on its own (Spark restriction), and
     at scale you route bad records to a quarantine prefix via
     ``badRecordsPath`` rather than carrying them in-plan."""
-    df = (
-        spark.read.option("multiLine", "true")
-        .option("allowSingleQuotes", "false")
-        .option("mode", "DROPMALFORMED")
-        .json(paths)
-    )
+    line_delim = [p for p in paths if p.endswith((".jsonl", ".ndjson"))]
+    whole_file = [p for p in paths if not p.endswith((".jsonl", ".ndjson"))]
+    frames = []
+    for group, multiline in ((whole_file, "true"), (line_delim, "false")):
+        if group:
+            frames.append(
+                spark.read.option("multiLine", multiline)
+                .option("allowSingleQuotes", "false")
+                .option("mode", "DROPMALFORMED")
+                .json(group)
+            )
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f, allowMissingColumns=True)
     return with_lineage(df)
 
 

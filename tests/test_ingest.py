@@ -126,3 +126,23 @@ def test_first_record_schema_mode_reproduces_web_path(spark, tmp_path):
     # default mode keeps the union of keys plus lineage
     df2, _ = ingest_directory(spark, tmp_path)
     assert set(df2.columns) == {"id", "name", "extra", "_source_file"}
+
+
+def test_bulk_ingest_jsonl_keeps_all_lines(spark, tmp_path):
+    """Bulk mode must read line-delimited files with multiLine=false:
+    under multiLine=true Spark silently keeps only the FIRST object of
+    a .jsonl file. Mixed layouts union in one call."""
+    import json as _json
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "lines.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "v": f"l{i}"}) for i in range(25))
+    )
+    (d / "whole.json").write_text(
+        _json.dumps([{"id": 100 + i, "v": f"w{i}"} for i in range(5)])
+    )
+    df, report = ingest_directory(spark, d, mode="bulk", text_parity=False)
+    assert df.count() == 30
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == list(range(25)) + list(range(100, 105))
