@@ -239,6 +239,31 @@ def read_csv_file(
     )
 
 
+def read_csv_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Bulk CSV read, grouped by (separator, header signature).
+
+    Spark unions the files of one csv() scan POSITIONALLY: a file whose
+    header reorders (or renames) columns lands its values in the wrong
+    columns with only a console warning, and a tab-separated file swept
+    into a comma scan collapses into one mangled column. Grouping by
+    the first line (one local read per file — this ingest frontend is
+    the reference's local-directory scanner; a remote-FS deployment
+    would group via the FS client the same way) gives one scan per
+    distinct header/separator and a by-NAME union across groups — no
+    silent misalignment at any file count."""
+    groups: dict[tuple[str, str], list[str]] = {}
+    for p in paths:
+        sep = _CSV_SEPARATORS.get(Path(p).suffix.lower(), ",")
+        with open(p, encoding="utf-8", errors="replace") as fh:
+            header = fh.readline().rstrip("\r\n")
+        groups.setdefault((sep, header), []).append(p)
+    frames = [read_csv_file(spark, ps) for ps in groups.values()]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def read_any_file(
     spark: SparkSession, path: str | Path, ftype: str
 ) -> tuple[DataFrame, int]:
@@ -305,7 +330,7 @@ def ingest_directory(
         frames = []
         for ftype, reader in (
             ("json", lambda ps: read_json_paths_bulk(spark, ps)),
-            ("csv", lambda ps: with_lineage(read_csv_file(spark, ps))),
+            ("csv", lambda ps: with_lineage(read_csv_paths_bulk(spark, ps))),
             ("parquet", lambda ps: with_lineage(
                 spark.read.option("mergeSchema", "true").parquet(*ps)
             )),

@@ -146,3 +146,18 @@ def test_bulk_ingest_jsonl_keeps_all_lines(spark, tmp_path):
     assert df.count() == 30
     ids = sorted(r["id"] for r in df.select("id").collect())
     assert ids == list(range(25)) + list(range(100, 105))
+
+
+def test_bulk_ingest_csv_header_order_and_separators(spark, tmp_path):
+    """Bulk CSV must align columns BY HEADER NAME across files and
+    respect each file's separator: a single positional csv() scan puts
+    a reordered file's values in the wrong columns and mangles a .tsv
+    swept into a comma scan."""
+    d = tmp_path / "csvmix"
+    d.mkdir()
+    (d / "a.csv").write_text("name,age\nalice,30\nbob,25\n")
+    (d / "b.csv").write_text("age,name\n40,carol\n35,dan\n")
+    (d / "c.tsv").write_text("name\tage\neve\t50\n")
+    df, report = ingest_directory(spark, d, mode="bulk", text_parity=False)
+    got = {r["name"]: r["age"] for r in df.select("name", "age").collect()}
+    assert got == {"alice": "30", "bob": "25", "carol": "40", "dan": "35", "eve": "50"}
