@@ -47,10 +47,14 @@ def quarantine_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> t
     if corrupt_col not in df.columns:
         return df, df.limit(0)
     # Spark disallows plans whose pruned column set is only the corrupt
-    # column of a raw scan; cache the parsed scan once (Spark's own
-    # documented remedy). At 100 TB you'd point `badRecordsPath` at a
-    # quarantine prefix instead of splitting in-plan.
-    df = df.cache()
+    # column of a raw scan; materialize the parsed scan once (Spark's
+    # own documented remedy). localCheckpoint, NOT cache(): checkpoint
+    # blocks are ContextCleaner-managed and released when the returned
+    # frames are dropped, while a cache() here leaked one pinned copy
+    # per ingest in a long-lived session. At 100 TB you'd point
+    # `badRecordsPath` at a quarantine prefix instead of splitting
+    # in-plan.
+    df = df.localCheckpoint(eager=False)
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull())
     return clean, bad
