@@ -259,7 +259,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, vec_col, norm_col, F.col("centroid_id").alias("cell"))
         )
 
-    assigned = nearest_cells(others, "pv", "pn", "point_id", 1)
+    # the candidate→cell assignment IS the IVF index: build it once per
+    # session (registry) and probe it on every query — re-deriving it
+    # per call re-ran the 16-centroid scoring pass over the whole corpus
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    assigned = shared_persist(
+        spark,
+        ("ivf_assigned", sf_dir),
+        lambda: nearest_cells(others, "pv", "pn", "point_id", 1),
+    )
     probed = nearest_cells(qs, "qv", "qn", "query_id", N_PROBES)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     return (
