@@ -237,12 +237,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle applies the identical cap."""
     from pyspark.sql import Window as W
 
-    raw = _exploded_shingles(spark, sf_dir)
-    sh = (
-        raw.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-        .filter(F.col("df") <= DF_CAP)
-        .drop("df")
-    )
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def build_capped() -> DataFrame:
+        raw = _exploded_shingles(spark, sf_dir)
+        return (
+            raw.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            .filter(F.col("df") <= DF_CAP)
+            .drop("df")
+        )
+
+    # the capped relation IS the inverted index: persist it once per
+    # session (three consumers — both self-join sides and the size
+    # table — and repeated queries re-probed it). DF_CAP is part of
+    # the key: a different cap is a different index.
+    sh = shared_persist(spark, ("shingles_capped", sf_dir, DF_CAP), build_capped)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
