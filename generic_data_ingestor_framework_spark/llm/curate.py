@@ -65,12 +65,21 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     JOIN it and count overlapping grams — zero-overlap docs keep n=0.
     This is the standard contamination audit before a pretraining run.
     """
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
     toks = _docs_with_tokens(spark, sf_dir)
     is_bench = portable_hash32(F.col("doc_id").cast("string")) % BENCH_MOD == 0
-    grams = toks.select(
-        "doc_id",
-        is_bench.alias("bench"),
-        F.explode(shingles_from_tokens(F.col("ts"), k=DECON_GRAM_K)).alias("gram"),
+    # the exploded 13-gram relation feeds BOTH branches (benchmark gram
+    # set and training probe side); persist it once per session instead
+    # of exploding the corpus twice per call
+    grams = shared_persist(
+        spark,
+        ("decon_grams", sf_dir, DECON_GRAM_K),
+        lambda: toks.select(
+            "doc_id",
+            is_bench.alias("bench"),
+            F.explode(shingles_from_tokens(F.col("ts"), k=DECON_GRAM_K)).alias("gram"),
+        ),
     )
     bench_grams = grams.filter("bench").select("gram").distinct()
     train = grams.filter(~F.col("bench"))
