@@ -169,15 +169,57 @@ def write_jdbc(
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
 
 
+def _one_row_per_key(
+    updates: DataFrame, key_cols: list[str], order_col: str | None
+) -> DataFrame:
+    """MERGE precondition: at most one update row per key. With
+    ``order_col`` (a CDC sequence/timestamp), keep the highest per key
+    (last-wins, ties broken deterministically on the remaining
+    columns). Without it, duplicate keys RAISE — standard MERGE
+    semantics (SQL MERGE and Delta both error on multiple source
+    matches); silently inserting both rows would leave the target with
+    duplicate keys."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    if order_col is not None:
+        rest = [c for c in updates.columns if c not in key_cols]
+        w = _W.partitionBy(*key_cols).orderBy(
+            _F.desc(order_col), *[_F.desc(c) for c in rest if c != order_col]
+        )
+        return (
+            updates.withColumn("__rn", _F.row_number().over(w))
+            .filter(_F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    dups = (
+        updates.groupBy(*key_cols)
+        .agg(_F.count(_F.lit(1)).alias("__n"))
+        .filter(_F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            "updates contain multiple rows for the same key "
+            f"(e.g. {[tuple(r[c] for c in key_cols) for r in dups]}); "
+            "pass order_col to resolve last-wins, or pre-deduplicate"
+        )
+    return updates
+
+
 def merge_into(
     spark: SparkSession,
     target_table: str,
     updates: DataFrame,
     key_cols: list[str],
+    order_col: str | None = None,
 ) -> dict:
     """Upsert (MERGE INTO analogue) for plain managed tables: rows in
     ``updates`` replace target rows with the same key; unmatched
-    update rows are inserted.
+    update rows are inserted. ``order_col`` resolves multi-version
+    batches last-wins; without it duplicate keys raise (see
+    ``_one_row_per_key``).
 
     Without a transactional table format this is the classic
     rewrite-merge: target ⟕anti updates (survivors) ∪ updates, written
@@ -190,6 +232,7 @@ def merge_into(
     """
     from pyspark.sql import functions as _F
 
+    updates = _one_row_per_key(updates, key_cols, order_col)
     target = spark.table(target_table)
     keys = updates.select(*key_cols).distinct()
     matched = target.join(_F.broadcast(keys), key_cols, "semi").count()
@@ -214,10 +257,13 @@ def merge_into_partitioned(
     updates: DataFrame,
     key_cols: list[str],
     partition_cols: list[str],
+    order_col: str | None = None,
 ) -> dict:
     """Partition-bounded upsert: only the partitions present in
     ``updates`` are rewritten (dynamic partition overwrite); files of
-    untouched partitions are left byte-identical on disk.
+    untouched partitions are left byte-identical on disk. ``order_col``
+    resolves multi-version batches last-wins; without it duplicate
+    keys raise (see ``_one_row_per_key``).
 
     This is the CDC-batch shape ``merge_into``'s docstring promises at
     real scale: the rewrite cost is O(touched partitions), not O(table).
@@ -228,6 +274,7 @@ def merge_into_partitioned(
     """
     from pyspark.sql import functions as _F
 
+    updates = _one_row_per_key(updates, key_cols, order_col)
     target = spark.table(target_table)
     parts = updates.select(*partition_cols).distinct()
     touched = target.join(_F.broadcast(parts), partition_cols, "semi")

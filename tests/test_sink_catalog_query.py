@@ -189,3 +189,21 @@ def test_write_jdbc_roundtrip_derby(spark, tmp_path):
     )
     back = spark.read.jdbc(url, "T_JDBC", properties=props)
     assert sorted(r["id"] for r in back.collect()) == list(range(120))
+
+
+def test_merge_into_rejects_duplicate_keys_without_order(spark):
+    """A CDC batch with two versions of one key must not leave the
+    target with duplicate keys: without order_col the merge raises;
+    with order_col the highest version wins."""
+    spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "id bigint, v string, seq bigint").write.mode(
+        "overwrite"
+    ).saveAsTable("t_mrg_dup")
+    updates = spark.createDataFrame(
+        [(2, "b2", 5), (2, "b3", 9), (3, "c", 1)], "id bigint, v string, seq bigint"
+    )
+    with pytest.raises(ValueError, match="multiple rows for the same key"):
+        sink.merge_into(spark, "t_mrg_dup", updates, ["id"])
+    res = sink.merge_into(spark, "t_mrg_dup", updates, ["id"], order_col="seq")
+    rows = sorted((r["id"], r["v"]) for r in spark.table("t_mrg_dup").collect())
+    assert rows == [(1, "a"), (2, "b3"), (3, "c")]
+    assert res["updated"] == 1 and res["inserted"] == 1
