@@ -124,20 +124,27 @@ def write_sqlite(
     protocol. Use ``saveAsTable``/``write_parquet`` for the 100 TB
     path; this is for the "walk away with a .db file" tail of a run
     (summaries, samples, reports). Returns rows inserted."""
+    def q(name: str) -> str:
+        # SQLite identifier quoting: embedded " doubles. JSON keys are
+        # arbitrary, so hostile names (quotes, dots, keywords) must
+        # round-trip; df[name] (not F.col) for the same reason — F.col
+        # parses dots as struct access.
+        return '"' + name.replace('"', '""') + '"'
+
     out = df
     for f_ in df.schema.fields:
         if isinstance(f_.dataType, (T.StructType, T.ArrayType, T.MapType)):
-            out = out.withColumn(f_.name, F.to_json(F.col(f_.name)))
+            out = out.withColumn(f_.name, F.to_json(out[f_.name]))
         elif isinstance(f_.dataType, (T.DateType, T.TimestampType)):
-            out = out.withColumn(f_.name, F.col(f_.name).cast("string"))
+            out = out.withColumn(f_.name, out[f_.name].cast("string"))
     cols = out.schema.fields
-    ddl_cols = ", ".join(f'"{c.name}" {_sqlite_type(c.dataType)}' for c in cols)
-    names = ", ".join(f'"{c.name}"' for c in cols)
+    ddl_cols = ", ".join(f"{q(c.name)} {_sqlite_type(c.dataType)}" for c in cols)
+    names = ", ".join(q(c.name) for c in cols)
     params = ", ".join("?" for _ in cols)
     con = sqlite3.connect(str(db_path))
     try:
-        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({ddl_cols})')
-        insert_sql = f'INSERT INTO "{table}" ({names}) VALUES ({params})'
+        con.execute(f"CREATE TABLE IF NOT EXISTS {q(table)} ({ddl_cols})")
+        insert_sql = f"INSERT INTO {q(table)} ({names}) VALUES ({params})"
         n = 0
         batch: list[tuple] = []
         for row in out.toLocalIterator():

@@ -207,3 +207,20 @@ def test_merge_into_rejects_duplicate_keys_without_order(spark):
     rows = sorted((r["id"], r["v"]) for r in spark.table("t_mrg_dup").collect())
     assert rows == [(1, "a"), (2, "b3"), (3, "c")]
     assert res["updated"] == 1 and res["inserted"] == 1
+
+
+def test_write_sqlite_hostile_column_names(spark, tmp_path):
+    """JSON keys are arbitrary: reserved words, spaces, dots, and
+    embedded quotes must round-trip into the sqlite artifact."""
+    import sqlite3
+
+    df = spark.createDataFrame(
+        [(1, "x", "y", "z", "w")], ["id", "select", "with space", 'quo"te', "a.b"]
+    )
+    db = str(tmp_path / "hostile.db")
+    n = sink.write_sqlite(df, db, 'ta"ble')
+    assert n == 1
+    con = sqlite3.connect(db)
+    cur = con.execute('SELECT * FROM "ta""ble"')
+    assert [d[0] for d in cur.description] == ["id", "select", "with space", 'quo"te', "a.b"]
+    assert cur.fetchall() == [(1, "x", "y", "z", "w")]
