@@ -322,11 +322,11 @@ def ingest_directory(
     if mode == "bulk":
         # one distributed multi-path read PER FORMAT, then a schema-
         # merging union — the whole directory becomes ~3 scans no
-        # matter how many files it holds. Caveat (documented): unlike
-        # parity mode, a single malformed file can't be isolated to a
-        # per-file error entry; bad JSON documents are dropped inline
-        # (DROPMALFORMED) and CSVs are assumed schema-uniform per
-        # directory (the standard warehouse layout).
+        # matter how many files it holds. If a format's group scan
+        # fails (e.g. unmergeable parquet schemas), it DEGRADES to
+        # per-file reads so one bad file costs itself, not the format
+        # group (A24 continue-on-error at file granularity either way).
+        # Bad JSON documents are dropped inline (DROPMALFORMED).
         frames = []
         for ftype, reader in (
             ("json", lambda ps: read_json_paths_bulk(spark, ps)),
@@ -342,20 +342,52 @@ def ingest_directory(
                 frames.append(reader(paths))
                 report.files_processed += len(paths)
             except Exception as ex:  # noqa: BLE001 — A24 continue-on-error
-                report.files_failed += len(paths)
                 report.errors.append(
                     {
                         "file": f"<bulk:{ftype}>",
-                        "error": f"{type(ex).__name__}: {str(ex)[:400]}",
+                        "error": f"{type(ex).__name__}: {str(ex)[:400]}"
+                        + " (degrading to per-file reads)",
                     }
                 )
+                for p in paths:
+                    try:
+                        fdf, _ = read_any_file(spark, p, ftype)
+                        frames.append(with_lineage(fdf))
+                        report.files_processed += 1
+                    except Exception as fex:  # noqa: BLE001
+                        report.files_failed += 1
+                        report.errors.append(
+                            {
+                                "file": Path(p).name,
+                                "error": f"{type(fex).__name__}: {str(fex)[:400]}",
+                            }
+                        )
         if not frames:
             report.elapsed_sec = time.time() - t0
             return None, report
-        df = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            [f.drop(CORRUPT_COL) if CORRUPT_COL in f.columns else f for f in frames],
-        )
+        frames = [
+            f.drop(CORRUPT_COL) if CORRUPT_COL in f.columns else f for f in frames
+        ]
+        # harmonize type-conflicted columns to string BEFORE the union:
+        # ANSI union coercion picks the numeric side for string+double
+        # and then fails (or corrupts) at runtime on non-numeric rows —
+        # the all-TEXT widening is the reference's own data model
+        seen: dict[str, set[str]] = {}
+        for f in frames:
+            for c, t in f.dtypes:
+                seen.setdefault(c, set()).add(t)
+        conflicted = {c for c, ts in seen.items() if len(ts) > 1}
+        if conflicted:
+            frames = [
+                f.select(
+                    *[
+                        f[c].cast("string").alias(c) if c in conflicted else f[c]
+                        for c in f.columns
+                    ]
+                )
+                for f in frames
+            ]
+        df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
         report.total_records = df.count()
         report.elapsed_sec = time.time() - t0
         return df, report

@@ -161,3 +161,30 @@ def test_bulk_ingest_csv_header_order_and_separators(spark, tmp_path):
     df, report = ingest_directory(spark, d, mode="bulk", text_parity=False)
     got = {r["name"]: r["age"] for r in df.select("name", "age").collect()}
     assert got == {"alice": "30", "bob": "25", "carol": "40", "dan": "35", "eve": "50"}
+
+
+def test_bulk_parquet_schema_conflict_degrades_to_per_file(spark, tmp_path):
+    """One parquet file whose column type conflicts must not lose the
+    whole format group: the bulk scan fails to merge, degrades to
+    per-file reads, and the union widens the conflicting column."""
+    import glob
+    import shutil
+
+    spark.createDataFrame([(1, "a")], "id bigint, v string").coalesce(1).write.parquet(
+        str(tmp_path / "t1")
+    )
+    spark.createDataFrame([(2, 3.5)], "id bigint, v double").coalesce(1).write.parquet(
+        str(tmp_path / "t2")
+    )
+    mix = tmp_path / "mix"
+    mix.mkdir()
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "t*" / "part-*.parquet")))
+    ):
+        shutil.copy(f, mix / f"f{i}.parquet")
+    df, report = ingest_directory(spark, mix, mode="bulk", text_parity=False)
+    assert df is not None and df.count() == 2
+    assert report.files_processed == 2 and report.files_failed == 0
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert got[1] == "a" and got[2] in (3.5, "3.5")
+    assert any("degrading to per-file" in e["error"] for e in report.errors)
