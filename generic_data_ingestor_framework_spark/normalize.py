@@ -63,20 +63,38 @@ def drop_corrupt_records(df: DataFrame, corrupt_col: str = "_corrupt_record") ->
 def flatten_dot_paths(df: DataFrame, sep: str = ".") -> DataFrame:
     """Recursive dot-path flattening (`user.name`-style columns), the
     semantics the reference's drifted tests expect of
-    ``flatten_json_data``. Arrays are left intact (typed)."""
+    ``flatten_json_data``. Arrays are left intact (typed).
 
-    def expand(prefix: str, dtype: T.DataType) -> list[Column]:
+    Hostile-name safe: the reference path is built from the actual
+    field parts (a field name CONTAINING a dot or backtick never
+    corrupts the lookup), and generated names that collide — e.g. a
+    literal ``a.b`` column next to struct ``a.b`` — are suffixed
+    ``_2``, ``_3`` in schema order (duplicate output names would make
+    every later select-by-name ambiguous)."""
+
+    def quoted(parts: list[str]) -> str:
+        return ".".join("`" + p.replace("`", "``") + "`" for p in parts)
+
+    def expand(parts: list[str], dtype: T.DataType) -> list[tuple[Column, str]]:
         if isinstance(dtype, T.StructType):
-            out: list[Column] = []
+            out: list[tuple[Column, str]] = []
             for f_ in dtype.fields:
-                out.extend(expand(f"{prefix}.{f_.name}", f_.dataType))
+                out.extend(expand([*parts, f_.name], f_.dataType))
             return out
-        return [F.col(f"`{'`.`'.join(prefix.split('.'))}`").alias(prefix)]
+        return [(F.col(quoted(parts)), sep.join(parts))]
 
-    cols: list[Column] = []
+    named: list[tuple[Column, str]] = []
     for f_ in df.schema.fields:
         if isinstance(f_.dataType, T.StructType):
-            cols.extend(expand(f_.name, f_.dataType))
+            named.extend(expand([f_.name], f_.dataType))
         else:
-            cols.append(F.col(f"`{f_.name}`"))
-    return df.select(*cols)
+            # quoted([...]) here too: df["a.b"] / F.col("a.b") would
+            # resolve the dot as struct access, not the literal name
+            named.append((F.col(quoted([f_.name])), f_.name))
+    counts: dict[str, int] = {}
+    final: list[Column] = []
+    for col, name in named:
+        n = counts.get(name, 0)
+        counts[name] = n + 1
+        final.append(col.alias(name if n == 0 else f"{name}_{n + 1}"))
+    return df.select(*final)

@@ -85,3 +85,22 @@ def test_unicode_passthrough(spark):
     out = normalize_text_parity(df).collect()[0]
     assert out["t"] == "Hello 世界! 🌍"
     assert out["x"] == "<>&\"'"
+
+
+def test_flatten_collision_and_hostile_field_names(spark):
+    """A literal `a.b` column colliding with flattened struct a.b must
+    not produce duplicate output names (ambiguous for every later
+    select); struct FIELD names containing dots must not corrupt the
+    lookup path."""
+    df = spark.createDataFrame(
+        [({"b": 1}, "literal")], "a struct<b: bigint>, `a.b` string"
+    )
+    out = flatten_dot_paths(df)
+    assert out.columns == ["a.b", "a.b_2"]
+    row = out.collect()[0]
+    assert row["a.b"] == 1 and row["a.b_2"] == "literal"
+
+    df2 = spark.createDataFrame([({"d.ot": 7},)], "s struct<`d.ot`: bigint>")
+    out2 = flatten_dot_paths(df2)
+    assert out2.columns == ["s.d.ot"]
+    assert out2.collect()[0][0] == 7
