@@ -55,6 +55,7 @@ HEADLINE = [
     "decontaminate_against_benchmark",
     "pack_context_windows",
     "chunk_documents_overlap",
+    "paragraph_dedup_corpus",
 ]
 
 REGRESSION_RATIO = 1.3
