@@ -352,7 +352,12 @@ def ingest_directory(
                 for p in paths:
                     try:
                         fdf, _ = read_any_file(spark, p, ftype)
-                        frames.append(with_lineage(fdf))
+                        # literal lineage: input_file_name() is empty
+                        # for salvaged (driver-parsed) frames, and the
+                        # per-file path knows its file exactly
+                        frames.append(
+                            fdf.withColumn(SOURCE_COL, F.lit(Path(p).name))
+                        )
                         report.files_processed += 1
                     except Exception as fex:  # noqa: BLE001
                         report.files_failed += 1
