@@ -23,12 +23,19 @@ real cluster — see ``dedup.DEFAULT_SHINGLE_STORAGE``).
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable, Hashable
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
-_REGISTRY: dict[tuple, DataFrame] = {}
+# Keyed weakly on the live SparkSession object: when a session is stopped
+# and garbage-collected, its entries vanish with it, so a new session that
+# happens to reuse the same id() can never observe a stale DataFrame bound
+# to the dead session, and dead-session entries don't pin driver objects.
+_REGISTRY: "weakref.WeakKeyDictionary[SparkSession, dict[Hashable, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def shared_persist(
@@ -41,20 +48,45 @@ def shared_persist(
     persisting it on first use. ``builder`` must be deterministic for
     the key (the key should encode every input that changes the result,
     e.g. ``("shingles", sf_dir)``)."""
-    full_key = (id(spark), key)
-    df = _REGISTRY.get(full_key)
+    per_session = _REGISTRY.get(spark)
+    if per_session is None:
+        per_session = {}
+        _REGISTRY[spark] = per_session
+    df = per_session.get(key)
     if df is not None:
         return df
     df = builder().persist(storage or StorageLevel.MEMORY_AND_DISK)
-    _REGISTRY[full_key] = df
+    per_session[key] = df
     return df
 
 
+# Driver-held scalar results (model constants, centroid lists — KB-sized),
+# memoized per session with the same weak-keyed lifetime as the relations.
+_VALUES: "weakref.WeakKeyDictionary[SparkSession, dict[Hashable, object]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def shared_value(spark: SparkSession, key: Hashable, builder: Callable[[], object]):
+    """Memoize a driver-sized value (NOT a DataFrame) per (session, key):
+    the first call runs ``builder`` (typically one collect job), later
+    calls in the same session return the cached value with zero jobs."""
+    per_session = _VALUES.get(spark)
+    if per_session is None:
+        per_session = {}
+        _VALUES[spark] = per_session
+    if key not in per_session:
+        per_session[key] = builder()
+    return per_session[key]
+
+
 def clear_caches() -> None:
-    """Unpersist and forget every registered relation (all sessions)."""
-    for df in _REGISTRY.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+    """Unpersist and forget every registered relation (all live sessions)."""
+    for per_session in list(_REGISTRY.values()):
+        for df in per_session.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
     _REGISTRY.clear()
+    _VALUES.clear()

@@ -27,7 +27,9 @@ DF-cap machinery as dedup.DF_CAP); accuracy is reported by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
@@ -68,6 +70,51 @@ def _split_cond(train: bool):
     return bucket < TRAIN_PCT if train else bucket >= TRAIN_PCT
 
 
+def _model_scalars(spark: SparkSession, sf_dir: str, holdout: bool) -> dict:
+    """All driver-held model constants — vocab size, doc count, per-lang
+    token totals / doc counts / smoothing floors / log-priors — from ONE
+    rollup job over the persisted token relation (r4 ran four separate
+    collect jobs here, each re-triggering lineage above the token
+    relation). The grand-total rollup row carries the global distinct
+    token and doc counts; the per-lang rows carry the rest. Memoized per
+    session, so repeat invocations cost zero jobs."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    def build() -> dict:
+        toks = _doc_tokens(spark, sf_dir)
+        if holdout:
+            toks = toks.filter(_split_cond(True))
+        rows = (
+            toks.rollup("lang")
+            .agg(
+                F.sum("n").alias("total"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.countDistinct("tok").alias("vtok"),
+                F.grouping("lang").alias("g"),
+            )
+            .collect()
+        )
+        grand = next(r for r in rows if r["g"] == 1)
+        vocab_n, n_docs = grand["vtok"], grand["nd"]
+        langs = sorted(r["lang"] for r in rows if r["g"] == 0)
+        totals = {r["lang"]: r["total"] for r in rows if r["g"] == 0}
+        nds = {r["lang"]: r["nd"] for r in rows if r["g"] == 0}
+        # floors/priors become double literals in the plan; SCORE_DP
+        # rounding before the argmax absorbs the ≤1-ulp difference
+        # between math.log and the engines' own log.
+        return {
+            "vocab_n": vocab_n,
+            "langs": langs,
+            "totals": totals,
+            "floors": {
+                L: math.log(LAPLACE / (totals[L] + LAPLACE * vocab_n)) for L in langs
+            },
+            "priors": {L: math.log(nds[L] / n_docs) for L in langs},
+        }
+
+    return shared_value(spark, ("nb_scalars", sf_dir, holdout), build)
+
+
 def _nb_predictions(
     spark: SparkSession, sf_dir: str, holdout: bool = False
 ) -> DataFrame:
@@ -75,80 +122,40 @@ def _nb_predictions(
     split and scores only the held-out 20% (honest accuracy), else
     self-train (pipeline-shape demo). Identical plan shape either way.
 
-    Scale shape: the model is PIVOTED to one row per token (a column of
-    per-lang log-likelihoods), so the corpus-sized token relation joins
-    the broadcast model ONCE and flows through ONE hash aggregate —
-    instead of being multiplied ×|langs| by a crossJoin before the
-    aggregate (the round-3 plan; |langs|× more shuffle bytes on the hot
-    path). Per-lang scores melt back to rows only at doc granularity
-    (docs ≪ tokens) for the window argmax. Model scalars and per-lang
-    floors/priors are driver-held literals (a few rows, log computed
-    Spark-side so both formulations share one FP contract)."""
+    Scale shape: the model is WIDE — one row per token, one per-lang
+    log-likelihood column built by conditional aggregation (no pivot,
+    no identifier splicing: lang values enter the plan only as ``lit``
+    values, so hostile lang strings cannot break the query). The
+    corpus-sized token relation joins the broadcast model ONCE, flows
+    through ONE hash aggregate on doc_id, and the argmax is a pure
+    projection (sort_array over per-lang structs) — no window, no
+    second shuffle at doc granularity. Model scalars are collected in
+    one rollup job (``_model_scalars``) and memoized per session."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
     all_toks = _doc_tokens(spark, sf_dir)
     toks = all_toks.filter(_split_cond(True)) if holdout else all_toks
     score_src = all_toks.filter(_split_cond(False)) if holdout else all_toks
 
-    # model: smoothed log P(token | lang), persisted (vocab × |langs|
-    # rows — every downstream action reuses it instead of re-shuffling
-    # the token relation)
-    lang_tok = shared_persist(
-        spark,
-        ("nb_lang_tok", sf_dir, holdout),
-        lambda: toks.groupBy("lang", "tok").agg(F.sum("n").alias("c")),
-    )
-    lang_tot = lang_tok.groupBy("lang").agg(F.sum("c").alias("total"))
-    # model scalars from the SMALL persisted relations (deriving them
-    # from the raw token relation re-shuffles the corpus)
-    vocab_n = lang_tok.select("tok").distinct().count()
-    # per-lang priors: doc counts per lang — a handful of rows
-    prior_counts = {
-        r["lang"]: r["nd"]
-        for r in toks.select("doc_id", "lang")
-        .distinct()
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .collect()
-    }
-    n_docs = sum(prior_counts.values())
-    # per-lang smoothing floors, log computed in-engine (one tiny job)
-    floors = {
-        r["lang"]: r["log_floor"]
-        for r in lang_tot.select(
-            "lang",
-            F.log(F.lit(LAPLACE) / (F.col("total") + LAPLACE * vocab_n)).alias("log_floor"),
-        ).collect()
-    }
-    priors = {
-        r["lang"]: r["log_prior"]
-        for r in (
-            lang_tot.join(
-                spark.createDataFrame(
-                    sorted(prior_counts.items()), "lang string, nd long"
-                ),
-                "lang",
-            )
-            .select("lang", F.log(F.col("nd") / F.lit(n_docs)).alias("log_prior"))
-            .collect()
-        )
-    }
-    langs = sorted(floors)
+    sc = _model_scalars(spark, sf_dir, holdout)
+    langs, vocab_n = sc["langs"], sc["vocab_n"]
+    totals, floors, priors = sc["totals"], sc["floors"], sc["priors"]
 
     # one row per token, one log-prob column per lang (broadcast-sized:
-    # vocab × |langs| doubles), persisted per (sf_dir, split)
-    log_p = F.log((F.col("c") + LAPLACE) / (F.col("total") + LAPLACE * vocab_n))
+    # vocab × |langs| doubles), persisted per (sf_dir, split). A (lang,
+    # tok) pair absent from training sums to NULL here and falls back
+    # to the lang's floor via the scoring coalesce.
     model_wide = shared_persist(
         spark,
         ("nb_model_wide", sf_dir, holdout),
-        lambda: (
-            lang_tok.join(lang_tot, "lang")
-            .groupBy("tok")
-            .pivot("lang", langs)
-            .agg(F.first(log_p))
-            .select(
-                "tok", *[F.col(f"`{L}`").alias(f"_lp_{i}") for i, L in enumerate(langs)]
-            )
+        lambda: toks.groupBy("tok").agg(
+            *[
+                F.log(
+                    (F.sum(F.when(F.col("lang") == F.lit(L), F.col("n"))) + LAPLACE)
+                    / F.lit(totals[L] + LAPLACE * vocab_n)
+                ).alias(f"_lp_{i}")
+                for i, L in enumerate(langs)
+            ]
         ),
     )
     doc_toks = score_src.select(
@@ -167,21 +174,24 @@ def _nb_predictions(
         .groupBy("doc_id", "actual_lang")
         .agg(*per_lang_sums)
     )
-    stack_args = ", ".join(
-        f"'{L}', round(_s_{i} + {priors[L]!r}, {SCORE_DP})" for i, L in enumerate(langs)
+    # argmax as a projection: per-lang (neg rounded score, lang) structs,
+    # sort_array ascending → [0] is (max score, alphabetically-first
+    # lang on 4-dp ties) — the same contract the window gave, minus the
+    # window's exchange+sort and the stack() SQL string.
+    cand = F.array(
+        *[
+            F.struct(
+                (-F.round(F.col(f"_s_{i}") + F.lit(priors[L]), SCORE_DP)).alias("neg"),
+                F.lit(L).alias("m_lang"),
+            )
+            for i, L in enumerate(langs)
+        ]
     )
-    scored = scored_wide.select(
+    return scored_wide.select(
         "doc_id",
-        "actual_lang",
-        F.expr(f"stack({len(langs)}, {stack_args}) AS (m_lang, score)"),
+        F.col("actual_lang").alias("lang"),
+        F.sort_array(cand)[0]["m_lang"].alias("pred_lang"),
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "m_lang")
-    preds = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("actual_lang").alias("lang"), F.col("m_lang").alias("pred_lang"))
-    )
-    return preds
 
 
 def nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -202,16 +202,26 @@ def _step_paragraph_dedup(df: DataFrame, p: dict) -> DataFrame:
     rows into ``seg``-token segments, keep only the corpus-wide first
     occurrence of each segment's content (min (id, pos)), and rewrite
     the column to the surviving text. Rows left with no surviving
-    segments are dropped (fully-boilerplate documents). Same plan as
-    ``llm.curate.paragraph_dedup_corpus``: one explode, one shuffle on
-    segment content, one per-id aggregate, joined back on the id."""
+    segments are dropped (fully-boilerplate documents); rows whose text
+    is NULL or blank carry no segments to deduplicate and pass through
+    UNCHANGED (they are unioned back, not silently dropped). Same plan
+    as ``llm.curate.paragraph_dedup_corpus``: one explode, one shuffle
+    on segment content, one per-id aggregate, joined back on the id."""
     from generic_data_ingestor_framework_spark.llm.curate import SEG_TOKENS
 
     col = p.get("column", "text")
     idc = p["id"]
     seg_n = int(p.get("seg", SEG_TOKENS))
+    is_blank = F.col(col).isNull() | (F.trim(F.col(col)) == "")
+    blank_rows = df.filter(is_blank)
+    df = df.filter(~is_blank)
     ts = F.split(F.lower(F.col(col)), r"\s+")
-    n_segs = F.ceil(F.size("__ts") / F.lit(float(seg_n))).cast("int")
+    # greatest(…, 1): defensive floor so a pathological zero/negative
+    # size can never feed sequence() a descending range of phantom
+    # positions (blank rows are already routed around this path).
+    n_segs = F.greatest(
+        F.ceil(F.size("__ts") / F.lit(float(seg_n))).cast("int"), F.lit(1)
+    )
     segs = (
         df.select(idc, ts.alias("__ts"))
         .withColumn("__pos", F.explode(F.sequence(F.lit(0), n_segs - 1)))
@@ -239,13 +249,14 @@ def _step_paragraph_dedup(df: DataFrame, p: dict) -> DataFrame:
             ).alias("__kept")
         )
     )
-    return (
+    deduped = (
         df.drop(col)
         .join(kept, idc)
         .withColumnRenamed("__kept", col)
         .filter(F.col(col) != "")
         .select(*df.columns)
     )
+    return deduped.unionByName(blank_rows.select(*df.columns))
 
 
 STEP_REGISTRY: dict[str, StepFn] = {

@@ -190,7 +190,17 @@ def _one_row_per_key(
     from pyspark.sql import functions as _F
 
     if order_col is not None:
-        rest = [c for c in updates.columns if c not in key_cols]
+        from pyspark.sql.types import MapType
+
+        # MapType columns are not orderable (orderBy raises) and not
+        # hashable by F.hash — skip them in the deterministic tie-break;
+        # the remaining columns still pin a winner for real CDC feeds.
+        unorderable = {
+            f.name for f in updates.schema.fields if isinstance(f.dataType, MapType)
+        }
+        rest = [
+            c for c in updates.columns if c not in key_cols and c not in unorderable
+        ]
         w = _W.partitionBy(*key_cols).orderBy(
             _F.desc(order_col), *[_F.desc(c) for c in rest if c != order_col]
         )

@@ -68,6 +68,21 @@ def _run_to_completion(q, what: str) -> None:
         raise RuntimeError(f"{what} failed: {q.exception()}")
 
 
+def _drain_memory_sink(spark: SparkSession, q, sink: str, what: str) -> DataFrame:
+    """Wait for the availableNow query, copy the memory sink into a
+    session-independent local DataFrame, and DROP the sink's temp view:
+    memory sinks hold their full result in driver memory, so leaving
+    one view behind per invocation accumulates result copies for the
+    life of the session (the same leak class cachemgr fixed for batch
+    persists). Sink results here are aggregate-sized, so the local copy
+    is driver-safe by construction."""
+    _run_to_completion(q, what)
+    t = spark.table(sink)
+    local = spark.createDataFrame(t.collect(), t.schema)
+    spark.catalog.dropTempView(sink)
+    return local
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
@@ -385,8 +400,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _run_to_completion(q, "stream_interval_join")
-    return spark.table(sink)
+    return _drain_memory_sink(spark, q, sink, "stream_interval_join")
 
 
 # ---------------------------------------------------------------------------
@@ -423,8 +437,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _run_to_completion(q, "stream_tumbling_counts")
-    return spark.table(sink).select(
+    return _drain_memory_sink(spark, q, sink, "stream_tumbling_counts").select(
         F.col("w.start").alias("window_start"), "n"
     )
 
@@ -491,14 +504,13 @@ def stream_stateful_user_counts(
             .trigger(availableNow=True)
             .start()
         )
-        _run_to_completion(q, "stream_stateful_user_counts")
+        t = _drain_memory_sink(spark, q, sink, "stream_stateful_user_counts")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # with `update` mode the sink holds one row per state update; the
     # LAST row per user is the final counter
     from pyspark.sql import Window as W
 
-    t = spark.table(sink)
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         t.withColumn("rn", F.row_number().over(w))

@@ -392,3 +392,20 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(docs, pairs, "doc_a", "doc_b").collect()
     }
     assert got == want
+
+
+def test_cachemgr_shared_value_memoizes_per_session(spark):
+    """shared_value runs its builder once per (session, key); the weak
+    session keying means entries die with the session instead of being
+    pinned by id()-reuse."""
+    from generic_data_ingestor_framework_spark import cachemgr
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"x": 42}
+
+    v1 = cachemgr.shared_value(spark, ("t", "k"), build)
+    v2 = cachemgr.shared_value(spark, ("t", "k"), build)
+    assert v1 is v2 and v1["x"] == 42 and len(calls) == 1

@@ -165,3 +165,23 @@ def test_pipeline_paragraph_dedup_step(spark):
 
     out = {r["id"]: r["text"] for r in STEP_REGISTRY["paragraph_dedup"](df, spec).collect()}
     assert out == {1: f"{shared} {uniq}", 3: "extra words here"}
+
+
+def test_pipeline_paragraph_dedup_passes_blank_rows_through(spark):
+    """NULL/blank-text rows carry no segments: they must pass through
+    UNCHANGED, not be silently dropped (the size(null)->-1 descending
+    sequence() bug class)."""
+    shared = " ".join(f"tok{i}" for i in range(10))
+    rows = [
+        (1, shared),
+        (2, None),      # NULL text -> unchanged
+        (3, ""),        # empty text -> unchanged
+        (4, "   "),     # whitespace-only -> unchanged
+        (5, shared),    # full duplicate of id=1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    from generic_data_ingestor_framework_spark.pipeline import STEP_REGISTRY
+
+    spec = {"op": "paragraph_dedup", "id": "id", "column": "text"}
+    out = {r["id"]: r["text"] for r in STEP_REGISTRY["paragraph_dedup"](df, spec).collect()}
+    assert out == {1: shared, 2: None, 3: "", 4: "   "}

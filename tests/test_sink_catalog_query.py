@@ -224,3 +224,21 @@ def test_write_sqlite_hostile_column_names(spark, tmp_path):
     cur = con.execute('SELECT * FROM "ta""ble"')
     assert [d[0] for d in cur.description] == ["id", "select", "with space", 'quo"te', "a.b"]
     assert cur.fetchall() == [(1, "x", "y", "z", "w")]
+
+
+def test_merge_into_order_col_tolerates_map_columns(spark):
+    """Tie-break must skip non-orderable MapType columns instead of
+    raising AnalysisException when order_col is passed."""
+    t = "t_merge_map"
+    base = spark.createDataFrame(
+        [(1, 1, {"k": "old"})], "id bigint, seq bigint, props map<string,string>"
+    )
+    base.write.mode("overwrite").saveAsTable(t)
+    updates = spark.createDataFrame(
+        [(1, 2, {"k": "mid"}), (1, 3, {"k": "new"}), (2, 1, {"k": "ins"})],
+        "id bigint, seq bigint, props map<string,string>",
+    )
+    stats = sink.merge_into(spark, t, updates, ["id"], order_col="seq")
+    assert stats == {"updated": 1, "inserted": 1, "total": 2}
+    rows = {r["id"]: (r["seq"], dict(r["props"])) for r in spark.table(t).collect()}
+    assert rows == {1: (3, {"k": "new"}), 2: (1, {"k": "ins"})}
