@@ -156,6 +156,10 @@ def main() -> None:
                 "spread": spread,
                 "sf": sf,
                 "cold_total": round(sum(cold.values()), 3),
+                # per-query first-run times: a regression visible here
+                # but not in `queries` is plan-compilation cost, not
+                # execution cost
+                "cold_queries": cold,
                 "ingest_rps": ingest_rps,
                 "vs_prev": _vs_prev(times, total),
             }

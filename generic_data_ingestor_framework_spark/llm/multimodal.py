@@ -1,23 +1,36 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video ride through the engine as ``binary`` columns with
-typed metadata alongside. The Spark-side plumbing — schema, batch
-shape, Arrow transfer, partition-parallel decode via ``mapInPandas`` —
-is real and tested; the actual codec step is STUBBED (image/audio
-libraries are not available in this environment) behind
-``decode_stub``, which derives deterministic fake features from the
-raw bytes so results are reproducible and oracle-checkable.
+typed metadata alongside. Two tiers:
+
+- REAL codecs over the production read path: ``multimodal_bmp_decode``
+  / ``multimodal_wav_decode`` write genuine BMP (struct-packed 24bpp)
+  and WAV (stdlib ``wave``) fixture files, read them back through the
+  ``binaryFile`` source, and parse the actual bytes with pure-python
+  decoders inside ``mapInPandas``. The fixtures are derived
+  deterministically from ``doc_id`` formulas, so the DuckDB oracle
+  recomputes the expected width/height/intensity/sample statistics
+  from arithmetic alone — any bug in the encoder, the binaryFile read,
+  or the parser breaks the cross-engine match.
+- Plumbing-shape stubs for codecs whose libraries are absent here
+  (JPEG/PNG/ffmpeg): ``decode_stub``/``frame_sample_stub``/
+  ``resize_stub`` derive deterministic features from raw bytes so the
+  Arrow batch shape, schema, 1→K expansion, and partitioning — exactly
+  what a PIL/ffmpeg body would use — stay reproducible and
+  oracle-checkable.
 
 Scale notes (100 TB): binary payloads never shuffle — metadata is
 extracted in a map-only stage (``mapInPandas``, Arrow record batches),
 and downstream joins/aggregations carry only the small typed columns.
-Real deployments read payloads with the ``binaryFile`` source and
-partition by file; here we synthesize payloads from ``documents.text``
-to exercise the identical plumbing.
+Real deployments partition by file exactly as the binaryFile members
+here do.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -187,14 +200,255 @@ def multimodal_resize_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(resize_stub, schema=_RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs over the binaryFile production path
+# ---------------------------------------------------------------------------
+#
+# Fixture contract (doc_id-deterministic, so the oracle can recompute
+# every feature from arithmetic):
+#   BMP:  width = 16 + doc_id % 16, height = 8 + doc_id % 8, 24bpp,
+#         every pixel channel in row y == (doc_id + y) % 256
+#   WAV:  mono 16-bit, rate = 8000 + (doc_id % 3) * 4000,
+#         n_frames = 100 + doc_id % 50,
+#         sample i = ((doc_id * 31 + i * 17) % 65536) - 32768
+
+FIXTURE_PRED = "doc_id % 25 = 0 AND doc_id < 1000"
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """A genuine BITMAPINFOHEADER 24bpp BMP: bottom-up pixel rows padded
+    to 4-byte stride, as any image library would read it."""
+    w = 16 + doc_id % 16
+    h = 8 + doc_id % 8
+    stride = (w * 3 + 3) // 4 * 4
+    pad = stride - w * 3
+    rows = b"".join(
+        bytes([(doc_id + y) % 256]) * (w * 3) + b"\x00" * pad
+        for y in range(h - 1, -1, -1)  # bottom-up storage order
+    )
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(rows), 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + rows
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """A genuine RIFF/WAVE file via the stdlib ``wave`` writer."""
+    rate = 8000 + (doc_id % 3) * 4000
+    n = 100 + doc_id % 50
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(
+            struct.pack(
+                f"<{n}h", *[((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+            )
+        )
+    return buf.getvalue()
+
+
+def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the BMP/WAV fixture corpus for ``sf_dir`` once per
+    session (driver-sized: ≤40 small files) and return its path."""
+    import tempfile
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    def build() -> str:
+        ids = [
+            r["doc_id"]
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.expr(FIXTURE_PRED))
+            .select("doc_id")
+            .collect()
+        ]
+        d = tempfile.mkdtemp(prefix="mm_fixtures_")
+        for i in ids:
+            with open(f"{d}/img_{i}.bmp", "wb") as fh:
+                fh.write(_bmp_bytes(i))
+            with open(f"{d}/snd_{i}.wav", "wb") as fh:
+                fh.write(_wav_bytes(i))
+        return d
+
+    return shared_value(spark, ("mm_fixture_dir", sf_dir), build)
+
+
+_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def parse_bmp(b: bytes) -> tuple[int, int, int, float]:
+    """Pure-python BMP decode: header fields + mean over the real pixel
+    bytes (row padding excluded, bottom-up order irrelevant to a mean)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", b, 10)
+    (w,) = struct.unpack_from("<i", b, 18)
+    (h_raw,) = struct.unpack_from("<i", b, 22)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) // 4 * 4
+    total = cnt = 0
+    for y in range(h):
+        row = b[pixel_off + y * stride : pixel_off + y * stride + w * bytes_pp]
+        total += sum(row)
+        cnt += len(row)
+    return w, h, bpp, round(total / cnt / 255.0, 6)
+
+
+def _decode_bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [parse_bmp(bytes(b)) for b in pdf["content"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pd.Series([f[0] for f in feats], dtype="int32"),
+                "height": pd.Series([f[1] for f in feats], dtype="int32"),
+                "bpp": pd.Series([f[2] for f in feats], dtype="int32"),
+                "mean_intensity": [f[3] for f in feats],
+            }
+        )
+
+
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over the production path: binaryFile scan of
+    the fixture corpus → partition-parallel pure-python BMP parse via
+    mapInPandas. File-granular parallelism, payload bytes never
+    shuffle; only the typed feature rows leave the map stage."""
+    d = fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(d)
+    )
+    src = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+    return src.mapInPandas(_decode_bmp_batches, schema=_BMP_SCHEMA)
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("mean_sample", T.DoubleType()),
+    ]
+)
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int, float, float]:
+    """Pure-python WAV decode via the stdlib ``wave`` reader: container
+    params + mean over the real int16 samples."""
+    with wave.open(io.BytesIO(b), "rb") as wv:
+        nch, sw, rate, n = (
+            wv.getnchannels(),
+            wv.getsampwidth(),
+            wv.getframerate(),
+            wv.getnframes(),
+        )
+        frames = wv.readframes(n)
+    samples = struct.unpack(f"<{n * nch}h", frames) if sw == 2 else tuple(frames)
+    return (
+        nch,
+        rate,
+        n,
+        n * 1_000_000 // rate,  # integer µs: no float round-tie hazard
+        round(sum(samples) / len(samples), 4),
+    )
+
+
+def _decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [parse_wav(bytes(b)) for b in pdf["content"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_channels": pd.Series([f[0] for f in feats], dtype="int32"),
+                "sample_rate": pd.Series([f[1] for f in feats], dtype="int32"),
+                "n_frames": pd.Series([f[2] for f in feats], dtype="int32"),
+                "duration_us": pd.Series([f[3] for f in feats], dtype="int64"),
+                "mean_sample": [f[4] for f in feats],
+            }
+        )
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over the production path: binaryFile scan →
+    stdlib ``wave`` parse via mapInPandas (see ``multimodal_bmp_decode``
+    for the scale shape)."""
+    d = fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(d)
+    )
+    src = files.select(
+        F.regexp_extract(F.col("path"), r"snd_(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+    return src.mapInPandas(_decode_wav_batches, schema=_WAV_SCHEMA)
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_bmp_decode": multimodal_bmp_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize_buckets": multimodal_resize_buckets,
 }
 
 ORACLES = {
+    # The oracle recomputes the REAL decoders' outputs from the fixture
+    # formulas (pure doc_id arithmetic): the Spark side must write a
+    # valid BMP/WAV, read it back through binaryFile, and parse the
+    # actual bytes correctly to reproduce these numbers.
+    "multimodal_bmp_decode": f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE {FIXTURE_PRED}),
+        px AS (
+          SELECT doc_id, (doc_id + t.y) % 256 AS v
+          FROM ids, range(0, 16) t(y) WHERE t.y < 8 + doc_id % 8
+        )
+        SELECT doc_id,
+               CAST(16 + doc_id % 16 AS INT) AS width,
+               CAST(8 + doc_id % 8 AS INT) AS height,
+               CAST(24 AS INT) AS bpp,
+               round(CAST(sum(v * (16 + doc_id % 16) * 3) AS DOUBLE)
+                     / CAST(sum((16 + doc_id % 16) * 3) AS DOUBLE) / 255.0, 6)
+                 AS mean_intensity
+        FROM px GROUP BY doc_id
+    """,
+    "multimodal_wav_decode": f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE {FIXTURE_PRED}),
+        smp AS (
+          SELECT doc_id, ((doc_id * 31 + t.i * 17) % 65536) - 32768 AS s
+          FROM ids, range(0, 150) t(i) WHERE t.i < 100 + doc_id % 50
+        )
+        SELECT doc_id,
+               CAST(1 AS INT) AS n_channels,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(100 + doc_id % 50 AS INT) AS n_frames,
+               CAST((100 + doc_id % 50) * 1000000
+                    // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_us,
+               round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_sample
+        FROM smp GROUP BY doc_id
+    """,
     "multimodal_binary_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
