@@ -248,11 +248,12 @@ REGISTER_ORDER = [
     "dedup_cluster_assign",
     "dedup_keep_corpus",
     "dedup_incremental",
-    # similarity / ANN (6)
+    # similarity / ANN (7)
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "ann_recall_report",
+    "ann_probe_tradeoff",
     "dedup_embedding_pairs",
     "embed_stats",
     # text analysis (5)

@@ -138,8 +138,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 16     # k-means cells (init: first 16 candidate vectors)
 N_KMEANS_ITERS = 3   # Lloyd iterations (recall plateaus here; rounded 3 dp per iter)
-N_PROBES = 9         # cells probed per query (recall 13/15 on sf0.01;
-                     # single-probe over raw seed points was 3/15)
+N_PROBES = 12        # cells probed per query — operating point read off
+                     # ann_probe_tradeoff's measured curve: 14/15 recall
+                     # at sf0.01 AND sf0.1 (9 probes: 13/15; 16 probes =
+                     # exhaustive 15/15) at the same measured latency
+                     # (0.77s vs 0.71s at sf0.01, within noise)
 
 
 def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,18 +221,15 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     return out
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (trained in-engine, see
-    ``_kmeans_centroids``), every candidate assigned to its nearest
-    cell, each query probing its ``N_PROBES`` nearest cells.
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
+    """IVF probe with a parameterized probe count (``ann_ivf_topk`` is
+    this at the tuned default; ``ann_probe_tradeoff`` sweeps it).
 
     The scale path: candidate pruning happens via an equi-join on
     ``centroid_id`` (a shuffle on a small key), so the expensive dot
     products run over the probed cells instead of the whole corpus.
     Multi-probe recovers neighbors that fall just across a cell
-    boundary — single-probe recall on this (deliberately unclustered)
-    corpus was 3/15; this configuration reaches 13/15 while scanning
-    ~56% of candidates. ``ann_recall_report`` measures it."""
+    boundary."""
     from pyspark.sql import Window as W
 
     cdf = spark.createDataFrame(
@@ -269,7 +269,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_assigned", sf_dir),
         lambda: nearest_cells(others, "pv", "pn", "point_id", 1),
     )
-    probed = nearest_cells(qs, "qv", "qn", "query_id", N_PROBES)
+    probed = nearest_cells(qs, "qv", "qn", "query_id", n_probes)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     return (
         probed.join(assigned, "cell")
@@ -281,6 +281,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", F.col("cell").alias("probe_centroid"), F.col("point_id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (trained in-engine, see
+    ``_kmeans_centroids``), every candidate assigned to its nearest
+    cell, each query probing its ``N_PROBES`` nearest cells. The
+    default operating point is picked off ``ann_probe_tradeoff``'s
+    measured recall-vs-probes curve; ``ann_recall_report`` verifies it
+    per query."""
+    return _ivf_topk(spark, sf_dir, N_PROBES)
+
+
+PROBE_GRID = (3, 6, 9, 12, 16)
+
+
+def ann_probe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probe-count curve: for each probe count in
+    ``PROBE_GRID``, total IVF hits against exact top-k over all queries
+    — the measurement a user needs to pick an operating point (more
+    probes = more candidate cells scanned = higher recall, higher
+    cost). The assignment index and the exact baseline are shared
+    across the sweep; only the small probe side varies."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    parts = []
+    for p in PROBE_GRID:
+        hits = _ivf_topk(spark, sf_dir, p).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        parts.append(
+            exact.join(hits, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(p).alias("n_probes"),
+                F.count(F.lit(1)).alias("total_k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("total_hits"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("n_probes")
 
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +426,7 @@ QUERIES = {
     "label_centroid_dims": label_centroid_dims,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_report": ann_recall_report,
+    "ann_probe_tradeoff": ann_probe_tradeoff,
     "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 
@@ -433,28 +473,36 @@ def _kmeans_ctes() -> str:
 
 _CENT_FINAL = f"cent{N_KMEANS_ITERS}"
 
-_IVF_TAIL = f"""
+_ASSIGNED_CTE = f"""
         assigned AS MATERIALIZED (
           SELECT point_id, pv, cell FROM (
             SELECT c.point_id, c.pv, s.centroid_id AS cell,
                    row_number() OVER (PARTITION BY c.point_id
                      ORDER BY {_sim_sql('c.pv', 's.cv')} DESC, s.centroid_id) AS rn
-            FROM cand c, {_CENT_FINAL} s) WHERE rn = 1),
-        probed AS MATERIALIZED (
+            FROM cand c, {_CENT_FINAL} s) WHERE rn = 1)"""
+
+
+def _ivf_probe_ctes(n_probes: int, sfx: str = "") -> str:
+    """probed/ivf CTE pair for one probe count (suffixed so the
+    tradeoff oracle can hold the whole sweep in one WITH)."""
+    return f"""
+        probed{sfx} AS MATERIALIZED (
           SELECT query_id, qv, cell FROM (
             SELECT q.vec_id AS query_id, q.v AS qv, s.centroid_id AS cell,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY {_sim_sql('q.v', 's.cv')} DESC, s.centroid_id) AS rn
-            FROM vecs q, {_CENT_FINAL} s WHERE q.vec_id < {N_QUERY}) WHERE rn <= {N_PROBES}),
-        ivf AS MATERIALIZED (
+            FROM vecs q, {_CENT_FINAL} s WHERE q.vec_id < {N_QUERY}) WHERE rn <= {n_probes}),
+        ivf{sfx} AS MATERIALIZED (
           SELECT query_id, probe_centroid, neighbor_id, cos_sim, rank FROM (
             SELECT p.query_id, a.cell AS probe_centroid, a.point_id AS neighbor_id,
                    {_sim_sql('p.qv', 'a.pv')} AS cos_sim,
                    row_number() OVER (PARTITION BY p.query_id
                      ORDER BY {_sim_sql('p.qv', 'a.pv')} DESC, a.point_id) AS rank
-            FROM probed p JOIN assigned a ON p.cell = a.cell)
-          WHERE rank <= {TOP_K})
-"""
+            FROM probed{sfx} p JOIN assigned a ON p.cell = a.cell)
+          WHERE rank <= {TOP_K})"""
+
+
+_IVF_TAIL = _ASSIGNED_CTE + "," + _ivf_probe_ctes(N_PROBES)
 
 def _emb_bucket_sql(band: int) -> str:
     terms = []
@@ -473,7 +521,38 @@ _EMB_BANDED_CTE = "\n          UNION ALL\n".join(
     for b in range(EMB_BANDS)
 )
 
+_EXACT_CTE = f"""
+        exact AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_sim_sql('q.v', 'c.v')} DESC, c.vec_id) AS rank
+            FROM vecs q, vecs c
+            WHERE q.vec_id < {N_QUERY} AND c.vec_id >= {N_QUERY})
+          WHERE rank <= {TOP_K})"""
+
+_TRADEOFF_UNION = "\n          UNION ALL\n".join(
+    f"""          SELECT CAST({p} AS INT) AS n_probes, count(*) AS total_k,
+                 CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_hits
+          FROM exact e LEFT JOIN ivf_{p} i
+            ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id"""
+    for p in PROBE_GRID
+)
+
 ORACLES = {
+    "ann_probe_tradeoff": f"""
+        WITH vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {_ASSIGNED_CTE},
+        {",".join(_ivf_probe_ctes(p, f"_{p}") for p in PROBE_GRID)},
+        {_EXACT_CTE}
+        SELECT * FROM (
+{_TRADEOFF_UNION}
+        ) ORDER BY n_probes
+    """,
     "dedup_embedding_pairs": f"""
         WITH vecs AS MATERIALIZED (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
