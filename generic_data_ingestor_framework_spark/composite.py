@@ -238,7 +238,7 @@ REGISTER_ORDER = [
     "subquery_family",
     "approx_family",
     "ingest_parity",
-    # dedup (9)
+    # dedup (10)
     "dedup_exact",
     "dedup_exact_by_key",
     "dedup_minhash_sig",
@@ -248,6 +248,7 @@ REGISTER_ORDER = [
     "dedup_cluster_assign",
     "dedup_keep_corpus",
     "dedup_incremental",
+    "dedup_incremental_near",
     # similarity / ANN (7)
     "ann_cosine_topk",
     "ann_lsh_bucketed",

@@ -22,6 +22,7 @@ first, then utf-8 / latin-1 / cp1252 / ascii, retried on parse failure.
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import dataclass, field
 from functools import reduce
@@ -398,6 +399,7 @@ def ingest_directory(
         return df, report
 
     frames: list[DataFrame] = []
+    first_path: str | None = None
     for path, ftype in typed_paths:
         try:
             clean, dropped = read_any_file(spark, path, ftype)
@@ -412,6 +414,8 @@ def ingest_directory(
                 # salvage re-parse loses input_file_name(); pin lineage
                 clean = clean.withColumn(SOURCE_COL, F.lit(Path(path).name))
             frames.append(clean)
+            if first_path is None and ftype == "json":
+                first_path = path  # record-0 key order source (web path)
             report.files_processed += 1
             report.total_records += n
         except Exception as ex:  # noqa: BLE001 — A24 continue-on-error
@@ -427,7 +431,7 @@ def ingest_directory(
     )
     if df is not None:
         df = (
-            unify_schema_first_record(df)
+            unify_schema_first_record(df, first_file=first_path)
             if schema_mode == "first_record"
             else unify_schema_sorted(df)
         )
@@ -467,18 +471,22 @@ def read_json_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
     return with_lineage(df)
 
 
-def unify_schema_first_record(df: DataFrame) -> DataFrame:
+def unify_schema_first_record(df: DataFrame, first_file: str | Path | None = None) -> DataFrame:
     """A11, second frontend mode: the reference's Streamlit path infers
     the table schema from the FIRST processed record only
     (`app.py:168-175`) — later-appearing columns are silently dropped
     and no ``_source_file`` lineage exists on that path. Reproduced as
     an opt-in mode so a web-path user sees the same table shape.
 
-    Divergences forced by the engine (documented, SURVEY §1.3 path 2):
-    Spark column order is its JSON-inference order rather than the
-    record-0 dict insertion order, and a key that is null (or, after
-    the A7 text projection, collapsed to ``""``) in record 0 is
-    indistinguishable from an absent key — all are dropped."""
+    Column ORDER parity: the reference emits ``sample_record.keys()``
+    in dict insertion order; Spark's JSON inference sorts keys, so when
+    ``first_file`` is given, record 0's key order is recovered from the
+    raw file with an order-preserving driver-side parse (non-dict array
+    heads are skipped exactly like the reference's processor drops
+    them). Without ``first_file`` the inference order stands. Remaining
+    divergence (documented, SURVEY §1.3 path 2): a key that is null
+    (or, after the A7 text projection, collapsed to ``""``) in record 0
+    is indistinguishable from an absent key — all are dropped."""
     first = df.limit(1).collect()  # one row by contract, like the reference
     if not first:
         return df.select([c for c in df.columns if c != SOURCE_COL])
@@ -486,6 +494,20 @@ def unify_schema_first_record(df: DataFrame) -> DataFrame:
     cols = [
         c for c in df.columns if c != SOURCE_COL and row.get(c) not in (None, "")
     ]
+    if first_file is not None:
+        try:
+            with open(first_file, encoding=detect_encoding(first_file)) as fh:
+                data = json.load(fh)
+            rec0 = (
+                next((x for x in data if isinstance(x, dict)), None)
+                if isinstance(data, list)
+                else data
+            )
+            if isinstance(rec0, dict):
+                order = {k: i for i, k in enumerate(rec0)}
+                cols.sort(key=lambda c: order.get(c, len(order)))
+        except Exception:  # noqa: BLE001 — unreadable head file: keep inference order
+            pass
     return df.select(*cols)
 
 

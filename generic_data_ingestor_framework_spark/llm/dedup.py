@@ -448,6 +448,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(batch, corpus).select("doc_id", "lang")
 
 
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run NEAR-duplicate dedup: ``dedup_incremental`` catches
+    exact re-crawls, but production pipelines must also refuse content
+    that is a near-duplicate of the accumulated corpus. The corpus
+    history persists only its MinHash BAND SIGNATURES (4 strings per
+    document — a compact index no matter how large the history grows);
+    a new-batch document is rejected when ANY of its band signatures
+    already exists in the corpus index (the LSH candidate test, the
+    same recall contract as ``dedup_minhash_lsh_pairs``), and admitted
+    documents are also band-unique within the batch (min doc_id wins).
+
+    Scale shape: one semi-join of the batch's bands against the corpus
+    band set plus one window over batch bands — both equi-shuffles on
+    the band key; no pairwise comparisons anywhere."""
+    from pyspark.sql import Window as W
+
+    sig = _minhash_sig_df(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        (portable_hash32(F.col("doc_id").cast("string")) % 2).alias("bucket"),
+        F.posexplode(bands).alias("band_idx", "band_sig"),
+    )
+    corpus_bands = (
+        banded.filter(F.col("bucket") == 0).select("band_idx", "band_sig").distinct()
+    )
+    batch = banded.filter(F.col("bucket") == 1)
+    hit = (
+        batch.join(corpus_bands, ["band_idx", "band_sig"], "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    # batch-internal near-dups: first doc_id claims each band signature
+    w = W.partitionBy("band_idx", "band_sig").orderBy("doc_id")
+    batch_loser = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang")
+        .join(batch.select("doc_id").distinct(), "doc_id", "semi")
+        .join(hit.union(batch_loser).distinct(), "doc_id", "anti")
+    )
+
+
 def connected_components(
     docs: DataFrame, pairs: DataFrame, a_col: str, b_col: str, max_iters: int = 12
 ) -> DataFrame:
@@ -541,6 +594,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_keep_corpus": dedup_keep_corpus,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_near": dedup_incremental_near,
 }
 
 _MINHASH_MINS = ",\n         ".join(
@@ -559,6 +613,38 @@ sig AS (
 """
 
 ORACLES = {
+    "dedup_incremental_near": f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        banded AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+                   AS bucket,
+                 band_idx, band_sig
+          FROM (
+            SELECT doc_id, 0 AS band_idx, concat_ws('_', mh0, mh1) AS band_sig FROM sig
+            UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+            UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+            UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig
+          )
+        ),
+        corpus AS (SELECT DISTINCT band_idx, band_sig FROM banded WHERE bucket = 0),
+        batch AS (SELECT doc_id, band_idx, band_sig FROM banded WHERE bucket = 1),
+        hit AS (
+          SELECT DISTINCT doc_id FROM batch b
+          WHERE EXISTS (SELECT 1 FROM corpus c
+                        WHERE c.band_idx = b.band_idx AND c.band_sig = b.band_sig)
+        ),
+        loser AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY band_idx, band_sig
+                                      ORDER BY doc_id) AS rn
+            FROM batch) WHERE rn > 1
+        )
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM batch)
+          AND d.doc_id NOT IN (SELECT doc_id FROM hit UNION SELECT doc_id FROM loser)
+    """,
     "dedup_incremental": """
         WITH b AS (
           SELECT doc_id, lang, md5(text) AS h,

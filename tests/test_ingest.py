@@ -188,3 +188,56 @@ def test_bulk_parquet_schema_conflict_degrades_to_per_file(spark, tmp_path):
     got = {r["id"]: r["v"] for r in df.collect()}
     assert got[1] == "a" and got[2] in (3.5, "3.5")
     assert any("degrading to per-file" in e["error"] for e in report.errors)
+
+
+def test_web_path_parity_end_to_end(spark, tmp_path):
+    """Golden test of the reference's SECOND pipeline — the web upload
+    path (`app.py:125-201,243-257`) — driven entirely through the
+    public API: upload-dir materialization -> single-object promotion +
+    non-record drop -> record-0 schema (insertion order, no lineage) ->
+    CREATE TABLE + batch insert -> PRAGMA-style describe -> LIMIT-100
+    preview. Asserts the web path's documented divergences from the CLI
+    path: no ``_source_file``, record-0 column order, later-appearing
+    keys dropped."""
+    import json as _json
+
+    from generic_data_ingestor_framework_spark import catalog, query, sink
+
+    up = tmp_path / "uploads"
+    up.mkdir()
+    # file 1: array upload; record 0 fixes schema AND column order
+    (up / "batch.json").write_text(
+        _json.dumps(
+            [
+                {"zeta": 1, "alpha": "a", "mid": {"k": 1}},
+                {"zeta": 2, "alpha": "b", "mid": None, "late_key": "dropped"},
+                "not-a-record",  # app.py silently keeps list; processor drops non-dicts
+            ]
+        )
+    )
+    # file 2: single object -> promoted to a 1-element list (app.py:149-152)
+    (up / "single.json").write_text(_json.dumps({"zeta": 3, "alpha": "c", "mid": {"k": 2}}))
+
+    df, report = ingest_directory(spark, up, schema_mode="first_record")
+    # web-path schema contract: record-0 keys, insertion order, no lineage
+    assert df.columns == ["zeta", "alpha", "mid"]
+    assert "_source_file" not in df.columns
+    assert df.count() == 3  # 2 array records + 1 promoted object
+    assert report.files_processed == 2
+
+    # all-TEXT normalization parity: nested dict -> JSON string
+    rows = {r["zeta"]: r for r in df.collect()}
+    assert rows["1"]["mid"] == '{"k": 1}' or rows["1"]["mid"] == '{"k":1}'
+
+    # CREATE TABLE + insert (web step 2), then PRAGMA-style describe
+    t = "t_web_parity"
+    assert sink.create_table(spark, df, t)
+    assert sink.insert_data(spark, df, t) == 3
+    cols = catalog.describe_table(spark, t)
+    assert [c["name"] for c in cols] == ["zeta", "alpha", "mid"]
+    assert all(c["type"] == "string" and c["nullable"] for c in cols)  # all-TEXT
+
+    # LIMIT-100 preview (web step 3)
+    prev = query.preview(spark, t, limit=100)
+    assert prev.count() == 3
+    assert prev.columns == ["zeta", "alpha", "mid"]
