@@ -19,6 +19,11 @@ Round 4: 48 registered entries over 115 members — adds
 ``multimodal_resize_buckets`` (multimodal_family member); streaming
 reads ``ts`` as native ``timestamp[us]``; shared intermediates persist
 once per session via ``cachemgr``.
+
+Round 5: 50 registered entries over 119 members — adds
+``ann_probe_tradeoff`` and ``dedup_incremental_near`` (direct entries)
+plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
+``multimodal_wav_decode`` (multimodal_family members).
 """
 
 from __future__ import annotations

@@ -45,7 +45,19 @@ def main(argv: list[str] | None = None) -> int:
         help="run a declarative pipeline spec (JSON file; see pipeline.py) "
         "instead of the plain ingest flow; DATA_DIR is ignored",
     )
+    ap.add_argument(
+        "--serve", type=int, default=None, metavar="PORT",
+        help="start the interactive web surface (webapp.py — the "
+        "reference's Streamlit upload/process/preview flow) on PORT; "
+        "DATA_DIR becomes the server workdir",
+    )
     args = ap.parse_args(argv)
+
+    if args.serve is not None:
+        from generic_data_ingestor_framework_spark.webapp import serve
+
+        serve(get_spark("gdif-web"), args.directory, port=args.serve)
+        return 0
 
     if args.pipeline:
         import json

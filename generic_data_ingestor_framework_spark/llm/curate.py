@@ -199,7 +199,12 @@ def paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window partition each, not a quadratic bucket.
     """
     toks = _docs_with_tokens(spark, sf_dir)
-    n_segs = F.ceil(F.size("ts") / F.lit(float(SEG_TOKENS))).cast("int")
+    # greatest(…, 1): a degenerate null/zero-size token array can never
+    # feed sequence() a descending range (identical output for every
+    # real row, so the oracle needs no mirror)
+    n_segs = F.greatest(
+        F.ceil(F.size("ts") / F.lit(float(SEG_TOKENS))).cast("int"), F.lit(1)
+    )
     segs = toks.select(
         "doc_id",
         "ts",

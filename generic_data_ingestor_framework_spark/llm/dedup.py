@@ -389,10 +389,82 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup docs converges in ~10 passes, not 1000. The DuckDB
     oracle computes the same components with WITH RECURSIVE
     transitive closure.
-    """
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+
+    Graph collapse (round 5): documents with IDENTICAL MinHash
+    signature vectors pair in every band, so they are provably one
+    component — the iterations run over one REPRESENTATIVE per distinct
+    signature (rep = group min, so the component minimum is preserved)
+    and doc-level labels come from one post-hoc join. On a
+    duplication-heavy corpus this removes the intra-group cliques from
+    the edge list entirely (C(g,2)×bands edges per duplicate group →
+    0) and shrinks every per-iteration join to distinct-signature
+    cardinality. Results are identical; the oracle is unchanged."""
+    from pyspark.sql import Window as W
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    # the doc→rep map and the rep-level candidate edges ARE the collapse
+    # index: persist both per session so the iterative loop (and
+    # dedup_keep_corpus, and repeated invocations) never re-executes the
+    # signature window or the band self-join lineage
+    def build_rep_map() -> DataFrame:
+        sig = _minhash_sig_df(spark, sf_dir)
+        sig_cols = [f"mh{j}" for j in range(N_PERM)]
+        return sig.select(
+            "doc_id",
+            *sig_cols,
+            F.min("doc_id").over(W.partitionBy(*sig_cols)).alias("rep_id"),
+        )
+
+    with_rep = shared_persist(spark, ("sig_rep_map", sf_dir), build_rep_map)
+
+    def build_rep_pairs() -> DataFrame:
+        rep_sigs = with_rep.filter(F.col("doc_id") == F.col("rep_id"))
+        bands = F.array(
+            *[
+                F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                for b in range(BANDS)
+            ]
+        )
+        banded = rep_sigs.select(
+            "rep_id", F.posexplode(bands).alias("band_idx", "band_sig")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.rep_id") < F.col("b.rep_id")),
+            )
+            .select(F.col("a.rep_id").alias("doc_a"), F.col("b.rep_id").alias("doc_b"))
+            .distinct()
+        )
+
+    rep_pairs = shared_persist(spark, ("rep_pairs", sf_dir), build_rep_pairs)
+    rep_labels = connected_components(
+        with_rep.filter(F.col("doc_id") == F.col("rep_id")).select(
+            F.col("rep_id").alias("doc_id")
+        ),
+        rep_pairs,
+        "doc_a",
+        "doc_b",
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = connected_components(docs, pairs, "doc_a", "doc_b")
+    labels = (
+        docs.join(with_rep.select("doc_id", "rep_id"), "doc_id", "left")
+        .join(
+            rep_labels.select(
+                F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("rep_cluster")
+            ),
+            "rep_id",
+            "left",
+        )
+        # docs with no signature (no shingles) are singleton components
+        .select(
+            "doc_id", F.coalesce("rep_cluster", "doc_id").alias("cluster_id")
+        )
+    )
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
 
 
@@ -513,7 +585,13 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
         .cache()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # materialize the seed labels: the loop's first iteration references
+    # `labels` TWICE (neighbor-min join + propagate join), so a heavy
+    # docs lineage would otherwise execute twice before the first
+    # checkpoint truncates it
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
 
     # Convergence test: per-node labels are MONOTONE NON-INCREASING
     # (both steps take minima), so any change strictly decreases the
@@ -558,9 +636,17 @@ def connected_components(
             # localCheckpoint (not cache): the pointer-jump self-join puts
             # the prior plan in the tree TWICE per iteration, so without
             # lineage truncation the analyzed plan grows 2^iterations and
-            # OOMs the driver long before any data does
+            # OOMs the driver long before any data does. The convergence
+            # sum rides the SAME materialization job as an Observation —
+            # zero extra actions per iteration.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs, F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+            )
             new_labels = new_labels.localCheckpoint(eager=True)
-            new_sum = _label_sum(new_labels)
+            new_sum = obs.get["s"]
             changed = 0 if new_sum == prev_sum else 1
             prev_sum = new_sum
             labels = new_labels

@@ -442,3 +442,24 @@ def test_multimodal_real_codecs_roundtrip(spark):
         r["sample_rate"] == 8000 + (d % 3) * 4000 and r["n_frames"] == 100 + d % 50
         for d, r in wav.items()
     )
+
+
+def test_nb_classifier_tolerates_hostile_lang_values(spark, tmp_path):
+    """Data-derived lang values must never be spliced into SQL text:
+    a lang containing quotes/backticks/newlines has to train and
+    predict like any other label (the round-5 rewrite keeps langs as
+    lit values — conditional aggregation + sort_array argmax, no
+    stack()/pivot identifier strings)."""
+    from generic_data_ingestor_framework_spark.llm.classify import nb_lang_predictions
+
+    hostile = "x`y'z\"w"
+    rows = [(i, hostile if i % 2 else "en",
+             "alpha beta gamma" if i % 2 else "one two three")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    preds = nb_lang_predictions(spark, str(tmp_path)).collect()
+    assert len(preds) == 40
+    by_lang = {r["lang"]: r["pred_lang"] for r in preds}
+    # perfectly separable vocabulary: both labels round-trip, hostile included
+    assert by_lang == {hostile: hostile, "en": "en"}
