@@ -463,3 +463,125 @@ def test_nb_classifier_tolerates_hostile_lang_values(spark, tmp_path):
     by_lang = {r["lang"]: r["pred_lang"] for r in preds}
     # perfectly separable vocabulary: both labels round-trip, hostile included
     assert by_lang == {hostile: hostile, "en": "en"}
+
+
+def _py_jaccard_pairs(texts: dict[int, str], k: int = 3, cap: int | None = None, tau: float = 0.2):
+    """Pure-Python mirror of dedup_ngram_jaccard's contract: hashed
+    distinct word-k-gram sets, DF cap, pairwise exact Jaccard >= tau."""
+    import hashlib
+    import re as _re
+
+    cap = cap if cap is not None else 10**9
+    sets: dict[int, set[int]] = {}
+    for i, t in texts.items():
+        toks = _re.split(r"\s+", t.lower())
+        grams = {
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+        sets[i] = {int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams}
+    df: dict[int, int] = {}
+    for s in sets.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    capped = {i: {h for h in s if df[h] <= cap} for i, s in sets.items()}
+    out = {}
+    ids = sorted(capped)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a]) + len(capped[b]) - inter
+            if union and round(inter / union, 6) >= tau:
+                out[(a, b)] = inter
+    return out
+
+
+def test_groupjoin_jaccard_matches_bruteforce_random_corpora(spark, tmp_path):
+    """The GroupJoin rewrite (identical-set collapse + hashed keys +
+    length filter) must be RESULT-IDENTICAL to all-pairs brute force —
+    across random corpora with planted exact duplicates, near
+    duplicates, and unrelated docs."""
+    import random
+
+    from generic_data_ingestor_framework_spark.llm import dedup
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{v}" for v in range(12)]
+        texts: dict[int, str] = {}
+        base = " ".join(rng.choices(vocab, k=20))
+        for i in range(14):
+            r = rng.random()
+            if r < 0.3:
+                texts[i] = base  # exact duplicate group
+            elif r < 0.6:
+                toks = base.split()
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                texts[i] = " ".join(toks)  # near duplicate
+            else:
+                texts[i] = " ".join(rng.choices(vocab, k=rng.randint(4, 25)))
+        rows = [(i, "en", t) for i, t in sorted(texts.items())]
+        d = tmp_path / f"corpus_{seed}"
+        spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.mode(
+            "overwrite"
+        ).parquet(str(d / "documents.parquet"))
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_inter"]
+            for r in dedup.dedup_ngram_jaccard(spark, str(d)).collect()
+        }
+        expected = _py_jaccard_pairs(texts, cap=dedup.DF_CAP, tau=dedup.JACCARD_TAU)
+        assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_cluster_assign_collapse_matches_unionfind(spark, tmp_path):
+    """Signature-collapse CC must produce exactly the components that
+    union-find over the doc-level LSH pairs produces: identical docs
+    share a cluster, keeper is the component minimum, singletons keep
+    their own id."""
+    import random
+
+    from generic_data_ingestor_framework_spark.llm import dedup
+
+    rng = random.Random(5)
+    vocab = [f"w{v}" for v in range(10)]
+    base = " ".join(rng.choices(vocab, k=18))
+    texts = {}
+    for i in range(16):
+        r = rng.random()
+        if r < 0.4:
+            texts[i] = base
+        elif r < 0.7:
+            toks = base.split()
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            texts[i] = " ".join(toks)
+        else:
+            texts[i] = " ".join(rng.choices(vocab, k=rng.randint(4, 20)))
+    rows = [(i, "en", t) for i, t in sorted(texts.items())]
+    d = tmp_path / "cc_corpus"
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh_pairs(spark, str(d)).collect()
+    ]
+    parent = {i: i for i in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in texts}
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_cluster_assign(spark, str(d)).collect()
+    }
+    assert got == expected
