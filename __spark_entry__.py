@@ -20,10 +20,12 @@ Round 4: 48 registered entries over 115 members — adds
 reads ``ts`` as native ``timestamp[us]``; shared intermediates persist
 once per session via ``cachemgr``.
 
-Round 5: 50 registered entries over 119 members — adds
+Round 5: 50 registered entries over 121 members — adds
 ``ann_probe_tradeoff`` and ``dedup_incremental_near`` (direct entries)
 plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
-``multimodal_wav_decode`` (multimodal_family members).
+``multimodal_wav_decode`` (multimodal_family members),
+``lm_unigram_score`` (text_quality) and ``embed_quantize_int8``
+(embed_stats); ingest gains the built-in orc and xml sources.
 """
 
 from __future__ import annotations

@@ -195,10 +195,11 @@ COMPOSITES: dict[str, list[str]] = {
         "union_all_missing_cols", "error_summary_topk",
     ],
     # llm families
-    "embed_stats": ["embed_norms", "label_centroid_dims"],
+    "embed_stats": ["embed_norms", "label_centroid_dims", "embed_quantize_int8"],
     "text_tokens": ["token_stats", "context_length_buckets", "corpus_mix_weights"],
     "text_quality": [
         "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
+        "lm_unigram_score",
     ],
     "doc_fingerprints": ["doc_fingerprint", "doc_rolling_hash"],
     "term_stats": ["corpus_bigram_topk", "tfidf_top_terms"],

@@ -39,6 +39,11 @@ from generic_data_ingestor_framework_spark.scanner import FileScanner
 
 FALLBACK_ENCODINGS = ["UTF-8", "ISO-8859-1", "windows-1252", "US-ASCII"]
 
+# row element name for the XML source (Spark 4 built-in data source);
+# files written by sink-side Spark use the same tag, so round-trips are
+# configuration-free
+XML_ROW_TAG = "record"
+
 _SNIFF_BYTES = 64 * 1024
 
 
@@ -276,6 +281,13 @@ def read_any_file(
         return drop_corrupt_records(read_csv_file(spark, path)), 0
     if ftype == "parquet":
         return spark.read.parquet(str(path)), 0
+    if ftype == "orc":
+        return spark.read.orc(str(path)), 0
+    if ftype == "xml":
+        return (
+            spark.read.format("xml").option("rowTag", XML_ROW_TAG).load(str(path)),
+            0,
+        )
     raise ValueError(f"unsupported file type: {ftype}")
 
 
@@ -294,8 +306,9 @@ def ingest_directory(
     ``text_parity=True`` applies the A7 all-TEXT projection; False
     keeps lossless native types (the analytics-friendly default for
     new pipelines). ``file_types`` defaults to every supported format
-    (json/csv/parquet) — a superset of the reference, which classifies
-    csv/parquet but only ever ingests json (SURVEY §2.C).
+    (json/csv/parquet/orc/xml) — a superset of the reference, which
+    classifies csv/parquet but only ever ingests json (SURVEY §2.C);
+    orc and xml ride Spark's built-in data sources.
     ``schema_mode`` picks the reference frontend being reproduced:
     ``"sorted"`` = CLI path (sorted union of all keys + lineage),
     ``"first_record"`` = Streamlit path (record-0 keys only, no
@@ -308,7 +321,7 @@ def ingest_directory(
     scanner = FileScanner(directory)
     discovered = scanner.validate_discovered_files(
         scanner.discover_files(
-            file_types=file_types or ["json", "csv", "parquet"],
+            file_types=file_types or ["json", "csv", "parquet", "orc", "xml"],
             include_patterns=include_patterns,
             exclude_patterns=exclude_patterns,
         )
@@ -334,6 +347,12 @@ def ingest_directory(
             ("csv", lambda ps: with_lineage(read_csv_paths_bulk(spark, ps))),
             ("parquet", lambda ps: with_lineage(
                 spark.read.option("mergeSchema", "true").parquet(*ps)
+            )),
+            ("orc", lambda ps: with_lineage(
+                spark.read.option("mergeSchema", "true").orc(*ps)
+            )),
+            ("xml", lambda ps: with_lineage(
+                spark.read.format("xml").option("rowTag", XML_ROW_TAG).load(ps)
             )),
         ):
             paths = [p for p, t in typed_paths if t == ftype]

@@ -419,8 +419,64 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× storage/
+    bandwidth compression every large-scale vector index applies before
+    ANN — with the reconstruction-error report a rollout gates on.
+
+    Row-local and map-only: scale = max|x|/127 per vector, q_i =
+    round(x_i/scale), error stats via sequential array folds (bit-
+    deterministic in both engines, like ``embed_norms``). Payload never
+    shuffles; at 100 TB this is a narrow projection you fuse into the
+    embedding scan."""
+    vecs = _vectors(spark, sf_dir)
+    base = vecs.select(
+        "vec_id",
+        "v",
+        (
+            F.greatest(
+                F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+                F.lit(1e-12),
+            )
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int")
+    )
+    with_q = base.select("vec_id", "v", "scale", q.alias("q"))
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qq: (x - qq.cast("double") * F.col("scale"))
+            * (x - qq.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    # two selects, not one: aliasing the ROUNDED value as "scale" in
+    # the same list would shadow the input column for the mse lambda
+    # via lateral column alias resolution (mse must use full precision)
+    stats = with_q.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        "scale",
+        (sq_err / F.size("v")).alias("mse_raw"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("q_max_abs"),
+    )
+    return stats.select(
+        "vec_id",
+        "n_dims",
+        F.round(F.col("scale"), 8).alias("scale"),
+        F.round(F.col("mse_raw"), 10).alias("mse"),
+        "q_max_abs",
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "embed_quantize_int8": embed_quantize_int8,
     "embed_norms": embed_norms,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "label_centroid_dims": label_centroid_dims,
@@ -541,6 +597,31 @@ _TRADEOFF_UNION = "\n          UNION ALL\n".join(
 )
 
 ORACLES = {
+    "embed_quantize_int8": """
+        WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        base AS (
+          SELECT vec_id, v,
+                 greatest(list_reduce(list_transform(v, x -> abs(x)),
+                                      (a, b) -> CASE WHEN a > b THEN a ELSE b END),
+                          1e-12) / 127.0 AS scale
+          FROM vecs
+        ),
+        wq AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(round(x / scale) AS INT)) AS q
+          FROM base
+        )
+        SELECT vec_id,
+               CAST(len(v) AS INT) AS n_dims,
+               round(scale, 8) AS scale,
+               round(list_reduce(list_transform(range(1, len(v) + 1),
+                       i -> (v[i] - CAST(q[i] AS DOUBLE) * scale)
+                          * (v[i] - CAST(q[i] AS DOUBLE) * scale)),
+                     (a, b) -> a + b) / len(v), 10) AS mse,
+               CAST(list_reduce(list_transform(q, x -> abs(x)),
+                     (a, b) -> CASE WHEN a > b THEN a ELSE b END) AS INT) AS q_max_abs
+        FROM wq
+    """,
     "ann_probe_tradeoff": f"""
         WITH vecs AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -321,8 +321,49 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality signal: per-document token-level
+    cross-entropy under a Laplace-smoothed corpus unigram LM — the
+    cheap perplexity proxy production pipelines gate on before paying
+    for a real LM (a doc of rare/garbled tokens scores high, fluent
+    common text scores low).
+
+    Scale shape: the LM is one hash-aggregate over the shared
+    per-(doc, token) relation (persisted once per session, same
+    relation NB trains on), broadcast back as (token, log-prob);
+    scoring is one broadcast join + one aggregate on doc_id. Scores
+    round to 4 dp (the cross-engine summation-order contract)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist, shared_value
+    from generic_data_ingestor_framework_spark.llm.classify import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir)
+    lm = shared_persist(
+        spark,
+        ("lm_unigram", sf_dir),
+        lambda: toks.groupBy("tok").agg(F.sum("n").alias("c")),
+    )
+    sc = shared_value(
+        spark,
+        ("lm_scalars", sf_dir),
+        lambda: lm.agg(
+            F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+        ).collect()[0].asDict(),
+    )
+    denom = float(sc["n_total"] + sc["vocab"])
+    lp = F.log((F.col("c") + 1.0) / F.lit(denom))
+    return (
+        toks.join(F.broadcast(lm.select("tok", lp.alias("lp"))), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(-F.sum(F.col("n") * F.col("lp")) / F.sum("n"), 4).alias("xent"),
+        )
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
+    "lm_unigram_score": lm_unigram_score,
     "context_length_buckets": context_length_buckets,
     "corpus_mix_weights": corpus_mix_weights,
     "quality_score": quality_score,
@@ -339,6 +380,21 @@ _TOKS = "string_split_regex(lower(text), '\\s+')"
 _STOP_IN = "','".join(STOPWORDS)
 
 ORACLES = {
+    "lm_unigram_score": f"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, tok, count(*) AS n FROM tok0
+          WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        lm AS MATERIALIZED (SELECT tok, sum(n) AS c FROM toks GROUP BY tok),
+        sc AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM lm)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+               round(-sum(n * ln(CAST(c + 1 AS DOUBLE) / denom)) / sum(n), 4) AS xent
+        FROM toks JOIN lm USING (tok), sc
+        GROUP BY doc_id
+    """,
     "cms_heavy_hitters": f"""
         WITH tok0 AS (
           SELECT unnest({_TOKS}) AS tok FROM documents

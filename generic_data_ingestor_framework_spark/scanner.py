@@ -20,7 +20,8 @@ import os
 from dataclasses import dataclass, field
 from pathlib import Path
 
-# extension → format family (reference `file_scanner.py:15-30`)
+# extension → format family (reference `file_scanner.py:15-30`; orc/xml
+# are engine extensions — both are built-in Spark data sources)
 EXTENSION_MAP = {
     ".json": "json",
     ".jsonl": "json",
@@ -31,6 +32,8 @@ EXTENSION_MAP = {
     ".parquet": "parquet",
     ".pq": "parquet",
     ".pqt": "parquet",
+    ".orc": "orc",
+    ".xml": "xml",
 }
 
 # default ignore patterns (reference `file_scanner.py:33-44`)

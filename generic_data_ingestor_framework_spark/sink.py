@@ -77,6 +77,24 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", backup: boo
     df.write.mode(mode).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", backup: bool = False) -> None:
+    """ORC sink (built-in columnar source; ingest reads `.orc` back)."""
+    if backup:
+        backup_existing(path)
+    df.write.mode(mode).orc(path)
+
+
+def write_xml(df: DataFrame, path: str, mode: str = "overwrite", backup: bool = False) -> None:
+    """XML sink (Spark 4 built-in source); rows are written under the
+    same ``record`` tag ``ingest.XML_ROW_TAG`` reads, so round-trips
+    are configuration-free."""
+    from generic_data_ingestor_framework_spark.ingest import XML_ROW_TAG
+
+    if backup:
+        backup_existing(path)
+    df.write.mode(mode).format("xml").option("rowTag", XML_ROW_TAG).save(path)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", backup: bool = False) -> None:
     """A25: JSON sink — atomicity via the job commit protocol (the
     Spark-native form of temp-file-write → validate → rename).
