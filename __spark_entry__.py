@@ -24,8 +24,9 @@ Round 5: 50 registered entries over 121 members — adds
 ``ann_probe_tradeoff`` and ``dedup_incremental_near`` (direct entries)
 plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
 ``multimodal_wav_decode`` (multimodal_family members),
-``lm_unigram_score`` (text_quality) and ``embed_quantize_int8``
-(embed_stats); ingest gains the built-in orc and xml sources.
+``lm_unigram_score`` (text_quality), ``embed_quantize_int8``
+(embed_stats) and ``stream_dedup_keys`` (real streaming dedup,
+event_windows); ingest gains the built-in orc and xml sources.
 """
 
 from __future__ import annotations

@@ -419,6 +419,36 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful deduplication executed for real: the file
+    stream drops all but the first arrival per (user_id, event_type)
+    via ``dropDuplicates`` state, and the emitted KEY SET must equal
+    the batch ``SELECT DISTINCT`` — which row arrives first is
+    arrival-order-dependent, the set of keys is not, so the
+    batch/stream-parity oracle stays exact.
+
+    State note (100 TB): plain ``dropDuplicates`` keeps one state entry
+    per distinct key forever — the correct contract for a global
+    key-registry. A time-bounded pipeline uses
+    ``dropDuplicatesWithinWatermark`` instead, trading re-emission
+    after the watermark for bounded state; that variant's output
+    depends on watermark progress per trigger, so the exact-parity
+    check here pins the deterministic form."""
+    events = read_events_stream(spark, sf_dir)
+    dedup = events.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    sink = _unique_sink("stream_dedup_keys_sink")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _drain_memory_sink(spark, q, sink, "stream_dedup_keys")
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts computed by an actual Structured
     Streaming job (watermark + availableNow + memory sink); the final
@@ -596,6 +626,7 @@ QUERIES = {
     "session_window_10m": session_window_10m,
     "events_dedup_earliest": events_dedup_earliest,
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_dedup_keys": stream_dedup_keys,
     "events_interval_join": events_interval_join,
     "events_asof_join": events_asof_join,
     "events_multi_rollup": events_multi_rollup,
@@ -603,6 +634,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_dedup_keys": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "window_tumbling_hourly": """
         SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
                CAST(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
