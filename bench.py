@@ -56,6 +56,7 @@ HEADLINE = [
     "pack_context_windows",
     "chunk_documents_overlap",
     "paragraph_dedup_corpus",
+    "lm_unigram_score",
 ]
 
 REGRESSION_RATIO = 1.3

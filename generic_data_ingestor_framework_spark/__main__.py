@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--preview", type=int, default=0, help="show N rows after ingest")
     ap.add_argument("--mode", choices=["parity", "bulk"], default="parity")
     ap.add_argument("--lossless", action="store_true", help="keep native types (no all-TEXT projection)")
-    ap.add_argument("--types", default=None, help="comma list of formats (json,csv,parquet)")
+    ap.add_argument("--types", default=None, help="comma list of formats (json,csv,parquet,orc,xml)")
     ap.add_argument(
         "--schema-mode", choices=["sorted", "first_record"], default="sorted",
         help="sorted = CLI-path schema (union of keys); first_record = web-path parity",
