@@ -171,6 +171,37 @@ def _step_quality_filter(df: DataFrame, p: dict) -> DataFrame:
     return df.filter(cond)
 
 
+def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Unigram-LM quality gate: fit a Laplace-smoothed unigram LM over
+    THIS dataset's ``column`` and drop rows whose token cross-entropy
+    exceeds ``max_xent`` (rare/garbled token soup scores high; see
+    ``llm.textstats.lm_unigram_score`` for the corpus-level member).
+    The LM is one hash-aggregate over the exploded token relation,
+    broadcast back for scoring — two shuffles total, no driver-side
+    model beyond the two scalar counts."""
+    col = p.get("column", "text")
+    idc = p["id"]
+    max_xent = float(p.get("max_xent", 12.0))
+    toks = (
+        df.select(idc, F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("__tok"))
+        .filter(F.col("__tok") != "")
+        .groupBy(idc, "__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    lm = toks.groupBy("__tok").agg(F.sum("__n").alias("__c"))
+    sc = lm.agg(F.sum("__c").alias("N"), F.count(F.lit(1)).alias("V")).collect()[0]
+    denom = float(sc["N"] + sc["V"])
+    lp = F.log((F.col("__c") + 1.0) / F.lit(denom))
+    keep = (
+        toks.join(F.broadcast(lm.select("__tok", lp.alias("__lp"))), "__tok")
+        .groupBy(idc)
+        .agg((-F.sum(F.col("__n") * F.col("__lp")) / F.sum("__n")).alias("__xent"))
+        .filter(F.col("__xent") <= max_xent)
+        .select(idc)
+    )
+    return df.join(keep, idc, "semi")
+
+
 def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:
     """Drop rows whose ``column`` shares any k-gram with the benchmark
     source (anti-join against a broadcast benchmark gram set)."""
@@ -275,6 +306,7 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "union": _step_union,
     "chunk_overlap": _step_chunk_overlap,
     "quality_filter": _step_quality_filter,
+    "lm_filter": _step_lm_filter,
     "decontaminate": _step_decontaminate,
     "paragraph_dedup": _step_paragraph_dedup,
 }

@@ -185,3 +185,18 @@ def test_pipeline_paragraph_dedup_passes_blank_rows_through(spark):
     spec = {"op": "paragraph_dedup", "id": "id", "column": "text"}
     out = {r["id"]: r["text"] for r in STEP_REGISTRY["paragraph_dedup"](df, spec).collect()}
     assert out == {1: shared, 2: None, 3: "", 4: "   "}
+
+
+def test_pipeline_lm_filter_drops_token_soup(spark):
+    """lm_filter fits a unigram LM over the dataset and drops rows
+    whose token cross-entropy exceeds the threshold: a fluent row of
+    common tokens survives, a row of corpus-unique gibberish does not."""
+    common = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, "zxqv9 kqpw7 mmtr3 yyel2 bbnn8 ccdd4 eeff6 gghh1"))
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    from generic_data_ingestor_framework_spark.pipeline import STEP_REGISTRY
+
+    out = STEP_REGISTRY["lm_filter"](df, {"id": "id", "max_xent": 4.0})
+    ids = {r["id"] for r in out.collect()}
+    assert 100 not in ids and ids == set(range(8))
