@@ -309,14 +309,23 @@ def parse_bmp(b: bytes) -> tuple[int, int, int, float]:
 
 
 def _decode_bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # record-level continue-on-error (the A24 ethos at codec
+    # granularity): a truncated/corrupt payload yields NULL features
+    # instead of failing the task — one bad image must not kill a
+    # 100 TB decode stage
     for pdf in batches:
-        feats = [parse_bmp(bytes(b)) for b in pdf["content"]]
+        feats = []
+        for b in pdf["content"]:
+            try:
+                feats.append(parse_bmp(bytes(b)))
+            except Exception:
+                feats.append((None, None, None, None))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "width": pd.Series([f[0] for f in feats], dtype="int32"),
-                "height": pd.Series([f[1] for f in feats], dtype="int32"),
-                "bpp": pd.Series([f[2] for f in feats], dtype="int32"),
+                "width": pd.Series([f[0] for f in feats], dtype="Int32"),
+                "height": pd.Series([f[1] for f in feats], dtype="Int32"),
+                "bpp": pd.Series([f[2] for f in feats], dtype="Int32"),
                 "mean_intensity": [f[3] for f in feats],
             }
         )
@@ -374,15 +383,21 @@ def parse_wav(b: bytes) -> tuple[int, int, int, float, float]:
 
 
 def _decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # record-level continue-on-error — see _decode_bmp_batches
     for pdf in batches:
-        feats = [parse_wav(bytes(b)) for b in pdf["content"]]
+        feats = []
+        for b in pdf["content"]:
+            try:
+                feats.append(parse_wav(bytes(b)))
+            except Exception:
+                feats.append((None, None, None, None, None))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "n_channels": pd.Series([f[0] for f in feats], dtype="int32"),
-                "sample_rate": pd.Series([f[1] for f in feats], dtype="int32"),
-                "n_frames": pd.Series([f[2] for f in feats], dtype="int32"),
-                "duration_us": pd.Series([f[3] for f in feats], dtype="int64"),
+                "n_channels": pd.Series([f[0] for f in feats], dtype="Int32"),
+                "sample_rate": pd.Series([f[1] for f in feats], dtype="Int32"),
+                "n_frames": pd.Series([f[2] for f in feats], dtype="Int32"),
+                "duration_us": pd.Series([f[3] for f in feats], dtype="Int64"),
                 "mean_sample": [f[4] for f in feats],
             }
         )

@@ -585,3 +585,23 @@ def test_cluster_assign_collapse_matches_unionfind(spark, tmp_path):
         for r in dedup.dedup_cluster_assign(spark, str(d)).collect()
     }
     assert got == expected
+
+
+def test_multimodal_decoders_null_out_corrupt_payloads(spark, tmp_path):
+    """A corrupt payload must yield NULL features, not a failed task
+    (record-level continue-on-error in the codec stage)."""
+    import pandas as pd
+
+    from generic_data_ingestor_framework_spark.llm import multimodal as mm
+
+    good = mm._bmp_bytes(3)
+    batch = pd.DataFrame({"doc_id": [1, 2, 3], "content": [good, b"BMgarbage", b""]})
+    out = pd.concat(list(mm._decode_bmp_batches(iter([batch]))))
+    assert out.loc[out.doc_id == 1, "width"].iloc[0] == 16 + 3 % 16
+    assert out.loc[out.doc_id == 2, "width"].isna().all()
+    assert out.loc[out.doc_id == 3, "width"].isna().all()
+
+    wav = pd.DataFrame({"doc_id": [1, 2], "content": [mm._wav_bytes(5), b"RIFFjunk"]})
+    wout = pd.concat(list(mm._decode_wav_batches(iter([wav]))))
+    assert wout.loc[wout.doc_id == 1, "n_frames"].iloc[0] == 100 + 5 % 50
+    assert wout.loc[wout.doc_id == 2, "n_frames"].isna().all()
