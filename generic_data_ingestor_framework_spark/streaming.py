@@ -439,14 +439,26 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     sink = _unique_sink("stream_dedup_keys_sink")
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # streaming state partitioning is fixed by shuffle.partitions at the
+    # first checkpoint and AQE never coalesces it — bound it (restored in
+    # finally) so a driver-default session (200) doesn't run 200 state
+    # tasks for a handful of keys; same pattern as
+    # stream_stateful_user_counts
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    return _drain_memory_sink(spark, q, sink, "stream_dedup_keys")
+    try:
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _drain_memory_sink(spark, q, sink, "stream_dedup_keys")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
