@@ -208,6 +208,7 @@ COMPOSITES: dict[str, list[str]] = {
         "multimodal_binary_meta", "multimodal_decode_features",
         "multimodal_frame_sample", "multimodal_resize_buckets",
         "multimodal_bmp_decode", "multimodal_wav_decode",
+        "multimodal_bmp_resize", "multimodal_wav_frames",
     ],
     "sampling_family": [
         "sample_hash_mod", "train_val_test_split", "stratified_sample_per_lang",

@@ -420,10 +420,136 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(_decode_wav_batches, schema=_WAV_SCHEMA)
 
 
+RESIZE_GRID = 4  # thumbnail cells per axis for the real BMP resize
+N_WAV_FRAMES = 4  # frames sampled per clip for the real WAV framing
+
+
+def parse_bmp_pixels(b: bytes) -> tuple[int, int, list[bytes]]:
+    """Pixel rows (top-down, padding stripped) of a 24bpp BMP."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", b, 10)
+    (w,) = struct.unpack_from("<i", b, 18)
+    (h_raw,) = struct.unpack_from("<i", b, 22)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) // 4 * 4
+    rows = [
+        b[pixel_off + y * stride : pixel_off + y * stride + w * bytes_pp]
+        for y in range(h)
+    ]
+    if h_raw > 0:
+        rows.reverse()  # bottom-up storage → top-down pixel order
+    return w, h, rows
+
+
+def _resize_bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Area-average the REAL pixel grid into RESIZE_GRID × RESIZE_GRID
+    cells (floor-division bands, the integer form of area
+    interpolation)."""
+    G = RESIZE_GRID
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "cell_x": [], "cell_y": [], "mean_val": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            try:
+                w, h, rows = parse_bmp_pixels(bytes(content))
+            except Exception:
+                continue  # corrupt payload: no thumbnail (record-level CoE)
+            for cy in range(G):
+                y_lo, y_hi = cy * h // G, (cy + 1) * h // G
+                for cx in range(G):
+                    x_lo, x_hi = cx * w // G, (cx + 1) * w // G
+                    total = cnt = 0
+                    for y in range(y_lo, y_hi):
+                        seg = rows[y][x_lo * 3 : x_hi * 3]
+                        total += sum(seg)
+                        cnt += len(seg)
+                    out["doc_id"].append(doc_id)
+                    out["cell_x"].append(cx)
+                    out["cell_y"].append(cy)
+                    out["mean_val"].append(round(total / cnt / 255.0, 6))
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "cell_x": "int32", "cell_y": "int32"}
+        )
+
+
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over the production path: binaryFile scan →
+    pure-python pixel parse → 4×4 area-average thumbnail per image via
+    mapInPandas (1→16 row expansion; payload bytes never shuffle)."""
+    d = fixture_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(d)
+    src = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1).cast("long").alias("doc_id"),
+        "content",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cell_x", T.IntegerType()),
+            T.StructField("cell_y", T.IntegerType()),
+            T.StructField("mean_val", T.DoubleType()),
+        ]
+    )
+    return src.mapInPandas(_resize_bmp_batches, schema=schema)
+
+
+def _frame_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Uniform frame sampling over the REAL decoded samples: the clip
+    is cut into N_WAV_FRAMES floor-division bands and each frame
+    reports its sample count + mean amplitude."""
+    K = N_WAV_FRAMES
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "n_samples": [], "mean_sample": []
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            try:
+                with wave.open(io.BytesIO(bytes(content)), "rb") as wv:
+                    n = wv.getnframes()
+                    samples = struct.unpack(f"<{n}h", wv.readframes(n))
+            except Exception:
+                continue  # corrupt payload: no frames (record-level CoE)
+            for f in range(K):
+                lo, hi = f * n // K, (f + 1) * n // K
+                seg = samples[lo:hi]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(f)
+                out["n_samples"].append(len(seg))
+                out["mean_sample"].append(round(sum(seg) / len(seg), 4))
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "frame_idx": "int32", "n_samples": "int32"}
+        )
+
+
+def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame sampling over the production path: binaryFile
+    scan → stdlib wave decode → uniform frame bands via mapInPandas
+    (1→K expansion; only frame descriptors leave the map stage)."""
+    d = fixture_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(d)
+    src = files.select(
+        F.regexp_extract(F.col("path"), r"snd_(\d+)\.wav$", 1).cast("long").alias("doc_id"),
+        "content",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("mean_sample", T.DoubleType()),
+        ]
+    )
+    return src.mapInPandas(_frame_wav_batches, schema=schema)
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_bmp_resize": multimodal_bmp_resize,
+    "multimodal_wav_frames": multimodal_wav_frames,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize_buckets": multimodal_resize_buckets,
@@ -463,6 +589,32 @@ ORACLES = {
                     // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_us,
                round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_sample
         FROM smp GROUP BY doc_id
+    """,
+    "multimodal_bmp_resize": f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE {FIXTURE_PRED}),
+        px AS (
+          SELECT doc_id, t.y, (doc_id + t.y) % 256 AS v, 8 + doc_id % 8 AS h
+          FROM ids, range(0, 16) t(y) WHERE t.y < 8 + doc_id % 8
+        )
+        SELECT doc_id, CAST(cx.c AS INT) AS cell_x, CAST(cy.c AS INT) AS cell_y,
+               round(avg(CAST(v AS DOUBLE)) / 255.0, 6) AS mean_val
+        FROM px, range(0, {RESIZE_GRID}) cx(c), range(0, {RESIZE_GRID}) cy(c)
+        WHERE y >= cy.c * h // {RESIZE_GRID} AND y < (cy.c + 1) * h // {RESIZE_GRID}
+        GROUP BY doc_id, cx.c, cy.c
+    """,
+    "multimodal_wav_frames": f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE {FIXTURE_PRED}),
+        smp AS (
+          SELECT doc_id, t.i, ((doc_id * 31 + t.i * 17) % 65536) - 32768 AS s,
+                 100 + doc_id % 50 AS n
+          FROM ids, range(0, 150) t(i) WHERE t.i < 100 + doc_id % 50
+        )
+        SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+               CAST(count(*) AS INT) AS n_samples,
+               round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_sample
+        FROM smp, range(0, {N_WAV_FRAMES}) f(f)
+        WHERE i >= f.f * n // {N_WAV_FRAMES} AND i < (f.f + 1) * n // {N_WAV_FRAMES}
+        GROUP BY doc_id, f.f
     """,
     "multimodal_binary_meta": """
         SELECT doc_id,
