@@ -20,10 +20,11 @@ Round 4: 48 registered entries over 115 members — adds
 reads ``ts`` as native ``timestamp[us]``; shared intermediates persist
 once per session via ``cachemgr``.
 
-Round 5: 50 registered entries over 121 members — adds
+Round 5: 50 registered entries over 124 members — adds
 ``ann_probe_tradeoff`` and ``dedup_incremental_near`` (direct entries)
 plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
-``multimodal_wav_decode`` (multimodal_family members),
+``multimodal_wav_decode`` / ``multimodal_bmp_resize`` /
+``multimodal_wav_frames`` (multimodal_family members),
 ``lm_unigram_score`` (text_quality), ``embed_quantize_int8``
 (embed_stats) and ``stream_dedup_keys`` (real streaming dedup,
 event_windows); ingest gains the built-in orc and xml sources.
