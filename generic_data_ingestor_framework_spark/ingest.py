@@ -47,6 +47,13 @@ XML_ROW_TAG = "record"
 _SNIFF_BYTES = 64 * 1024
 
 
+def _logical_path(p: str) -> str:
+    """Path with a trailing ``.gz`` stripped: Spark's text readers
+    decompress by codec extension, so every FORMAT decision (layout,
+    separator, multiline) must look at the inner extension."""
+    return p[:-3] if p.lower().endswith(".gz") else p
+
+
 def detect_encoding(path: str | Path) -> str:
     """A6: byte-sniff the encoding before handing the file to Spark.
 
@@ -55,9 +62,16 @@ def detect_encoding(path: str | Path) -> str:
     reference instead decodes strictly and falls back
     (`file_handler.py:147-170`, 1 KB probe at `:373-385`). Sniff the
     head bytes with strict decoding and return the first encoding that
-    round-trips."""
-    with open(path, "rb") as f:
-        head = f.read(_SNIFF_BYTES)
+    round-trips. Gzip members are sniffed on DECOMPRESSED bytes (the
+    encoding option applies after Spark's codec decompression)."""
+    if str(path).lower().endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            head = f.read(_SNIFF_BYTES)
+    else:
+        with open(path, "rb") as f:
+            head = f.read(_SNIFF_BYTES)
     if head.startswith(b"\xef\xbb\xbf"):
         return "UTF-8"  # BOM: Spark strips it in multiLine mode
     for enc in FALLBACK_ENCODINGS:
@@ -107,7 +121,7 @@ def read_json_file(
     line-delimited, `.json` is a whole-file array/object."""
     p = str(path)
     if multiline is None:
-        multiline = not p.endswith((".jsonl", ".ndjson"))
+        multiline = not _logical_path(p).endswith((".jsonl", ".ndjson"))
     enc = detect_encoding(p)
     df = (
         spark.read.option("multiLine", str(multiline).lower())
@@ -235,7 +249,7 @@ def read_csv_file(
     Accepts a path list for the bulk mode's one-scan-per-format read
     (separator taken from the first path's extension)."""
     paths = [str(x) for x in path] if isinstance(path, list) else [str(path)]
-    sep = _CSV_SEPARATORS.get(Path(paths[0]).suffix.lower(), ",")
+    sep = _CSV_SEPARATORS.get(Path(_logical_path(paths[0])).suffix.lower(), ",")
     return (
         spark.read.option("header", str(header).lower())
         .option("sep", sep)
@@ -259,9 +273,15 @@ def read_csv_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
     silent misalignment at any file count."""
     groups: dict[tuple[str, str], list[str]] = {}
     for p in paths:
-        sep = _CSV_SEPARATORS.get(Path(p).suffix.lower(), ",")
-        with open(p, encoding="utf-8", errors="replace") as fh:
-            header = fh.readline().rstrip("\r\n")
+        sep = _CSV_SEPARATORS.get(Path(_logical_path(p)).suffix.lower(), ",")
+        if p.lower().endswith(".gz"):
+            import gzip
+
+            with gzip.open(p, "rt", encoding="utf-8", errors="replace") as fh:
+                header = fh.readline().rstrip("\r\n")
+        else:
+            with open(p, encoding="utf-8", errors="replace") as fh:
+                header = fh.readline().rstrip("\r\n")
         groups.setdefault((sep, header), []).append(p)
     frames = [read_csv_file(spark, ps) for ps in groups.values()]
     out = frames[0]
@@ -473,8 +493,8 @@ def read_json_paths_bulk(spark: SparkSession, paths: list[str]) -> DataFrame:
     scan can't be counted/aggregated on its own (Spark restriction), and
     at scale you route bad records to a quarantine prefix via
     ``badRecordsPath`` rather than carrying them in-plan."""
-    line_delim = [p for p in paths if p.endswith((".jsonl", ".ndjson"))]
-    whole_file = [p for p in paths if not p.endswith((".jsonl", ".ndjson"))]
+    line_delim = [p for p in paths if _logical_path(p).endswith((".jsonl", ".ndjson"))]
+    whole_file = [p for p in paths if not _logical_path(p).endswith((".jsonl", ".ndjson"))]
     frames = []
     for group, multiline in ((whole_file, "true"), (line_delim, "false")):
         if group:
@@ -515,7 +535,17 @@ def unify_schema_first_record(df: DataFrame, first_file: str | Path | None = Non
     ]
     if first_file is not None:
         try:
-            with open(first_file, encoding=detect_encoding(first_file)) as fh:
+            if str(first_file).lower().endswith(".gz"):
+                import gzip
+
+                opener = lambda: gzip.open(  # noqa: E731
+                    first_file, "rt", encoding=detect_encoding(first_file)
+                )
+            else:
+                opener = lambda: open(  # noqa: E731
+                    first_file, encoding=detect_encoding(first_file)
+                )
+            with opener() as fh:
                 data = json.load(fh)
             rec0 = (
                 next((x for x in data if isinstance(x, dict)), None)

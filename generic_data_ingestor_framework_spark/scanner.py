@@ -67,7 +67,15 @@ class FileScanner:
         self.stats = ScanStats()
 
     def classify_file(self, path: Path) -> str | None:
-        return EXTENSION_MAP.get(path.suffix.lower())
+        """Extension → format family; a trailing ``.gz`` is transparent
+        for the TEXT formats (``x.jsonl.gz`` → json — Spark's readers
+        decompress by codec extension). Columnar formats compress
+        internally, so ``.parquet.gz``/``.orc.gz`` stay unclassified."""
+        suffix = path.suffix.lower()
+        if suffix == ".gz":
+            inner = EXTENSION_MAP.get(Path(path.stem).suffix.lower())
+            return inner if inner in ("json", "csv", "xml") else None
+        return EXTENSION_MAP.get(suffix)
 
     def _should_ignore(self, path: Path) -> bool:
         name = path.name

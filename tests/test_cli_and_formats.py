@@ -122,3 +122,32 @@ def test_orc_and_xml_ingest_roundtrip(spark, tmp_path):
             assert {r["id"] for r in rows} == {"1", "2"}
         else:
             assert {r["id"] for r in rows} == {1, 2}
+
+
+def test_gzip_text_formats_ingest(spark, tmp_path):
+    """.json.gz / .jsonl.gz / .tsv.gz classify to their inner format
+    and ingest through Spark's transparent codec decompression, in both
+    parity and bulk modes (layout + separator decided on the inner
+    extension, encoding sniffed on decompressed bytes)."""
+    import gzip
+    import json as _json
+
+    from generic_data_ingestor_framework_spark.ingest import ingest_directory
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    with gzip.open(d / "arr.json.gz", "wt", encoding="utf-8") as fh:
+        fh.write(_json.dumps([{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]))
+    with gzip.open(d / "lines.jsonl.gz", "wt", encoding="utf-8") as fh:
+        fh.write('{"id": 3, "name": "c"}\n{"id": 4, "name": "d"}\n')
+    with gzip.open(d / "tab.tsv.gz", "wt", encoding="utf-8") as fh:
+        fh.write("id\tname\n5\te\n")
+
+    for mode in ("parity", "bulk"):
+        df, report = ingest_directory(spark, d, mode=mode)
+        assert report.files_processed == 3, (mode, report.errors)
+        rows = {r["id"] if mode == "bulk" else int(r["id"]): r["name"]
+                for r in df.select("id", "name").collect()}
+        # bulk json keeps native ints; parity is all-TEXT; tsv ids are text
+        rows = {int(k): v for k, v in rows.items()}
+        assert rows == {1: "a", 2: "b", 3: "c", 4: "d", 5: "e"}, (mode, rows)
