@@ -29,13 +29,40 @@ from collections.abc import Callable, Hashable
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
-# Keyed weakly on the live SparkSession object: when a session is stopped
-# and garbage-collected, its entries vanish with it, so a new session that
-# happens to reuse the same id() can never observe a stale DataFrame bound
-# to the dead session, and dead-session entries don't pin driver objects.
-_REGISTRY: "weakref.WeakKeyDictionary[SparkSession, dict[Hashable, DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+# Entries are keyed by id(session) in plain dicts. A weak-keyed map
+# cannot release anything here: the cached DataFrames strongly
+# reference their SparkSession, so as long as a session's entries are
+# registered the session itself is pinned by design. Lifecycle instead
+# follows the active session: when a DIFFERENT session first touches
+# the registry, every other session's entries are unpersisted and
+# purged — releasing the old session (its finalizer then fires) before
+# its id() could ever be reused by a newer object, so stale-id
+# aliasing is impossible and one stopped session never pins a second
+# session's worth of driver objects. Two concurrently interleaved
+# sessions would thrash rebuilds (correctness unaffected); the engine,
+# tests, gate, and bench all run one session at a time.
+_REGISTRY: dict[tuple, DataFrame] = {}
+_VALUES: dict[tuple, object] = {}
+_CURRENT_SID: list[int] = []  # 1-element holder for the active session id
+
+
+def _purge_except(sid: int) -> None:
+    for k in [k for k in _REGISTRY if k[0] != sid]:
+        try:
+            _REGISTRY[k].unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+        del _REGISTRY[k]
+    for k in [k for k in _VALUES if k[0] != sid]:
+        del _VALUES[k]
+
+
+def _track(spark: SparkSession) -> int:
+    sid = id(spark)
+    if not _CURRENT_SID or _CURRENT_SID[0] != sid:
+        _purge_except(sid)
+        _CURRENT_SID[:] = [sid]
+    return sid
 
 
 def shared_persist(
@@ -48,45 +75,31 @@ def shared_persist(
     persisting it on first use. ``builder`` must be deterministic for
     the key (the key should encode every input that changes the result,
     e.g. ``("shingles", sf_dir)``)."""
-    per_session = _REGISTRY.get(spark)
-    if per_session is None:
-        per_session = {}
-        _REGISTRY[spark] = per_session
-    df = per_session.get(key)
+    full = (_track(spark), key)
+    df = _REGISTRY.get(full)
     if df is not None:
         return df
     df = builder().persist(storage or StorageLevel.MEMORY_AND_DISK)
-    per_session[key] = df
+    _REGISTRY[full] = df
     return df
-
-
-# Driver-held scalar results (model constants, centroid lists — KB-sized),
-# memoized per session with the same weak-keyed lifetime as the relations.
-_VALUES: "weakref.WeakKeyDictionary[SparkSession, dict[Hashable, object]]" = (
-    weakref.WeakKeyDictionary()
-)
 
 
 def shared_value(spark: SparkSession, key: Hashable, builder: Callable[[], object]):
     """Memoize a driver-sized value (NOT a DataFrame) per (session, key):
     the first call runs ``builder`` (typically one collect job), later
     calls in the same session return the cached value with zero jobs."""
-    per_session = _VALUES.get(spark)
-    if per_session is None:
-        per_session = {}
-        _VALUES[spark] = per_session
-    if key not in per_session:
-        per_session[key] = builder()
-    return per_session[key]
+    full = (_track(spark), key)
+    if full not in _VALUES:
+        _VALUES[full] = builder()
+    return _VALUES[full]
 
 
 def clear_caches() -> None:
-    """Unpersist and forget every registered relation (all live sessions)."""
-    for per_session in list(_REGISTRY.values()):
-        for df in per_session.values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped — nothing to release
+    """Unpersist and forget every registered relation (all sessions)."""
+    for df in _REGISTRY.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
     _REGISTRY.clear()
     _VALUES.clear()

@@ -453,8 +453,14 @@ def ingest_directory(
                 # salvage re-parse loses input_file_name(); pin lineage
                 clean = clean.withColumn(SOURCE_COL, F.lit(Path(path).name))
             frames.append(clean)
-            if first_path is None and ftype == "json":
-                first_path = path  # record-0 key order source (web path)
+            if first_path is None:
+                # record-0 key-order source (web path): ONLY the first
+                # processed file overall qualifies, and only when it is
+                # JSON — if a CSV/parquet frame leads, df.limit(1)'s
+                # record 0 comes from THAT frame and imposing a later
+                # JSON file's key order would mix two files' contracts
+                # (CSV frames already carry their header order natively)
+                first_path = path if ftype == "json" else ""
             report.files_processed += 1
             report.total_records += n
         except Exception as ex:  # noqa: BLE001 — A24 continue-on-error
@@ -470,7 +476,7 @@ def ingest_directory(
     )
     if df is not None:
         df = (
-            unify_schema_first_record(df, first_file=first_path)
+            unify_schema_first_record(df, first_file=first_path or None)
             if schema_mode == "first_record"
             else unify_schema_sorted(df)
         )

@@ -259,6 +259,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()  # collapse within-doc hash collisions (oracle ditto)
             .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
             .filter(F.col("df") <= DF_CAP)
+            .drop("df")  # nothing downstream reads it — don't persist it
         )
 
     # the capped hashed relation IS the inverted index: persist it once

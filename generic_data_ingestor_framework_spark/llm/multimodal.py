@@ -252,13 +252,24 @@ def _wav_bytes(doc_id: int) -> bytes:
 
 
 def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the BMP/WAV fixture corpus for ``sf_dir`` once per
-    session (driver-sized: ≤40 small files) and return its path."""
+    """Materialize the BMP/WAV fixture corpus for ``sf_dir`` (driver-
+    sized: ≤40 small files) and return its path. The path is
+    DETERMINISTIC per sf_dir and reused across sessions and
+    clear_caches() calls (a ``_COMPLETE`` marker gates reuse), so
+    repeated gate/bench runs never accumulate orphaned temp dirs —
+    fixture bytes are pure functions of doc_id, making reuse safe."""
+    import hashlib
     import tempfile
+    from pathlib import Path as _P
 
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
 
     def build() -> str:
+        tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+        d = _P(tempfile.gettempdir()) / f"gdif_mm_fixtures_{tag}"
+        if (d / "_COMPLETE").exists():
+            return str(d)
+        d.mkdir(parents=True, exist_ok=True)
         ids = [
             r["doc_id"]
             for r in load_table(spark, sf_dir, "documents")
@@ -266,13 +277,11 @@ def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id")
             .collect()
         ]
-        d = tempfile.mkdtemp(prefix="mm_fixtures_")
         for i in ids:
-            with open(f"{d}/img_{i}.bmp", "wb") as fh:
-                fh.write(_bmp_bytes(i))
-            with open(f"{d}/snd_{i}.wav", "wb") as fh:
-                fh.write(_wav_bytes(i))
-        return d
+            (d / f"img_{i}.bmp").write_bytes(_bmp_bytes(i))
+            (d / f"snd_{i}.wav").write_bytes(_wav_bytes(i))
+        (d / "_COMPLETE").write_text("ok")
+        return str(d)
 
     return shared_value(spark, ("mm_fixture_dir", sf_dir), build)
 

@@ -349,7 +349,8 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
         ).collect()[0].asDict(),
     )
-    denom = float(sc["n_total"] + sc["vocab"])
+    # empty corpus: no tokens anywhere -> empty result, not a TypeError
+    denom = float((sc["n_total"] or 0) + sc["vocab"]) or 1.0
     lp = F.log((F.col("c") + 1.0) / F.lit(denom))
     return (
         toks.join(F.broadcast(lm.select("tok", lp.alias("lp"))), "tok")

@@ -182,6 +182,11 @@ def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
     col = p.get("column", "text")
     idc = p["id"]
     max_xent = float(p.get("max_xent", 12.0))
+    # rows with no tokens have no cross-entropy to evaluate: pass them
+    # through UNCHANGED (same contract as paragraph_dedup's blank rows)
+    is_blank = F.col(col).isNull() | (F.trim(F.col(col)) == "")
+    blank_rows = df.filter(is_blank)
+    df = df.filter(~is_blank)
     toks = (
         df.select(idc, F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("__tok"))
         .filter(F.col("__tok") != "")
@@ -190,6 +195,8 @@ def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
     )
     lm = toks.groupBy("__tok").agg(F.sum("__n").alias("__c"))
     sc = lm.agg(F.sum("__c").alias("N"), F.count(F.lit(1)).alias("V")).collect()[0]
+    if sc["N"] is None:  # zero tokens anywhere: nothing scoreable
+        return df.unionByName(blank_rows)
     denom = float(sc["N"] + sc["V"])
     lp = F.log((F.col("__c") + 1.0) / F.lit(denom))
     keep = (
@@ -199,7 +206,7 @@ def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
         .filter(F.col("__xent") <= max_xent)
         .select(idc)
     )
-    return df.join(keep, idc, "semi")
+    return df.join(keep, idc, "semi").unionByName(blank_rows)
 
 
 def _step_decontaminate(df: DataFrame, p: dict) -> DataFrame:

@@ -208,13 +208,23 @@ def _one_row_per_key(
     from pyspark.sql import functions as _F
 
     if order_col is not None:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
-        # MapType columns are not orderable (orderBy raises) and not
-        # hashable by F.hash — skip them in the deterministic tie-break;
-        # the remaining columns still pin a winner for real CDC feeds.
+        # Spark's orderability rule excludes MapType at ANY nesting
+        # depth (array<map<...>>, struct fields, ...) — skip such
+        # columns in the deterministic tie-break; the remaining columns
+        # still pin a winner for real CDC feeds.
+        def _has_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
+
         unorderable = {
-            f.name for f in updates.schema.fields if isinstance(f.dataType, MapType)
+            f.name for f in updates.schema.fields if _has_map(f.dataType)
         }
         rest = [
             c for c in updates.columns if c not in key_cols and c not in unorderable

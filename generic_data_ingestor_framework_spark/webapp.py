@@ -69,6 +69,24 @@ def _make_handler(state: _State):
             self.wfile.write(body)
 
         def do_GET(self) -> None:  # noqa: N802 — http.server contract
+            try:
+                self._get()
+            except Exception as ex:  # noqa: BLE001 — JSON contract, like the UI's st.error
+                try:
+                    self._json({"error": f"{type(ex).__name__}: {ex}"}, 500)
+                except Exception:
+                    pass  # client already gone
+
+        def do_POST(self) -> None:  # noqa: N802 — http.server contract
+            try:
+                self._post()
+            except Exception as ex:  # noqa: BLE001 — JSON contract, like the UI's st.error
+                try:
+                    self._json({"error": f"{type(ex).__name__}: {ex}"}, 500)
+                except Exception:
+                    pass  # client already gone
+
+        def _get(self) -> None:
             url = urlparse(self.path)
             q = parse_qs(url.query)
             if url.path == "/":
@@ -110,7 +128,7 @@ def _make_handler(state: _State):
             else:
                 self._json({"error": "not found"}, 404)
 
-        def do_POST(self) -> None:  # noqa: N802 — http.server contract
+        def _post(self) -> None:
             url = urlparse(self.path)
             q = parse_qs(url.query)
             n = int(self.headers.get("Content-Length", "0"))

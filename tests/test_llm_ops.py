@@ -395,9 +395,10 @@ def test_connected_components_matches_union_find(spark):
 
 
 def test_cachemgr_shared_value_memoizes_per_session(spark):
-    """shared_value runs its builder once per (session, key); the weak
-    session keying means entries die with the session instead of being
-    pinned by id()-reuse."""
+    """shared_value runs its builder once per (session, key); a NEW
+    session taking over the registry purges the old session's entries
+    (releasing the old session — cached DataFrames pin their session,
+    so weak keying alone could never free anything)."""
     from generic_data_ingestor_framework_spark import cachemgr
 
     calls = []
@@ -605,3 +606,38 @@ def test_multimodal_decoders_null_out_corrupt_payloads(spark, tmp_path):
     wout = pd.concat(list(mm._decode_wav_batches(iter([wav]))))
     assert wout.loc[wout.doc_id == 1, "n_frames"].iloc[0] == 100 + 5 % 50
     assert wout.loc[wout.doc_id == 2, "n_frames"].isna().all()
+
+
+def test_cachemgr_releases_previous_session_on_takeover():
+    """The registry must not pin a stopped session once a new session
+    starts using it: entries (which strongly reference their session
+    via the cached DataFrames) are purged on takeover."""
+    import gc
+    import weakref
+
+    from generic_data_ingestor_framework_spark import cachemgr
+
+    class FakeDF:
+        def __init__(self, sess):
+            self._session = sess
+
+        def persist(self, *_a):
+            return self
+
+        def unpersist(self):
+            pass
+
+    class FakeSession:
+        pass
+
+    s1 = FakeSession()
+    ref1 = weakref.ref(s1)
+    cachemgr.shared_persist(s1, ("probe",), lambda: FakeDF(s1))
+    del s1
+    gc.collect()
+    assert ref1() is not None  # pinned while registered — by design
+    s2 = FakeSession()
+    cachemgr.shared_persist(s2, ("probe",), lambda: FakeDF(s2))
+    gc.collect()
+    assert ref1() is None, "previous session still pinned after takeover"
+    cachemgr.clear_caches()

@@ -242,3 +242,22 @@ def test_merge_into_order_col_tolerates_map_columns(spark):
     assert stats == {"updated": 1, "inserted": 1, "total": 2}
     rows = {r["id"]: (r["seq"], dict(r["props"])) for r in spark.table(t).collect()}
     assert rows == {1: (3, {"k": "new"}), 2: (1, {"k": "ins"})}
+
+
+def test_merge_into_order_col_tolerates_nested_map_columns(spark):
+    """Orderability excludes maps at ANY depth: array<map<...>> must be
+    skipped by the tie-break too."""
+    t = "t_merge_nested_map"
+    base = spark.createDataFrame(
+        [(1, 1, [{"k": "old"}])],
+        "id bigint, seq bigint, tags array<map<string,string>>",
+    )
+    base.write.mode("overwrite").saveAsTable(t)
+    updates = spark.createDataFrame(
+        [(1, 2, [{"k": "new"}]), (1, 3, [{"k": "newest"}])],
+        "id bigint, seq bigint, tags array<map<string,string>>",
+    )
+    stats = sink.merge_into(spark, t, updates, ["id"], order_col="seq")
+    assert stats == {"updated": 1, "inserted": 0, "total": 1}
+    row = spark.table(t).collect()[0]
+    assert row["seq"] == 3 and dict(row["tags"][0]) == {"k": "newest"}
