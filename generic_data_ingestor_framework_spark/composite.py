@@ -201,7 +201,9 @@ COMPOSITES: dict[str, list[str]] = {
         "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
         "lm_unigram_score",
     ],
-    "doc_fingerprints": ["doc_fingerprint", "doc_rolling_hash"],
+    "doc_fingerprints": [
+        "doc_fingerprint", "doc_rolling_hash", "dedup_segments_within_doc",
+    ],
     "term_stats": ["corpus_bigram_topk", "tfidf_top_terms"],
     "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
     "multimodal_family": [

@@ -232,6 +232,36 @@ def paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_segments_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal: cut each document into
+    consecutive ``SEG_TOKENS``-token segments and keep only the FIRST
+    occurrence of each distinct segment content inside that document —
+    the intra-doc half of CCNet-style repetition cleaning
+    (``paragraph_dedup_corpus`` is the cross-corpus half). Reports the
+    md5 of the surviving text so content, not just counts, is checked.
+
+    Scale shape: ENTIRELY map-only — segments, first-occurrence dedup
+    (``array_distinct`` preserves first-occurrence order), and the
+    reconstruction all happen as array expressions inside one narrow
+    projection. Zero shuffles at any corpus size; this is the plan you
+    want before paying the cross-corpus shuffle."""
+    toks = _docs_with_tokens(spark, sf_dir)
+    n_segs = F.greatest(
+        F.ceil(F.size("ts") / F.lit(float(SEG_TOKENS))).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda p: F.array_join(F.slice("ts", p * SEG_TOKENS + 1, SEG_TOKENS), " "),
+    )
+    kept = F.array_distinct(segs)
+    return toks.select(
+        "doc_id",
+        F.size(segs).alias("n_segments"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
+
+
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape quality flags per document: word
     count band, mean word length band, duplicate-token fraction cap —
@@ -264,6 +294,7 @@ QUERIES = {
     "pack_context_windows": pack_context_windows,
     "chunk_documents_overlap": chunk_documents_overlap,
     "paragraph_dedup_corpus": paragraph_dedup_corpus,
+    "dedup_segments_within_doc": dedup_segments_within_doc,
     "gopher_quality_flags": gopher_quality_flags,
 }
 
@@ -280,6 +311,29 @@ _GRAMS_CTE = f"""
 """
 
 ORACLES = {
+    "dedup_segments_within_doc": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        segs AS (
+          SELECT doc_id, CAST(p.p AS INT) AS pos,
+                 array_to_string(ts[p.p * {SEG_TOKENS} + 1 : (p.p + 1) * {SEG_TOKENS}], ' ') AS seg
+          FROM tok, range(0, 1024) p(p)
+          WHERE p.p < greatest(CAST(ceil(len(ts) / {SEG_TOKENS}.0) AS INT), 1)
+        ),
+        firsts AS (
+          SELECT doc_id, seg, min(pos) AS first_pos FROM segs GROUP BY doc_id, seg
+        ),
+        counts AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_segments FROM segs GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                 md5(string_agg(seg, ' ' ORDER BY first_pos)) AS kept_md5
+          FROM firsts GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.n_segments, k.n_kept, k.kept_md5
+        FROM counts c JOIN kept k USING (doc_id)
+    """,
+
     "decontaminate_against_benchmark": f"""
         WITH {_GRAMS_CTE},
         bench_grams AS (SELECT DISTINCT gram FROM grams WHERE bench),
