@@ -29,21 +29,23 @@ from collections.abc import Callable, Hashable
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
-# Entries are keyed by id(session) in plain dicts. A weak-keyed map
-# cannot release anything here: the cached DataFrames strongly
-# reference their SparkSession, so as long as a session's entries are
-# registered the session itself is pinned by design. Lifecycle instead
-# follows the active session: when a DIFFERENT session first touches
-# the registry, every other session's entries are unpersisted and
-# purged — releasing the old session (its finalizer then fires) before
-# its id() could ever be reused by a newer object, so stale-id
-# aliasing is impossible and one stopped session never pins a second
-# session's worth of driver objects. Two concurrently interleaved
-# sessions would thrash rebuilds (correctness unaffected); the engine,
-# tests, gate, and bench all run one session at a time.
+# Entries are keyed by a per-session token minted on first touch and
+# stored AS AN ATTRIBUTE of the session object, so the token dies with
+# the session and can never alias a later session the way a recycled
+# id() could. A weak-keyed map cannot release anything here: the cached
+# DataFrames strongly reference their SparkSession, so as long as a
+# session's entries are registered the session itself is pinned by
+# design. Lifecycle instead follows the active session: when a
+# DIFFERENT session first touches the registry, every other session's
+# entries are unpersisted and purged, so one stopped session never pins
+# a second session's worth of driver objects. Two concurrently
+# interleaved sessions would thrash rebuilds (correctness unaffected);
+# the engine, tests, gate, and bench all run one session at a time.
 _REGISTRY: dict[tuple, DataFrame] = {}
 _VALUES: dict[tuple, object] = {}
-_CURRENT_SID: list[int] = []  # 1-element holder for the active session id
+_CURRENT_SID: list[int] = []  # 1-element holder for the active session token
+_TOKEN_ATTR = "_gdifs_cache_token"
+_NEXT_TOKEN = [0]
 
 
 def _purge_except(sid: int) -> None:
@@ -58,7 +60,11 @@ def _purge_except(sid: int) -> None:
 
 
 def _track(spark: SparkSession) -> int:
-    sid = id(spark)
+    sid = getattr(spark, _TOKEN_ATTR, None)
+    if sid is None:
+        _NEXT_TOKEN[0] += 1
+        sid = _NEXT_TOKEN[0]
+        setattr(spark, _TOKEN_ATTR, sid)
     if not _CURRENT_SID or _CURRENT_SID[0] != sid:
         _purge_except(sid)
         _CURRENT_SID[:] = [sid]
