@@ -20,14 +20,17 @@ Round 4: 48 registered entries over 115 members — adds
 reads ``ts`` as native ``timestamp[us]``; shared intermediates persist
 once per session via ``cachemgr``.
 
-Round 5: 50 registered entries over 125 members — adds
+Round 5: 50 registered entries over 127 members — adds
 ``ann_probe_tradeoff`` and ``dedup_incremental_near`` (direct entries)
 plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
 ``multimodal_wav_decode`` / ``multimodal_bmp_resize`` /
 ``multimodal_wav_frames`` (multimodal_family members),
 ``lm_unigram_score`` (text_quality), ``embed_quantize_int8``
-(embed_stats) and ``stream_dedup_keys`` (real streaming dedup,
-event_windows); ingest gains the built-in orc and xml sources.
+(embed_stats), ``stream_dedup_keys`` (real streaming dedup,
+event_windows) and the in-engine BPE tokenizer trainer
+``bpe_train_merges`` / ``bpe_vocab_topk`` (term_stats members,
+oracle-checked against an unrolled DuckDB CTE chain); ingest gains
+the built-in orc and xml sources.
 """
 
 from __future__ import annotations

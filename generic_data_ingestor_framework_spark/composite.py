@@ -204,7 +204,10 @@ COMPOSITES: dict[str, list[str]] = {
     "doc_fingerprints": [
         "doc_fingerprint", "doc_rolling_hash", "dedup_segments_within_doc",
     ],
-    "term_stats": ["corpus_bigram_topk", "tfidf_top_terms"],
+    "term_stats": [
+        "corpus_bigram_topk", "tfidf_top_terms", "bpe_train_merges",
+        "bpe_vocab_topk",
+    ],
     "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
     "multimodal_family": [
         "multimodal_binary_meta", "multimodal_decode_features",

@@ -18,10 +18,11 @@ from generic_data_ingestor_framework_spark.llm import (
     sampling,
     similarity,
     textstats,
+    tokenize,
 )
 
 QUERIES = {}
 ORACLES = {}
-for _m in (dedup, similarity, textstats, multimodal, sampling, classify, curate):
+for _m in (dedup, similarity, textstats, multimodal, sampling, classify, curate, tokenize):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

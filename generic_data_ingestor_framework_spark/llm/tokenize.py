@@ -1,0 +1,261 @@
+"""In-engine BPE tokenizer training: learn byte-pair-encoding merges
+from the corpus with distributed pair counting.
+
+This is the missing tokenizer stage of the training-data pipeline: the
+reference stops at ingestion (SURVEY §2 has no tokenizer); a 100 TB
+pretraining pipeline trains its subword vocabulary on the corpus
+itself. The classic algorithm (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") is inherently
+iterative — pick the most frequent adjacent symbol pair, merge it,
+repeat — but maps onto Spark cleanly because each iteration is ONE
+hash-aggregate over the *distinct-word* relation, not the corpus:
+
+- one corpus-scale job builds ``word → count`` (map-side combinable,
+  the relation is vocab-sized from then on — at 100 TB the distinct
+  words of even a multilingual web corpus are ~10⁸ rows, executor-
+  resident),
+- each merge iteration shuffles (pair, count) partial aggregates and
+  collects exactly ONE row (the argmax pair) to the driver — the
+  driver holds the merge table (``BPE_MERGES`` rows), never data,
+- merge application is a pure projection (string replace over the
+  symbol string), so Catalyst keeps it inside whole-stage codegen.
+
+Symbol strings are space-separated (``"c a t </w>"``); a merge of pair
+``A B`` is applied with the double-space trick so that CONSECUTIVE
+occurrences sharing a boundary space all merge in one left-to-right
+``replace`` pass (``replace`` in Spark, DuckDB, and Python all scan
+the original string and continue after each replacement, so a naive
+``' A B '`` pattern would skip every second occurrence in runs like
+``A B A B``):
+
+    double every space → gaps become 2 spaces, so each occurrence of
+    `` A  B `` owns a private flanking space → literal replace with
+    `` AB `` → collapse double spaces → trim sentinels.
+
+Determinism contract (cross-engine): pair counts are exact integers;
+the argmax tie-breaks on the pair string ascending. The DuckDB oracle
+is the same algorithm unrolled into a static CTE chain (one
+``p_k/b_k/w_k`` stage per merge), so the gate verifies every learned
+merge, its count, and the resulting vocabulary byte-for-byte.
+
+Tested against a pure-python reference implementation (including the
+consecutive-pair and overlapping-run hazards) in
+``tests/test_llm_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
+
+BPE_MERGES = 10   # merges learned by the gate queries (parameterizable)
+VOCAB_TOPK = 20   # rows reported by bpe_vocab_topk
+END_MARK = "</w>" # end-of-word symbol (single symbol, appended per word)
+
+_MERGES_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("pair", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+        T.StructField("n_occ", T.LongType(), False),
+    ]
+)
+
+
+def _init_syms(word_col) -> F.Column:
+    """``"cat"`` → ``"c a t </w>"``: one space-separated symbol per
+    character plus the end-of-word marker. ``regexp_replace`` is global
+    in Spark; '.' matches one codepoint (words contain no whitespace)."""
+    return F.concat(F.regexp_replace(word_col, "(.)", "$1 "), F.lit(END_MARK))
+
+
+def apply_merge(sym_col, pair: str) -> F.Column:
+    """Apply one learned merge (``pair`` = ``"A B"``) to a symbol
+    string, merging EVERY occurrence including consecutive runs.
+    Patterns are bound as literals (``F.replace``), never spliced into
+    SQL text, so hostile symbol content cannot break the plan."""
+    doubled_pair = pair.replace(" ", "  ")
+    merged = pair.replace(" ", "")
+    s = F.concat(F.lit(" "), sym_col, F.lit(" "))
+    s = F.replace(s, F.lit(" "), F.lit("  "))
+    s = F.replace(s, F.lit(f" {doubled_pair} "), F.lit(f" {merged} "))
+    s = F.replace(s, F.lit("  "), F.lit(" "))
+    return F.trim(s)
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab-sized ``(word, cnt, s)`` relation BPE iterates over —
+    the ONLY corpus-scale job in the trainer; persisted per session."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return (
+            d.select(F.explode(tokens_col()).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("s", _init_syms(F.col("word")))
+        )
+
+    return shared_persist(spark, ("bpe_words", sf_dir), build)
+
+
+# pair extraction: adjacent symbol pairs as "A B" strings, one row per
+# POSITION (overlapping positions both count — the standard BPE count)
+_PAIRS_EXPR = "transform(slice(l, 1, size(l) - 1), (x, i) -> concat(x, ' ', l[i + 1]))"
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    return (
+        words.select("cnt", F.split("s", " ").alias("l"))
+        .select("cnt", F.explode(F.expr(_PAIRS_EXPR)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns ``[(rank, pair, merged,
+    n_occ), ...]``. One 1-row collect per iteration; memoized per
+    session (repeat calls cost zero jobs)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    def build() -> list[tuple[int, str, str, int]]:
+        cur = _word_freqs(spark, sf_dir)
+        merges: list[tuple[int, str, str, int]] = []
+        for k in range(1, n_merges + 1):
+            best = (
+                _pair_counts(cur)
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:  # degenerate corpus: every word fully merged
+                break
+            pair, c = best[0]["pair"], best[0]["c"]
+            merges.append((k, pair, pair.replace(" ", ""), c))
+            cur = cur.withColumn("s", apply_merge(F.col("s"), pair))
+        return merges
+
+    return shared_value(spark, ("bpe_merges", sf_dir, n_merges), build)
+
+
+def _final_words(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Word relation with all learned merges applied — one chained
+    projection over the persisted word table (no per-merge jobs)."""
+    merges = train_merges(spark, sf_dir, n_merges)
+    s = F.col("s")
+    for _, pair, _, _ in merges:
+        s = apply_merge(s, pair)
+    return _word_freqs(spark, sf_dir).withColumn("s", s)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: rank, pair, merged symbol, weighted
+    occurrence count at selection time."""
+    rows = train_merges(spark, sf_dir)
+    return spark.createDataFrame(rows, _MERGES_SCHEMA).orderBy("rank")
+
+
+def bpe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``VOCAB_TOPK`` subword symbols (by weighted occurrences,
+    then symbol) after applying all learned merges."""
+    return (
+        _final_words(spark, sf_dir)
+        .select("cnt", F.explode(F.split("s", " ")).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("symbol"))
+        .limit(VOCAB_TOPK)
+    )
+
+
+def encode_with_merges(
+    df: DataFrame, merges: list[tuple[int, str, str, int]], column: str = "text"
+) -> DataFrame:
+    """Tokenize ``column`` with a learned merge table: adds
+    ``bpe_tokens`` (array<string> of subword symbols, ``</w>``-marked
+    word ends). Pure projection — transform over the word array with
+    the same replace chain, no shuffle, no UDF."""
+
+    def encode_word(w):
+        s = _init_syms(w)
+        for _, pair, _, _ in merges:
+            s = apply_merge(s, pair)
+        return F.split(s, " ")
+
+    words = F.split(F.lower(F.col(column)), r"\s+")
+    return df.withColumn(
+        "bpe_tokens",
+        F.flatten(F.transform(F.filter(words, lambda w: w != ""), encode_word)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the same algorithm unrolled into a static CTE chain
+# ---------------------------------------------------------------------------
+
+def _bpe_ctes(n_merges: int = BPE_MERGES) -> str:
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+          SELECT word, cnt, regexp_replace(word, '(.)', '\\1 ', 'g') || '{END_MARK}' AS s
+          FROM (
+            SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+            ) WHERE tok <> '' GROUP BY tok
+          )
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS (
+          SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(cnt) AS BIGINT) AS c
+          FROM (
+            SELECT unnest(generate_series(1, len(l) - 1)) AS i, l, cnt
+            FROM (SELECT string_split(s, ' ') AS l, cnt FROM w{k - 1})
+          ) GROUP BY pair
+        ),
+        b{k} AS MATERIALIZED (SELECT pair, c FROM p{k} ORDER BY c DESC, pair LIMIT 1),
+        w{k} AS MATERIALIZED (
+          SELECT word, cnt,
+                 trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+                      ' ' || (SELECT replace(pair, ' ', '  ') FROM b{k}) || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '') FROM b{k}) || ' '),
+                    '  ', ' ')) AS s
+          FROM w{k - 1}
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+_MERGE_ROWS = "\nUNION ALL\n".join(
+    f"SELECT CAST({k} AS INT) AS rank, (SELECT pair FROM b{k}) AS pair,"
+    f" (SELECT replace(pair, ' ', '') FROM b{k}) AS merged,"
+    f" (SELECT c FROM b{k}) AS n_occ"
+    for k in range(1, BPE_MERGES + 1)
+)
+
+QUERIES = {
+    "bpe_train_merges": bpe_train_merges,
+    "bpe_vocab_topk": bpe_vocab_topk,
+}
+
+ORACLES = {
+    "bpe_train_merges": f"""
+        WITH {_bpe_ctes()}
+        SELECT * FROM ({_MERGE_ROWS}) ORDER BY rank
+    """,
+    "bpe_vocab_topk": f"""
+        WITH {_bpe_ctes()}
+        SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          SELECT unnest(string_split(s, ' ')) AS symbol, cnt FROM w{BPE_MERGES}
+        ) GROUP BY symbol ORDER BY n DESC, symbol LIMIT {VOCAB_TOPK}
+    """,
+}

@@ -641,3 +641,96 @@ def test_cachemgr_releases_previous_session_on_takeover():
     gc.collect()
     assert ref1() is None, "previous session still pinned after takeover"
     cachemgr.clear_caches()
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Pure-python BPE reference: greedy left-to-right merge, argmax
+    pair by (count desc, pair-string asc) — the engine's contract."""
+    vocab: dict[tuple, int] = {}
+    for w, c in word_counts.items():
+        k = tuple(list(w) + ["</w>"])
+        vocab[k] = vocab.get(k, 0) + c
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        merges.append((rank, f"{a} {b}", a + b, c))
+        newv: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            newv[k] = newv.get(k, 0) + cnt
+        vocab = newv
+    return merges, vocab
+
+
+def test_bpe_matches_python_reference(spark, tmp_path):
+    """The distributed BPE trainer must learn exactly the merges (and
+    final vocabulary) of the sequential reference algorithm, including
+    the hazard cases: overlapping runs ('aaaa'), consecutive pair
+    occurrences ('abab'), and count ties (lexicographic break)."""
+    from collections import Counter
+
+    from generic_data_ingestor_framework_spark.llm import tokenize
+
+    texts = {
+        0: "aaaa abab the cat sat",
+        1: "the cat abab aaaa aaaa",
+        2: "sat the the cat mat tie tie",
+        3: "abab abab mat cat aaaa",
+    }
+    rows = [(i, "en", t) for i, t in sorted(texts.items())]
+    d = tmp_path / "bpe_corpus"
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    word_counts = Counter(w for t in texts.values() for w in t.lower().split())
+    ref_merges, ref_vocab = _py_bpe(dict(word_counts), tokenize.BPE_MERGES)
+
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["n_occ"])
+        for r in tokenize.bpe_train_merges(spark, str(d)).collect()
+    ]
+    assert got == ref_merges
+
+    ref_sym_counts: dict[str, int] = {}
+    for syms, c in ref_vocab.items():
+        for s in syms:
+            ref_sym_counts[s] = ref_sym_counts.get(s, 0) + c
+    exp_top = sorted(ref_sym_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    exp_top = exp_top[: tokenize.VOCAB_TOPK]
+    got_top = [
+        (r["symbol"], r["n"]) for r in tokenize.bpe_vocab_topk(spark, str(d)).collect()
+    ]
+    assert got_top == exp_top
+
+
+def test_bpe_encode_reconstructs_text(spark):
+    """encode_with_merges is lossless: stripping the </w> markers and
+    re-joining the subword symbols reproduces the lowercased words."""
+    from generic_data_ingestor_framework_spark.llm import tokenize
+
+    df = spark.createDataFrame(
+        [(1, "The cat SAT"), (2, "abab aaaa cat")], "id bigint, text string"
+    )
+    merges = [(1, "a b", "ab", 0), (2, "ab ab", "abab", 0), (3, "c a", "ca", 0)]
+    out = {r["id"]: r["bpe_tokens"] for r in tokenize.encode_with_merges(df, merges).collect()}
+    for i, text in [(1, "the cat sat"), (2, "abab aaaa cat")]:
+        rejoined = "".join(out[i]).replace("</w>", " ").strip()
+        assert rejoined == text
+        # every word ends with exactly one marker-terminated symbol
+        assert "".join(out[i]).count("</w>") == len(text.split())
