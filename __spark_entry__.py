@@ -20,7 +20,7 @@ Round 4: 48 registered entries over 115 members — adds
 reads ``ts`` as native ``timestamp[us]``; shared intermediates persist
 once per session via ``cachemgr``.
 
-Round 5: 50 registered entries over 127 members — adds
+Round 5: 50 registered entries over 128 members — adds
 ``ann_probe_tradeoff`` and ``dedup_incremental_near`` (direct entries)
 plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
 ``multimodal_wav_decode`` / ``multimodal_bmp_resize`` /
@@ -29,8 +29,10 @@ plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
 (embed_stats), ``stream_dedup_keys`` (real streaming dedup,
 event_windows) and the in-engine BPE tokenizer trainer
 ``bpe_train_merges`` / ``bpe_vocab_topk`` (term_stats members,
-oracle-checked against an unrolled DuckDB CTE chain); ingest gains
-the built-in orc and xml sources.
+oracle-checked against an unrolled DuckDB CTE chain) and the
+cross-document span-duplication audit ``span_duplication_ratio``
+(doc_fingerprints member); ingest gains the built-in orc and xml
+sources.
 """
 
 from __future__ import annotations

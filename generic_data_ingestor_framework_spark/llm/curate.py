@@ -55,6 +55,26 @@ def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", tokens_col().alias("ts"))
 
 
+def _gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded per-doc distinct 13-gram relation ``(doc_id, bench,
+    gram)`` — feeds benchmark decontamination (both branches) and the
+    span-duplication audit; persisted once per session instead of
+    exploding the corpus once per call."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    toks = _docs_with_tokens(spark, sf_dir)
+    is_bench = portable_hash32(F.col("doc_id").cast("string")) % BENCH_MOD == 0
+    return shared_persist(
+        spark,
+        ("decon_grams", sf_dir, DECON_GRAM_K),
+        lambda: toks.select(
+            "doc_id",
+            is_bench.alias("bench"),
+            F.explode(shingles_from_tokens(F.col("ts"), k=DECON_GRAM_K)).alias("gram"),
+        ),
+    )
+
+
 def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any 13-gram
     with the held-out benchmark set (hash-selected ~2% of the corpus —
@@ -65,22 +85,9 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     JOIN it and count overlapping grams — zero-overlap docs keep n=0.
     This is the standard contamination audit before a pretraining run.
     """
-    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
-
     toks = _docs_with_tokens(spark, sf_dir)
     is_bench = portable_hash32(F.col("doc_id").cast("string")) % BENCH_MOD == 0
-    # the exploded 13-gram relation feeds BOTH branches (benchmark gram
-    # set and training probe side); persist it once per session instead
-    # of exploding the corpus twice per call
-    grams = shared_persist(
-        spark,
-        ("decon_grams", sf_dir, DECON_GRAM_K),
-        lambda: toks.select(
-            "doc_id",
-            is_bench.alias("bench"),
-            F.explode(shingles_from_tokens(F.col("ts"), k=DECON_GRAM_K)).alias("gram"),
-        ),
-    )
+    grams = _gram_relation(spark, sf_dir)
     bench_grams = grams.filter("bench").select("gram").distinct()
     train = grams.filter(~F.col("bench"))
     hits = (
@@ -262,6 +269,49 @@ def dedup_segments_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_duplication_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document span-duplication audit: for each document, the
+    fraction of its distinct 13-token grams that also appear in at
+    least one OTHER part of the corpus — the document-level signal
+    behind substring-dedup decisions (a high ratio means the doc is
+    mostly made of text that exists elsewhere; exact/near dedup
+    operators then decide what to drop). Documents too short to carry
+    a 13-gram report ``n_grams = 0`` and ratio 0.
+
+    Plan: reuses the session-persisted gram relation
+    (``_gram_relation``); gram document-frequency is one hash-aggregate
+    on gram (per-doc grams are already distinct, so ``count(*)`` IS
+    the document frequency), shared-gram counts ride the join's own
+    shuffle back to doc_id. Two shuffles over the gram relation total,
+    nothing driver-sized.
+    """
+    g = _gram_relation(spark, sf_dir).select("doc_id", "gram")
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    shared = (
+        g.join(dfreq.filter(F.col("df") >= 2), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
+    n_shared = F.coalesce("n_shared", F.lit(0)).cast("long")
+    return (
+        docs.join(totals, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_shared.alias("n_shared_grams"),
+            F.when(
+                n_grams > 0, F.floor(n_shared * 10000.0 / n_grams) / 10000
+            )
+            .otherwise(0.0)
+            .alias("dup_ratio"),
+        )
+    )
+
+
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape quality flags per document: word
     count band, mean word length band, duplicate-token fraction cap —
@@ -295,6 +345,7 @@ QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "paragraph_dedup_corpus": paragraph_dedup_corpus,
     "dedup_segments_within_doc": dedup_segments_within_doc,
+    "span_duplication_ratio": span_duplication_ratio,
     "gopher_quality_flags": gopher_quality_flags,
 }
 
@@ -334,6 +385,28 @@ ORACLES = {
         FROM counts c JOIN kept k USING (doc_id)
     """,
 
+    "span_duplication_ratio": f"""
+        WITH {_GRAMS_CTE},
+        g AS (SELECT doc_id, gram FROM grams),
+        dfq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        sh AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM g JOIN dfq USING (gram) GROUP BY doc_id
+        ),
+        tot AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+          FROM g GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(t.n_grams, 0) AS n_grams,
+               COALESCE(s.n_shared, 0) AS n_shared_grams,
+               CASE WHEN COALESCE(t.n_grams, 0) > 0
+                    THEN floor(COALESCE(s.n_shared, 0) * 10000.0 / t.n_grams) / 10000
+                    ELSE 0.0 END AS dup_ratio
+        FROM documents d
+        LEFT JOIN tot t ON d.doc_id = t.doc_id
+        LEFT JOIN sh s ON d.doc_id = s.doc_id
+    """,
     "decontaminate_against_benchmark": f"""
         WITH {_GRAMS_CTE},
         bench_grams AS (SELECT DISTINCT gram FROM grams WHERE bench),

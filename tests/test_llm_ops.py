@@ -734,3 +734,30 @@ def test_bpe_encode_reconstructs_text(spark):
         assert rejoined == text
         # every word ends with exactly one marker-terminated symbol
         assert "".join(out[i]).count("</w>") == len(text.split())
+
+
+def test_span_duplication_ratio_planted_extremes(spark, tmp_path):
+    """Exact duplicate docs must report dup_ratio 1.0; a doc with no
+    13-gram in common with the rest reports 0.0; a too-short doc
+    reports n_grams = 0."""
+    from generic_data_ingestor_framework_spark.llm import curate
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    unique = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        (0, "en", shared),
+        (1, "en", shared),          # exact duplicate of 0
+        (2, "en", unique),          # no gram shared with anyone
+        (3, "en", "too short"),     # < 13 tokens: no grams
+    ]
+    d = tmp_path / "span_corpus"
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared_grams"], r["dup_ratio"])
+        for r in curate.span_duplication_ratio(spark, str(d)).collect()
+    }
+    assert got[0] == (8, 8, 1.0) and got[1] == (8, 8, 1.0)
+    assert got[2] == (8, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
