@@ -20,14 +20,16 @@ Round 4: 48 registered entries over 115 members — adds
 reads ``ts`` as native ``timestamp[us]``; shared intermediates persist
 once per session via ``cachemgr``.
 
-Round 5: 50 registered entries over 128 members — adds
+Round 5: 50 registered entries over 129 members — adds
 ``ann_probe_tradeoff`` and ``dedup_incremental_near`` (direct entries)
 plus the REAL binaryFile codecs ``multimodal_bmp_decode`` /
 ``multimodal_wav_decode`` / ``multimodal_bmp_resize`` /
 ``multimodal_wav_frames`` (multimodal_family members),
 ``lm_unigram_score`` (text_quality), ``embed_quantize_int8``
 (embed_stats), ``stream_dedup_keys`` (real streaming dedup,
-event_windows) and the in-engine BPE tokenizer trainer
+event_windows), ``stream_session_windows`` (real streaming
+sessionization, sessions_family) and the in-engine BPE tokenizer
+trainer
 ``bpe_train_merges`` / ``bpe_vocab_topk`` (term_stats members,
 oracle-checked against an unrolled DuckDB CTE chain) and the
 cross-document span-duplication audit ``span_duplication_ratio``

@@ -225,7 +225,9 @@ COMPOSITES: dict[str, list[str]] = {
         "window_tumbling_hourly", "window_sliding_1h_30m", "events_multi_rollup",
         "stream_dedup_keys",
     ],
-    "sessions_family": ["session_window_10m", "session_stats_per_user"],
+    "sessions_family": [
+        "session_window_10m", "session_stats_per_user", "stream_session_windows",
+    ],
 }
 
 _COMPOSED = {m for members in COMPOSITES.values() for m in members}

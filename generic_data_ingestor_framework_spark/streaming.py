@@ -484,6 +484,52 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 10-minute-gap session windows computed by an ACTUAL
+    Structured Streaming job (``session_window`` state merge +
+    availableNow + memory sink) — the streaming twin of the batch
+    ``session_window_10m``, sharing its oracle, so batch/stream parity
+    of the merging session state is value-checked end-to-end.
+
+    Complete output mode keeps every session in the sink until the
+    stream drains, making the final table deterministic (equal to the
+    batch result) regardless of file/trigger arrival order. A
+    production endless stream uses a watermark + append mode instead —
+    emitted sessions then depend on watermark progress, which is
+    exactly why the parity member pins the deterministic form.
+
+    State note (100 TB): session-window state is partitioned by
+    user_id and merges adjacent windows in the state store; state size
+    tracks LIVE sessions per user, not stream length."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = _unique_sink("stream_session_windows_sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        t = _drain_memory_sink(spark, q, sink, "stream_session_windows")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return t.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
 def stream_stateful_user_counts(
     spark: SparkSession, sf_dir: str, timeout_ms: int = 0
 ):
@@ -639,6 +685,7 @@ QUERIES = {
     "events_dedup_earliest": events_dedup_earliest,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_keys": stream_dedup_keys,
+    "stream_session_windows": stream_session_windows,
     "events_interval_join": events_interval_join,
     "events_asof_join": events_asof_join,
     "events_multi_rollup": events_multi_rollup,
@@ -757,3 +804,7 @@ ORACLES = {
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 }
+
+# batch/stream parity: the streaming session-window member must produce
+# exactly the batch sessionization result
+ORACLES["stream_session_windows"] = ORACLES["session_window_10m"]

@@ -54,6 +54,11 @@ QUERIES = [
     "decontaminate_against_benchmark",
     "pack_context_windows",
     "chunk_documents_overlap",
+    "paragraph_dedup_corpus",
+    "span_duplication_ratio",
+    # tokenizer / LM scoring (vocab-sized iteration relation at any corpus size)
+    "bpe_vocab_topk",
+    "lm_unigram_score",
     # embeddings
     "ann_cosine_topk",
     "ann_ivf_topk",
