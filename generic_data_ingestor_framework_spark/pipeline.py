@@ -297,6 +297,44 @@ def _step_paragraph_dedup(df: DataFrame, p: dict) -> DataFrame:
     return deduped.unionByName(blank_rows.select(*df.columns))
 
 
+def _step_bpe_tokenize(df: DataFrame, p: dict) -> DataFrame:
+    """Tokenize ``column`` with BPE merges learned IN the pipeline:
+    either from a provided ``corpus`` source (``{"type": "parquet"|
+    "directory", ...}``) or from the flowing frame itself. Adds the
+    ``bpe_tokens`` subword array column (pure projection — the learned
+    merge table is driver-held, ``n_merges`` rows). The scale split is
+    the same as ``llm.tokenize``: merge learning runs over a vocab-
+    sized word-frequency relation, application is map-only."""
+    from generic_data_ingestor_framework_spark.llm.tokenize import (
+        BPE_MERGES,
+        _init_syms,
+        _pair_counts,
+        apply_merge,
+        encode_with_merges,
+    )
+
+    col = p.get("column", "text")
+    n_merges = int(p.get("n_merges", BPE_MERGES))
+    src = _load_source(df.sparkSession, p["corpus"]) if "corpus" in p else df
+    cur = (
+        src.select(F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("s", _init_syms(F.col("word")))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        best = _pair_counts(cur).orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
+        if not best:
+            break
+        pair = best[0]["pair"]
+        merges.append((k, pair, pair.replace(" ", ""), best[0]["c"]))
+        cur = cur.withColumn("s", apply_merge(F.col("s"), pair))
+    return encode_with_merges(df, merges, column=col)
+
+
 STEP_REGISTRY: dict[str, StepFn] = {
     "filter": _step_filter,
     "select": _step_select,
@@ -316,6 +354,7 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "lm_filter": _step_lm_filter,
     "decontaminate": _step_decontaminate,
     "paragraph_dedup": _step_paragraph_dedup,
+    "bpe_tokenize": _step_bpe_tokenize,
 }
 
 

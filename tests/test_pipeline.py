@@ -200,3 +200,38 @@ def test_pipeline_lm_filter_drops_token_soup(spark):
     out = STEP_REGISTRY["lm_filter"](df, {"id": "id", "max_xent": 4.0})
     ids = {r["id"] for r in out.collect()}
     assert 100 not in ids and ids == set(range(8))
+
+
+def test_pipeline_bpe_tokenize_step(spark, tmp_path):
+    """bpe_tokenize learns merges from the flowing frame and adds a
+    lossless subword column; merges learned from a separate corpus
+    source produce the same encoding when the corpora match."""
+    src = str(tmp_path / "docs")
+    rows = [(i, "the cat sat on the mat " * 3) for i in range(6)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    spec = {
+        "source": {"type": "parquet", "path": src},
+        "steps": [{"op": "bpe_tokenize", "column": "text", "n_merges": 5}],
+    }
+    df, manifest = run_pipeline(spark, spec)
+    out = df.collect()
+    assert manifest["steps"][0]["op"] == "bpe_tokenize"
+    for r in out:
+        joined = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert joined == r["text"].lower().strip()
+    # corpus-sourced merges give the identical encoding
+    spec2 = {
+        "source": {"type": "parquet", "path": src},
+        "steps": [
+            {
+                "op": "bpe_tokenize",
+                "column": "text",
+                "n_merges": 5,
+                "corpus": {"type": "parquet", "path": src},
+            }
+        ],
+    }
+    df2, _ = run_pipeline(spark, spec2)
+    assert sorted(map(tuple, (r["bpe_tokens"] for r in df2.collect()))) == sorted(
+        map(tuple, (r["bpe_tokens"] for r in out))
+    )
