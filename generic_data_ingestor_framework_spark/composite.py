@@ -196,7 +196,10 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     # llm families
     "embed_stats": ["embed_norms", "label_centroid_dims", "embed_quantize_int8"],
-    "text_tokens": ["token_stats", "context_length_buckets", "corpus_mix_weights"],
+    "text_tokens": [
+        "token_stats", "context_length_buckets", "corpus_mix_weights",
+        "source_temperature_weights", "source_reputation",
+    ],
     "text_quality": [
         "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
         "lm_unigram_score",

@@ -252,6 +252,111 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHAS = (0.7, 0.3)  # mT5/XLM-R-style mixture temperatures
+
+
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per SOURCE: token share s_i
+    and the sampling weights s_i^α / Σ s_j^α at α = 0.7 and 0.3 — the
+    standard knob for up-weighting low-resource slices of a multi-
+    source pretraining mixture (α = 1 is proportional, α → 0 uniform).
+
+    Determinism contract: ``pow`` results are scaled to integers at
+    6 dp before the normalizing sum (integer sums are order-exact, so
+    executor/partition ordering cannot wiggle the weights) and the
+    final ratios are floor-truncated at 4 dp (floor cannot tie).
+
+    Scale shape: one hash-aggregate to source granularity; everything
+    after is arithmetic over a sources-sized relation."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(tokens_col()).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("tot_tokens"))
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    scaled = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        *[
+            F.round(F.pow(share, F.lit(a)) * 1000000.0, 0)
+            .cast("long")
+            .alias(f"_w{i}")
+            for i, a in enumerate(TEMP_ALPHAS)
+        ],
+    )
+    sums = scaled.agg(
+        *[F.sum(f"_w{i}").alias(f"_t{i}") for i in range(len(TEMP_ALPHAS))]
+    )
+    out_w = [
+        (F.floor(F.col(f"_w{i}") * 10000.0 / F.col(f"_t{i}")) / 10000.0).alias(
+            f"w_alpha{str(a).replace('.', '')}"
+        )
+        for i, a in enumerate(TEMP_ALPHAS)
+    ]
+    return (
+        scaled.crossJoin(F.broadcast(sums))
+        .select("source", "n_docs", "n_tokens", "token_share", *out_w)
+        .orderBy("source")
+    )
+
+
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document count, exact-duplicate
+    membership rate (share of the source's docs whose text md5 appears
+    ≥2 times corpus-wide), and mean heuristic quality — the rollup a
+    pipeline uses to decide per-source sampling and exclusion.
+
+    Determinism contract: per-doc quality is the ``quality_score``
+    formula scaled to integer millionths before averaging (integer
+    sums are order-exact); rates are floor-truncated at 4 dp.
+
+    Scale shape: duplicate membership is one hash-aggregate on text
+    md5 plus a semi join back (both shuffles on the hash, no
+    broadcast of corpus-sized state); the rest aggregates to source
+    granularity."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    docs = d.select("doc_id", "source", h.alias("h"))
+    dup_h = (
+        docs.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    ).select("h")
+    dup_per_src = (
+        docs.join(dup_h, "h", "semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    toks = tokens_col()
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    quality = F.least(F.lit(1.0), n / F.lit(100.0)) * (0.5 + 0.5 * (n_stop / n))
+    qint = F.round(quality * 1000000.0, 0).cast("long")
+    per_src = (
+        d.select("source", qint.alias("qint"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("qint").alias("qsum"))
+    )
+    return (
+        per_src.join(dup_per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            (
+                F.floor(F.coalesce("n_dup_docs", F.lit(0)) * 10000.0 / F.col("n_docs"))
+                / 10000.0
+            ).alias("dup_rate"),
+            (F.floor(F.col("qsum") / F.col("n_docs") / 100.0) / 10000.0).alias(
+                "mean_quality"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # Count-min sketch shape: d hash rows × w buckets, fixed memory
 # regardless of corpus size. Deterministic md5-based row hashes so the
 # sketch (and therefore the bounded-error booleans) is identical on any
@@ -375,6 +480,8 @@ QUERIES = {
     "char_entropy": char_entropy,
     "doc_rolling_hash": doc_rolling_hash,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "source_temperature_weights": source_temperature_weights,
+    "source_reputation": source_reputation,
 }
 
 _TOKS = "string_split_regex(lower(text), '\\s+')"
@@ -395,6 +502,54 @@ ORACLES = {
                round(-sum(n * ln(CAST(c + 1 AS DOUBLE) / denom)) / sum(n), 4) AS xent
         FROM toks JOIN lm USING (tok), sc
         GROUP BY doc_id
+    """,
+    "source_temperature_weights": f"""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        sc AS (
+          SELECT source, n_docs, n_tokens,
+                 round(n_tokens / tot_tokens, 6) AS token_share,
+                 CAST(round(pow(n_tokens / tot_tokens, 0.7) * 1000000.0, 0) AS BIGINT) AS w0,
+                 CAST(round(pow(n_tokens / tot_tokens, 0.3) * 1000000.0, 0) AS BIGINT) AS w1
+          FROM per, tot
+        ),
+        s AS (SELECT CAST(sum(w0) AS BIGINT) AS t0, CAST(sum(w1) AS BIGINT) AS t1 FROM sc)
+        SELECT source, n_docs, n_tokens, token_share,
+               floor(w0 * 10000.0 / t0) / 10000.0 AS w_alpha07,
+               floor(w1 * 10000.0 / t1) / 10000.0 AS w_alpha03
+        FROM sc, s ORDER BY source
+    """,
+    "source_reputation": f"""
+        WITH docs AS (
+          SELECT doc_id, source, md5(COALESCE(text, '')) AS h FROM documents
+        ),
+        dups AS (SELECT h FROM docs GROUP BY h HAVING count(*) >= 2),
+        dps AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+          FROM docs JOIN dups USING (h) GROUP BY source
+        ),
+        q AS (
+          SELECT source,
+                 CAST(round(least(1.0, len({_TOKS}) / 100.0)
+                      * (0.5 + 0.5 * (len(list_filter({_TOKS}, x -> x IN ('{_STOP_IN}')))
+                                      / len({_TOKS})))
+                      * 1000000.0, 0) AS BIGINT) AS qint
+          FROM documents
+        ),
+        per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(qint) AS BIGINT) AS qsum
+          FROM q GROUP BY source
+        )
+        SELECT p.source, p.n_docs,
+               COALESCE(d.n_dup_docs, 0) AS n_dup_docs,
+               floor(COALESCE(d.n_dup_docs, 0) * 10000.0 / p.n_docs) / 10000.0 AS dup_rate,
+               floor(p.qsum / p.n_docs / 100.0) / 10000.0 AS mean_quality
+        FROM per p LEFT JOIN dps d ON p.source = d.source ORDER BY p.source
     """,
     "cms_heavy_hitters": f"""
         WITH tok0 AS (
