@@ -57,10 +57,16 @@ HEADLINE = [
     "chunk_documents_overlap",
     "paragraph_dedup_corpus",
     "lm_unigram_score",
+    "span_duplication_ratio",
+    "bpe_vocab_topk",
+    "source_reputation",
 ]
 
 REGRESSION_RATIO = 1.3
-STEADY_RUNS = 3  # report per-query medians (machine variance is large)
+STEADY_RUNS = 5  # report per-query medians; 5 runs so one JIT/GC-warming
+                 # run right after the cold pass cannot drag the median
+                 # (run-to-run machine variance is large on sub-second
+                 # queries — see COVERAGE.md Benchmarks)
 
 
 def _vs_prev(times: dict[str, float], total: float) -> dict | None:
