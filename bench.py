@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: median_sec_of_3, ...},
+   "queries": {name: median_sec_of_STEADY_RUNS, ...},
    "spread": {name: [min, max]}, "sf": ...,
    "vs_prev": {"baseline": file, "total_ratio": r,
                "regressions": {name: ratio > 1.3}}}
@@ -136,7 +136,7 @@ def main() -> None:
         # steady-state: post-warmup runs exclude one-time codegen
         # compilation and parquet footer reads (what a resident cluster
         # sees). Machine noise is large on this box, so report the
-        # MEDIAN of 3 runs plus the min/max spread.
+        # MEDIAN of STEADY_RUNS runs plus the min/max spread.
         runs = []
         for _ in range(STEADY_RUNS):
             t0 = time.time()

@@ -23,7 +23,6 @@ real cluster — see ``dedup.DEFAULT_SHINGLE_STORAGE``).
 
 from __future__ import annotations
 
-import weakref
 from collections.abc import Callable, Hashable
 
 from pyspark import StorageLevel

@@ -281,24 +281,26 @@ def span_duplication_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: reuses the session-persisted gram relation
     (``_gram_relation``); gram document-frequency is one hash-aggregate
     on gram (per-doc grams are already distinct, so ``count(*)`` IS
-    the document frequency), shared-gram counts ride the join's own
-    shuffle back to doc_id. Two shuffles over the gram relation total,
-    nothing driver-sized.
+    the document frequency). The unfiltered join back keeps every gram
+    row, so ONE doc_id aggregate computes total and shared counts
+    together — one pass over the corpus-scale gram relation (gram
+    shuffle + join + doc_id shuffle), nothing driver-sized.
     """
     g = _gram_relation(spark, sf_dir).select("doc_id", "gram")
     dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    shared = (
-        g.join(dfreq.filter(F.col("df") >= 2), "gram")
+    per_doc = (
+        g.join(dfreq, "gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
     )
-    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
     n_shared = F.coalesce("n_shared", F.lit(0)).cast("long")
     return (
-        docs.join(totals, "doc_id", "left")
-        .join(shared, "doc_id", "left")
+        docs.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             n_grams.alias("n_grams"),
@@ -388,24 +390,21 @@ ORACLES = {
     "span_duplication_ratio": f"""
         WITH {_GRAMS_CTE},
         g AS (SELECT doc_id, gram FROM grams),
-        dfq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-        sh AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        dfq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
           FROM g JOIN dfq USING (gram) GROUP BY doc_id
-        ),
-        tot AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-          FROM g GROUP BY doc_id
         )
         SELECT d.doc_id,
-               COALESCE(t.n_grams, 0) AS n_grams,
-               COALESCE(s.n_shared, 0) AS n_shared_grams,
-               CASE WHEN COALESCE(t.n_grams, 0) > 0
-                    THEN floor(COALESCE(s.n_shared, 0) * 10000.0 / t.n_grams) / 10000
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_shared, 0) AS n_shared_grams,
+               CASE WHEN COALESCE(p.n_grams, 0) > 0
+                    THEN floor(COALESCE(p.n_shared, 0) * 10000.0 / p.n_grams) / 10000
                     ELSE 0.0 END AS dup_ratio
         FROM documents d
-        LEFT JOIN tot t ON d.doc_id = t.doc_id
-        LEFT JOIN sh s ON d.doc_id = s.doc_id
+        LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """,
     "decontaminate_against_benchmark": f"""
         WITH {_GRAMS_CTE},

@@ -34,24 +34,30 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality: length saturation × stopword-density prior.
+def _quality_expr(toks):
+    """The shared heuristic-quality formula — length saturation ×
+    stopword-density prior: min(1, n_tokens/100) * (0.5 + 0.5 *
+    stopword_ratio). One definition so ``quality_score`` and
+    ``source_reputation`` can never drift."""
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.least(F.lit(1.0), n / F.lit(100.0)) * (0.5 + 0.5 * (n_stop / n))
 
-    quality = min(1, n_tokens/100) * (0.5 + 0.5 * stopword_ratio),
-    computed arithmetically so any engine reproduces it."""
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: length saturation × stopword-density prior
+    (``_quality_expr``), computed arithmetically so any engine
+    reproduces it."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    stop_ratio = n_stop / n
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(F.least(F.lit(1.0), n / F.lit(100.0)) * (0.5 + 0.5 * stop_ratio), 6).alias(
-            "quality"
-        ),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(_quality_expr(toks), 6).alias("quality"),
     )
 
 
@@ -329,11 +335,7 @@ def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_dup_docs"))
     )
-    toks = tokens_col()
-    n = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    quality = F.least(F.lit(1.0), n / F.lit(100.0)) * (0.5 + 0.5 * (n_stop / n))
-    qint = F.round(quality * 1000000.0, 0).cast("long")
+    qint = F.round(_quality_expr(tokens_col()) * 1000000.0, 0).cast("long")
     per_src = (
         d.select("source", qint.alias("qint"))
         .groupBy("source")
@@ -486,6 +488,9 @@ QUERIES = {
 
 _TOKS = "string_split_regex(lower(text), '\\s+')"
 _STOP_IN = "','".join(STOPWORDS)
+# SQL twin of _quality_expr — one template shared by the quality_score
+# and source_reputation oracles ({n} = token count, {n_stop} = stopword count)
+_QUALITY_SQL = "least(1.0, {n} / 100.0) * (0.5 + 0.5 * ({n_stop} / {n}))"
 
 ORACLES = {
     "lm_unigram_score": f"""
@@ -534,10 +539,10 @@ ORACLES = {
         ),
         q AS (
           SELECT source,
-                 CAST(round(least(1.0, len({_TOKS}) / 100.0)
-                      * (0.5 + 0.5 * (len(list_filter({_TOKS}, x -> x IN ('{_STOP_IN}')))
-                                      / len({_TOKS})))
-                      * 1000000.0, 0) AS BIGINT) AS qint
+                 CAST(round(({_QUALITY_SQL.format(
+                     n=f"len({_TOKS})",
+                     n_stop=f"len(list_filter({_TOKS}, x -> x IN ('{_STOP_IN}')))",
+                 )}) * 1000000.0, 0) AS BIGINT) AS qint
           FROM documents
         ),
         per AS (
@@ -654,7 +659,7 @@ ORACLES = {
                CAST(n AS INT) AS n_tokens,
                CAST(n_stop AS INT) AS n_stopwords,
                round(n_stop / n, 6) AS stopword_ratio,
-               round(least(1.0, n / 100.0) * (0.5 + 0.5 * (n_stop / n)), 6) AS quality
+               round({_QUALITY_SQL.format(n='n', n_stop='n_stop')}, 6) AS quality
         FROM t
     """,
     "lang_id_heuristic": f"""

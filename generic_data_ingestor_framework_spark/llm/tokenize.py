@@ -119,6 +119,27 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def train_from_words(
+    words: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """The merge-learning loop over an arbitrary ``(word, cnt, s)``
+    relation — shared by the corpus trainer and the pipeline step so
+    the two can never diverge. Stops early on a degenerate corpus
+    (every word fully merged before ``n_merges``)."""
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for k in range(1, n_merges + 1):
+        best = (
+            _pair_counts(cur).orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
+        )
+        if not best:  # degenerate corpus: every word fully merged
+            break
+        pair, c = best[0]["pair"], best[0]["c"]
+        merges.append((k, pair, pair.replace(" ", ""), c))
+        cur = cur.withColumn("s", apply_merge(F.col("s"), pair))
+    return merges
+
+
 def train_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> list[tuple[int, str, str, int]]:
@@ -127,24 +148,11 @@ def train_merges(
     session (repeat calls cost zero jobs)."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
 
-    def build() -> list[tuple[int, str, str, int]]:
-        cur = _word_freqs(spark, sf_dir)
-        merges: list[tuple[int, str, str, int]] = []
-        for k in range(1, n_merges + 1):
-            best = (
-                _pair_counts(cur)
-                .orderBy(F.desc("c"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not best:  # degenerate corpus: every word fully merged
-                break
-            pair, c = best[0]["pair"], best[0]["c"]
-            merges.append((k, pair, pair.replace(" ", ""), c))
-            cur = cur.withColumn("s", apply_merge(F.col("s"), pair))
-        return merges
-
-    return shared_value(spark, ("bpe_merges", sf_dir, n_merges), build)
+    return shared_value(
+        spark,
+        ("bpe_merges", sf_dir, n_merges),
+        lambda: train_from_words(_word_freqs(spark, sf_dir), n_merges),
+    )
 
 
 def _final_words(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES) -> DataFrame:
@@ -224,10 +232,14 @@ def _bpe_ctes(n_merges: int = BPE_MERGES) -> str:
         ),
         b{k} AS MATERIALIZED (SELECT pair, c FROM p{k} ORDER BY c DESC, pair LIMIT 1),
         w{k} AS MATERIALIZED (
+          -- COALESCE(chr(0)): on a degenerate corpus b{k} is empty and
+          -- the scalar subqueries are NULL; an unmatchable pattern makes
+          -- this stage a no-op (mirrors the engine's early loop exit)
+          -- instead of cascading NULL through every later stage
           SELECT word, cnt,
                  trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
-                      ' ' || (SELECT replace(pair, ' ', '  ') FROM b{k}) || ' ',
-                      ' ' || (SELECT replace(pair, ' ', '') FROM b{k}) || ' '),
+                      ' ' || COALESCE((SELECT replace(pair, ' ', '  ') FROM b{k}), chr(0)) || ' ',
+                      ' ' || COALESCE((SELECT replace(pair, ' ', '') FROM b{k}), chr(0)) || ' '),
                     '  ', ' ')) AS s
           FROM w{k - 1}
         )"""
@@ -235,10 +247,12 @@ def _bpe_ctes(n_merges: int = BPE_MERGES) -> str:
     return ",\n".join(ctes)
 
 
+# each merge row is emitted only if its iteration found a pair, so the
+# oracle's row count matches the engine's early loop exit on degenerate
+# corpora
 _MERGE_ROWS = "\nUNION ALL\n".join(
-    f"SELECT CAST({k} AS INT) AS rank, (SELECT pair FROM b{k}) AS pair,"
-    f" (SELECT replace(pair, ' ', '') FROM b{k}) AS merged,"
-    f" (SELECT c FROM b{k}) AS n_occ"
+    f"SELECT CAST({k} AS INT) AS rank, pair,"
+    f" replace(pair, ' ', '') AS merged, c AS n_occ FROM b{k}"
     for k in range(1, BPE_MERGES + 1)
 )
 

@@ -308,15 +308,14 @@ def _step_bpe_tokenize(df: DataFrame, p: dict) -> DataFrame:
     from generic_data_ingestor_framework_spark.llm.tokenize import (
         BPE_MERGES,
         _init_syms,
-        _pair_counts,
-        apply_merge,
         encode_with_merges,
+        train_from_words,
     )
 
     col = p.get("column", "text")
     n_merges = int(p.get("n_merges", BPE_MERGES))
     src = _load_source(df.sparkSession, p["corpus"]) if "corpus" in p else df
-    cur = (
+    words = (
         src.select(F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -324,15 +323,7 @@ def _step_bpe_tokenize(df: DataFrame, p: dict) -> DataFrame:
         .withColumn("s", _init_syms(F.col("word")))
         .localCheckpoint()
     )
-    merges: list[tuple[int, str, str, int]] = []
-    for k in range(1, n_merges + 1):
-        best = _pair_counts(cur).orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
-        if not best:
-            break
-        pair = best[0]["pair"]
-        merges.append((k, pair, pair.replace(" ", ""), best[0]["c"]))
-        cur = cur.withColumn("s", apply_merge(F.col("s"), pair))
-    return encode_with_merges(df, merges, column=col)
+    return encode_with_merges(df, train_from_words(words, n_merges), column=col)
 
 
 STEP_REGISTRY: dict[str, StepFn] = {

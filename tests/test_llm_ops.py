@@ -761,3 +761,38 @@ def test_span_duplication_ratio_planted_extremes(spark, tmp_path):
     assert got[0] == (8, 8, 1.0) and got[1] == (8, 8, 1.0)
     assert got[2] == (8, 0, 0.0)
     assert got[3] == (0, 0, 0.0)
+
+
+def test_bpe_oracle_parity_on_degenerate_corpus(spark, tmp_path):
+    """A corpus that exhausts its adjacent pairs before BPE_MERGES must
+    produce the SAME early-stopped merge table from the engine and the
+    unrolled DuckDB oracle (empty b_k stages no-op instead of
+    cascading NULL)."""
+    import duckdb
+
+    from generic_data_ingestor_framework_spark.llm import tokenize
+
+    d = tmp_path / "degenerate"
+    # one distinct word: merges stop after "a </w>" -> "a</w>" (1 merge)
+    spark.createDataFrame(
+        [(0, "en", "a a a"), (1, "en", "a")], "doc_id bigint, lang string, text string"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got_m = [
+        (r["rank"], r["pair"], r["merged"], r["n_occ"])
+        for r in tokenize.bpe_train_merges(spark, str(d)).collect()
+    ]
+    assert got_m == [(1, "a </w>", "a</w>", 4)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d / 'documents.parquet'}/*.parquet'"
+    )
+    ora_m = con.execute(tokenize.ORACLES["bpe_train_merges"]).fetchall()
+    assert [tuple(r) for r in ora_m] == got_m
+    ora_v = con.execute(tokenize.ORACLES["bpe_vocab_topk"]).fetchall()
+    got_v = [
+        (r["symbol"], r["n"]) for r in tokenize.bpe_vocab_topk(spark, str(d)).collect()
+    ]
+    assert [tuple(r) for r in ora_v] == got_v == [("a</w>", 4)]
