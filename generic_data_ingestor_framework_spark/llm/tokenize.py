@@ -41,6 +41,15 @@ merge, its count, and the resulting vocabulary byte-for-byte.
 Tested against a pure-python reference implementation (including the
 consecutive-pair and overlapping-run hazards) in
 ``tests/test_llm_ops.py``.
+
+Honest scale limit: the loop runs ONE Spark job per merge. That is
+the right shape for hundreds of merges (each job is a vocab-sized
+aggregate, sub-second); a production 30k-merge vocabulary batches
+non-overlapping merges per pass (apply every pair whose two sides are
+untouched by a higher-ranked pair in the same batch) to cut job count
+~10-50× — the documented extension point, not implemented here
+because merge-batch semantics differ subtly from sequential BPE and
+the sequential form is the verifiable contract.
 """
 
 from __future__ import annotations
