@@ -195,7 +195,10 @@ COMPOSITES: dict[str, list[str]] = {
         "union_all_missing_cols", "error_summary_topk",
     ],
     # llm families
-    "embed_stats": ["embed_norms", "label_centroid_dims", "embed_quantize_int8"],
+    "embed_stats": [
+        "embed_norms", "label_centroid_dims", "embed_quantize_int8",
+        "dedup_semantic_clusters",
+    ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",
         "source_temperature_weights", "source_reputation",

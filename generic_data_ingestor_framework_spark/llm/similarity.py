@@ -221,6 +221,52 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     return out
 
 
+def _centroid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _kmeans_centroids(spark, sf_dir), schema="centroid_id int, cv array<double>"
+    ).withColumn("cvn", _norm(F.col("cv")))
+
+
+def _nearest_cells(cdf: DataFrame, df: DataFrame, vec_col, norm_col, id_col, n_cells):
+    """Broadcast-centroid scoring → per-id top-``n_cells`` window."""
+    from pyspark.sql import Window as W
+
+    scored = df.crossJoin(F.broadcast(cdf)).withColumn(
+        "sim",
+        F.round(_dot(F.col(vec_col), F.col("cv")) / (F.col(norm_col) * F.col("cvn")), 6),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cells)
+        .select(id_col, vec_col, norm_col, F.col("centroid_id").alias("cell"))
+    )
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate→cell assignment IS the IVF index: built once per
+    session (registry) and reused by every probe AND the cluster-
+    confined semantic dedup — re-deriving it per call re-ran the
+    16-centroid scoring pass over the whole corpus."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    cdf = _centroid_df(spark, sf_dir)
+    others = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERY)
+        .select(
+            F.col("vec_id").alias("point_id"),
+            F.col("v").alias("pv"),
+            _norm(F.col("v")).alias("pn"),
+        )
+    )
+    return shared_persist(
+        spark,
+        ("ivf_assigned", sf_dir),
+        lambda: _nearest_cells(cdf, others, "pv", "pn", "point_id", 1),
+    )
+
+
 def _ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
     """IVF probe with a parameterized probe count (``ann_ivf_topk`` is
     this at the tuned default; ``ann_probe_tradeoff`` sweeps it).
@@ -232,44 +278,14 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
     boundary."""
     from pyspark.sql import Window as W
 
-    cdf = spark.createDataFrame(
-        _kmeans_centroids(spark, sf_dir), schema="centroid_id int, cv array<double>"
-    ).withColumn("cvn", _norm(F.col("cv")))
-    vecs = _vectors(spark, sf_dir)
-    others = vecs.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("point_id"),
-        F.col("v").alias("pv"),
-        _norm(F.col("v")).alias("pn"),
-    )
-    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
+    cdf = _centroid_df(spark, sf_dir)
+    qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
     )
-
-    def nearest_cells(df, vec_col, norm_col, id_col, n_cells):
-        scored = df.crossJoin(F.broadcast(cdf)).withColumn(
-            "sim",
-            F.round(_dot(F.col(vec_col), F.col("cv")) / (F.col(norm_col) * F.col("cvn")), 6),
-        )
-        w = W.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n_cells)
-            .select(id_col, vec_col, norm_col, F.col("centroid_id").alias("cell"))
-        )
-
-    # the candidate→cell assignment IS the IVF index: build it once per
-    # session (registry) and probe it on every query — re-deriving it
-    # per call re-ran the 16-centroid scoring pass over the whole corpus
-    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
-
-    assigned = shared_persist(
-        spark,
-        ("ivf_assigned", sf_dir),
-        lambda: nearest_cells(others, "pv", "pn", "point_id", 1),
-    )
-    probed = nearest_cells(qs, "qv", "qn", "query_id", n_probes)
+    assigned = _ivf_assigned(spark, sf_dir)
+    probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     return (
         probed.join(assigned, "cell")
@@ -419,6 +435,46 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.4  # within-cell cosine cutoff (SemDeDup-style)
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-confined semantic dedup: near-duplicate
+    pairs are sought only WITHIN each k-means cell of the shared IVF
+    index (Abbas et al. 2023 — "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"). The complement of
+    ``dedup_embedding_pairs``'s LSH-bucket candidates: k-means cells
+    give each vector exactly ONE bucket, so the candidate set is a
+    partition, not an overlapping cover.
+
+    Scale shape: the quadratic term is confined to one cell
+    (`assigned` equi-joins itself on `cell`), and cell size is a
+    design knob — at corpus scale k is chosen so cells hold ~1-10k
+    vectors, which is why SemDeDup runs at web scale where all-pairs
+    cannot. Reuses the session-persisted assignment; no new scoring
+    pass, one small-key shuffle."""
+    a = _ivf_assigned(spark, sf_dir)
+    b = (
+        a.select(
+            F.col("cell"),
+            F.col("point_id").alias("vec_b"),
+            F.col("pv").alias("bv"),
+            F.col("pn").alias("bn"),
+        )
+    )
+    return (
+        a.select("cell", F.col("point_id").alias("vec_a"), "pv", "pn")
+        .join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("pv"), F.col("bv")) / (F.col("pn") * F.col("bn")), 6),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .select("cell", "vec_a", "vec_b", "cos_sim")
+    )
+
+
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the 4× storage/
     bandwidth compression every large-scale vector index applies before
@@ -484,6 +540,7 @@ QUERIES = {
     "ann_recall_report": ann_recall_report,
     "ann_probe_tradeoff": ann_probe_tradeoff,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -633,6 +690,18 @@ ORACLES = {
         SELECT * FROM (
 {_TRADEOFF_UNION}
         ) ORDER BY n_probes
+    """,
+    "dedup_semantic_clusters": f"""
+        WITH vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {_ASSIGNED_CTE}
+        SELECT a.cell AS cell, a.point_id AS vec_a, b.point_id AS vec_b,
+               {_sim_sql('a.pv', 'b.pv')} AS cos_sim
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.point_id < b.point_id
+        WHERE {_sim_sql('a.pv', 'b.pv')} >= {SEMDEDUP_TAU}
     """,
     "dedup_embedding_pairs": f"""
         WITH vecs AS MATERIALIZED (
