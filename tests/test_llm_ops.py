@@ -796,3 +796,29 @@ def test_bpe_oracle_parity_on_degenerate_corpus(spark, tmp_path):
         (r["symbol"], r["n"]) for r in tokenize.bpe_vocab_topk(spark, str(d)).collect()
     ]
     assert [tuple(r) for r in ora_v] == got_v == [("a</w>", 4)]
+
+
+def test_bpe_hostile_tokens_match_reference(spark, tmp_path):
+    """Merge patterns are literal-bound (F.replace, not SQL splicing),
+    so tokens full of quotes, backslashes, regex metachars and unicode
+    must train and encode exactly like the python reference."""
+    from collections import Counter
+
+    from generic_data_ingestor_framework_spark.llm import tokenize
+
+    texts = {
+        0: """a"b a"b x\\y x\\y $^.* $^.* ééé""",
+        1: """a"b x\\y $^.* ééé ééé '';-- '';--""",
+    }
+    rows = [(i, "en", t) for i, t in sorted(texts.items())]
+    d = tmp_path / "hostile_bpe"
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    word_counts = Counter(w for t in texts.values() for w in t.lower().split())
+    ref_merges, _ = _py_bpe(dict(word_counts), tokenize.BPE_MERGES)
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["n_occ"])
+        for r in tokenize.bpe_train_merges(spark, str(d)).collect()
+    ]
+    assert got == ref_merges
