@@ -201,6 +201,80 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 5   # doc_id < 5 are the query documents
+BM25_TOP_K = 5
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: the first ``BM25_N_QUERIES`` documents act as
+    queries (their distinct tokens are the query terms) and every
+    other document is scored with Lucene-form BM25 —
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf-part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) —
+    top-``BM25_TOP_K`` hits per query. The retrieval complement of
+    ``tfidf_top_terms``: same inverted-index shape a RAG corpus scan
+    or dedup-by-retrieval pass uses.
+
+    Scale shape: the (doc, term, tf) relation is built once (shared
+    with NB/LM via ``_doc_tokens``); df is a COUNT window over the
+    term partitioning the query-term join already needs; the query
+    side is tiny and broadcast; the only corpus-wide shuffles are the
+    shared relation's own build and the per-(query, doc) aggregate.
+    Determinism: integer counts everywhere, one ln per (term) and one
+    division chain per (query, doc, term), rounded to 4 dp before the
+    rank window (ties break on doc_id)."""
+    from pyspark.sql import Window as W
+
+    from generic_data_ingestor_framework_spark.llm.classify import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "tok", "n")
+    corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
+    # corpus stats as a broadcast 1-row agg; avgdl stays as the exact
+    # integer pair (total, count) so dl/avgdl = dl·n_docs/tot_dl is one
+    # deterministic division (float avg would carry a summation-order ulp)
+    dl = corpus.groupBy("doc_id").agg(F.sum("n").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )
+    dfreq = corpus.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
+    )
+    qterms = (
+        toks.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+    )
+    scored = (
+        dfreq.join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("n") * (BM25_K1 + 1.0))
+            / (
+                F.col("n")
+                + BM25_K1
+                * (
+                    1.0 - BM25_B
+                    + BM25_B * F.col("dl") * F.col("n_docs") / F.col("tot_dl")
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
 CONTEXT_BUCKETS = [32, 64, 128]  # token-count boundaries (corpus is short docs)
 
 
@@ -471,6 +545,7 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "token_stats": token_stats,
+    "bm25_topk": bm25_topk,
     "lm_unigram_score": lm_unigram_score,
     "context_length_buckets": context_length_buckets,
     "corpus_mix_weights": corpus_mix_weights,
@@ -493,6 +568,52 @@ _STOP_IN = "','".join(STOPWORDS)
 _QUALITY_SQL = "least(1.0, {n} / 100.0) * (0.5 + 0.5 * ({n_stop} / {n}))"
 
 ORACLES = {
+    "bm25_topk": f"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        toks AS MATERIALIZED (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+          FROM tok0 WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        corpus AS (SELECT * FROM toks WHERE doc_id >= {BM25_N_QUERIES}),
+        dl AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS dl FROM corpus GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS tot_dl
+          FROM dl
+        ),
+        dfreq AS (
+          SELECT doc_id, tok, n,
+                 CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+          FROM corpus
+        ),
+        q AS (
+          SELECT doc_id AS query_id, tok FROM toks WHERE doc_id < {BM25_N_QUERIES}
+        ),
+        scored AS (
+          SELECT q.query_id, d.doc_id,
+                 round(sum(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (d.n * ({BM25_K1} + 1.0))
+                   / (d.n + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * l.dl * s.n_docs / s.tot_dl))
+                 ), 4) AS bm25
+          FROM dfreq d
+          JOIN q ON d.tok = q.tok
+          JOIN dl l ON d.doc_id = l.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.query_id, d.doc_id
+        )
+        SELECT query_id, doc_id, bm25, CAST(rn AS INT) AS rank FROM (
+          SELECT query_id, doc_id, bm25,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY bm25 DESC, doc_id) AS rn
+          FROM scored
+        ) WHERE rn <= {BM25_TOP_K}
+    """,
     "lm_unigram_score": f"""
         WITH tok0 AS (
           SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
