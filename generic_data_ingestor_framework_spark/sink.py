@@ -105,6 +105,25 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", backup: bool =
     df.write.mode(mode).json(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    backup: bool = False,
+    sep: str = ",",
+    compression: str | None = None,
+) -> None:
+    """CSV sink (header row on; ``ingest.read_csv_file`` reads it
+    back). ``compression='gzip'`` produces ``.csv.gz`` part files the
+    transparent-gzip ingest path also accepts."""
+    if backup:
+        backup_existing(path)
+    w = df.write.mode(mode).option("header", "true").option("sep", sep)
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite", backup: bool = False) -> None:
     """A26: text sink; the input must be a single string column."""
     if backup:

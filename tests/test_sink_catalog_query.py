@@ -261,3 +261,23 @@ def test_merge_into_order_col_tolerates_nested_map_columns(spark):
     assert stats == {"updated": 1, "inserted": 0, "total": 1}
     row = spark.table(t).collect()[0]
     assert row["seq"] == 3 and dict(row["tags"][0]) == {"k": "newest"}
+
+
+def test_write_csv_roundtrip_plain_and_gzip(spark, small_df, tmp_path):
+    """CSV sink round-trips through the engine's own CSV ingest path,
+    plain and gzip-compressed."""
+    from generic_data_ingestor_framework_spark.ingest import read_csv_file
+    import glob
+
+    out = str(tmp_path / "c")
+    sink.write_csv(small_df.coalesce(1), out)
+    part = glob.glob(out + "/part-*.csv")[0]
+    back = read_csv_file(spark, part)
+    assert back.count() == 3
+    assert {r["name"] for r in back.collect()} == {"a", "b", "c"}
+
+    gz = str(tmp_path / "cgz")
+    sink.write_csv(small_df.coalesce(1), gz, compression="gzip")
+    gzpart = glob.glob(gz + "/part-*.csv.gz")[0]
+    backgz = read_csv_file(spark, gzpart)
+    assert {r["name"] for r in backgz.collect()} == {"a", "b", "c"}
