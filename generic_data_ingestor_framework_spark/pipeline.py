@@ -381,6 +381,18 @@ def _write_sink(df: DataFrame, dst: dict) -> None:
         sink_mod.insert_data(df.sparkSession, df, dst["name"])
     elif kind == "sqlite":
         sink_mod.write_sqlite(df, dst["path"], dst.get("table", "processed_data"))
+    elif kind == "csv":
+        sink_mod.write_csv(
+            df,
+            dst["path"],
+            backup=dst.get("backup", False),
+            sep=dst.get("sep", ","),
+            compression=dst.get("compression"),
+        )
+    elif kind == "orc":
+        sink_mod.write_orc(df, dst["path"], backup=dst.get("backup", False))
+    elif kind == "xml":
+        sink_mod.write_xml(df, dst["path"], backup=dst.get("backup", False))
     else:
         raise ValueError(f"unknown sink type: {kind}")
 
