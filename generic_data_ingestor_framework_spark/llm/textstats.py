@@ -227,17 +227,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window (ties break on doc_id)."""
     from pyspark.sql import Window as W
 
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
     from generic_data_ingestor_framework_spark.llm.classify import _doc_tokens
 
     toks = _doc_tokens(spark, sf_dir).select("doc_id", "tok", "n")
     corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
-    # corpus stats as a broadcast 1-row agg; avgdl stays as the exact
-    # integer pair (total, count) so dl/avgdl = dl·n_docs/tot_dl is one
-    # deterministic division (float avg would carry a summation-order ulp)
     dl = corpus.groupBy("doc_id").agg(F.sum("n").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    # corpus stats as memoized driver scalars (two ints — the NB/LM
+    # scalar pattern); avgdl stays as the exact integer pair (total,
+    # count) so dl/avgdl = dl·n_docs/tot_dl is one deterministic
+    # division (float avg would carry a summation-order ulp)
+    sc = shared_value(
+        spark,
+        ("bm25_stats", sf_dir),
+        lambda: dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+        ).collect()[0].asDict(),
     )
+    n_docs, tot_dl = int(sc["n_docs"] or 0), int(sc["tot_dl"] or 0) or 1
     dfreq = corpus.withColumn(
         "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
     )
@@ -248,11 +255,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         dfreq.join(F.broadcast(qterms), "tok")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
             F.log(
-                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
             )
             * (F.col("n") * (BM25_K1 + 1.0))
             / (
@@ -260,7 +266,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + BM25_K1
                 * (
                     1.0 - BM25_B
-                    + BM25_B * F.col("dl") * F.col("n_docs") / F.col("tot_dl")
+                    + BM25_B * F.col("dl") * F.lit(n_docs) / F.lit(tot_dl)
                 )
             ),
         )
