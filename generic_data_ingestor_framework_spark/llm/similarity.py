@@ -157,10 +157,12 @@ def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+_KMEANS_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
 
 
-def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS
+) -> list[tuple[int, list[float]]]:
     """Train the IVF coarse quantizer: ``N_KMEANS_ITERS`` Lloyd
     iterations over the candidate vectors (everything except the query
     slice), cosine assignment, mean update.
@@ -173,8 +175,8 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     are rounded to 6 dp before the argmax (ties broken on centroid_id)
     and centroid coordinates to 3 dp after each mean, so the DuckDB
     oracle reproduces the identical trajectory with chained CTEs."""
-    if sf_dir in _KMEANS_CACHE:
-        return _KMEANS_CACHE[sf_dir]
+    if (sf_dir, k) in _KMEANS_CACHE:
+        return _KMEANS_CACHE[(sf_dir, k)]
     from pyspark.sql import Window as W
 
     cand = (
@@ -187,7 +189,7 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
         )
         .cache()
     )
-    init = cand.filter(F.col("point_id") < N_QUERY + N_CENTROIDS).orderBy("point_id").collect()
+    init = cand.filter(F.col("point_id") < N_QUERY + k).orderBy("point_id").collect()
     cents: dict[int, list[float]] = {i: list(r["pv"]) for i, r in enumerate(init)}
     w = W.partitionBy("point_id").orderBy(F.desc("sim"), "centroid_id")
     for _ in range(N_KMEANS_ITERS):
@@ -217,13 +219,15 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
             cents[cell] = [dims[p] for p in range(len(dims))]
     cand.unpersist()
     out = sorted(cents.items())
-    _KMEANS_CACHE[sf_dir] = out
+    _KMEANS_CACHE[(sf_dir, k)] = out
     return out
 
 
-def _centroid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _centroid_df(
+    spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS
+) -> DataFrame:
     return spark.createDataFrame(
-        _kmeans_centroids(spark, sf_dir), schema="centroid_id int, cv array<double>"
+        _kmeans_centroids(spark, sf_dir, k), schema="centroid_id int, cv array<double>"
     ).withColumn("cvn", _norm(F.col("cv")))
 
 
@@ -243,14 +247,16 @@ def _nearest_cells(cdf: DataFrame, df: DataFrame, vec_col, norm_col, id_col, n_c
     )
 
 
-def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assigned(
+    spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS
+) -> DataFrame:
     """The candidate→cell assignment IS the IVF index: built once per
     session (registry) and reused by every probe AND the cluster-
     confined semantic dedup — re-deriving it per call re-ran the
     16-centroid scoring pass over the whole corpus."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
-    cdf = _centroid_df(spark, sf_dir)
+    cdf = _centroid_df(spark, sf_dir, k)
     others = (
         _vectors(spark, sf_dir)
         .filter(F.col("vec_id") >= N_QUERY)
@@ -262,7 +268,7 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shared_persist(
         spark,
-        ("ivf_assigned", sf_dir),
+        ("ivf_assigned", sf_dir, k),
         lambda: _nearest_cells(cdf, others, "pv", "pn", "point_id", 1),
     )
 
@@ -435,7 +441,27 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_TAU = 0.4  # within-cell cosine cutoff (SemDeDup-style)
+SEMDEDUP_TAU = 0.4    # within-cell cosine cutoff (SemDeDup-style)
+SEM_TARGET_CELL = 32  # target vectors per cell: k grows with the corpus
+
+
+def _sem_k(spark: SparkSession, sf_dir: str) -> int:
+    """SemDeDup's scale knob: cell count k = max(N_CENTROIDS,
+    ceil(n_candidates / SEM_TARGET_CELL)), so cell size — and with it
+    the within-cell quadratic — stays bounded as the corpus grows
+    (fixed k measured 38x superlinear at the sf1 decade-up; adaptive k
+    holds cells at ~SEM_TARGET_CELL). Memoized per session; the DuckDB
+    oracle computes the same k with a scalar subquery."""
+    import math
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    n = shared_value(
+        spark,
+        ("sem_n_cand", sf_dir),
+        lambda: _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count(),
+    )
+    return max(N_CENTROIDS, math.ceil(n / SEM_TARGET_CELL))
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,9 +477,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`assigned` equi-joins itself on `cell`), and cell size is a
     design knob — at corpus scale k is chosen so cells hold ~1-10k
     vectors, which is why SemDeDup runs at web scale where all-pairs
-    cannot. Reuses the session-persisted assignment; no new scoring
-    pass, one small-key shuffle."""
-    a = _ivf_assigned(spark, sf_dir)
+    cannot. The cell count grows with the corpus (``_sem_k``) so the
+    per-cell quadratic stays bounded; at gate scale k equals the IVF
+    index's 16 cells and the session-persisted assignment is shared
+    outright."""
+    a = _ivf_assigned(spark, sf_dir, _sem_k(spark, sf_dir))
     b = (
         a.select(
             F.col("cell"),
@@ -554,15 +582,18 @@ def _sim_sql(a: str, b: str) -> str:
     return f"round({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}), 6)"
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(k_sql: str = str(N_CENTROIDS)) -> str:
     """The Lloyd-iteration trajectory of ``_kmeans_centroids`` as
     chained DuckDB CTEs (assign → per-dim rounded mean → carry empty
-    cells forward), generated for N_KMEANS_ITERS iterations."""
+    cells forward), generated for N_KMEANS_ITERS iterations. ``k_sql``
+    is the cell-count expression — the IVF oracles use the constant,
+    the SemDeDup oracle passes a scalar subquery over ``kparam`` so k
+    scales with the corpus exactly like the engine."""
     parts = [
         f"cand AS MATERIALIZED (SELECT vec_id AS point_id, v AS pv FROM vecs WHERE vec_id >= {N_QUERY})",
         f"""cent0 AS MATERIALIZED (
           SELECT CAST(vec_id - {N_QUERY} AS INT) AS centroid_id, v AS cv
-          FROM vecs WHERE vec_id >= {N_QUERY} AND vec_id < {N_QUERY + N_CENTROIDS})""",
+          FROM vecs WHERE vec_id >= {N_QUERY} AND vec_id < {N_QUERY} + ({k_sql}))""",
     ]
     for k in range(1, N_KMEANS_ITERS + 1):
         prev = f"cent{k - 1}"
@@ -695,7 +726,12 @@ ORACLES = {
         WITH vecs AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
-        {_kmeans_ctes()},
+        kparam AS (
+          SELECT greatest({N_CENTROIDS},
+                          CAST(ceil(count(*) / {SEM_TARGET_CELL}.0) AS INT)) AS k
+          FROM vecs WHERE vec_id >= {N_QUERY}
+        ),
+        {_kmeans_ctes("SELECT k FROM kparam")},
         {_ASSIGNED_CTE}
         SELECT a.cell AS cell, a.point_id AS vec_a, b.point_id AS vec_b,
                {_sim_sql('a.pv', 'b.pv')} AS cos_sim

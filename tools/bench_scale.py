@@ -59,6 +59,10 @@ QUERIES = [
     # tokenizer / LM scoring (vocab-sized iteration relation at any corpus size)
     "bpe_vocab_topk",
     "lm_unigram_score",
+    "bm25_topk",
+    # mixture design / semantic dedup
+    "source_reputation",
+    "dedup_semantic_clusters",
     # embeddings
     "ann_cosine_topk",
     "ann_ivf_topk",
