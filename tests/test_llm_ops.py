@@ -822,3 +822,34 @@ def test_bpe_hostile_tokens_match_reference(spark, tmp_path):
         for r in tokenize.bpe_train_merges(spark, str(d)).collect()
     ]
     assert got == ref_merges
+
+
+def test_semantic_dedup_cell_count_scales_with_corpus(spark, tmp_path):
+    """The SemDeDup cell count must grow with the candidate count
+    (k = max(16, ceil(n/32))) so within-cell pair work stays bounded —
+    the fixed-k variant measured 38x superlinear at the sf1 decade-up."""
+    import math
+    import random
+
+    from generic_data_ingestor_framework_spark.llm import similarity
+
+    rng = random.Random(11)
+    n, dim = 600, 4
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)], i % 3)
+        for i in range(n)
+    ]
+    d = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    k = similarity._sem_k(spark, str(d))
+    assert k == max(
+        similarity.N_CENTROIDS, math.ceil((n - similarity.N_QUERY) / similarity.SEM_TARGET_CELL)
+    )
+    assert k > similarity.N_CENTROIDS  # 595 candidates -> 19 cells
+
+    out = similarity.dedup_semantic_clusters(spark, str(d))
+    cells = {r["cell"] for r in out.select("cell").distinct().collect()}
+    assert cells and all(0 <= c < k for c in cells)
