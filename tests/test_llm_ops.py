@@ -853,3 +853,33 @@ def test_semantic_dedup_cell_count_scales_with_corpus(spark, tmp_path):
     out = similarity.dedup_semantic_clusters(spark, str(d))
     cells = {r["cell"] for r in out.select("cell").distinct().collect()}
     assert cells and all(0 <= c < k for c in cells)
+
+
+def test_bpe_matches_reference_random_corpora(spark, tmp_path):
+    """Randomized cross-validation of the distributed BPE trainer: a
+    small alphabet maximizes merge collisions (runs, shared prefixes,
+    count ties), and the engine must match the sequential reference
+    merge-for-merge on every corpus."""
+    import random
+    from collections import Counter
+
+    from generic_data_ingestor_framework_spark.llm import tokenize
+
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choices("ab", k=rng.randint(1, 6))) for _ in range(40)
+        ]
+        texts = {
+            i: " ".join(rng.choices(words, k=12)) for i in range(5)
+        }
+        d = tmp_path / f"rand_bpe_{seed}"
+        spark.createDataFrame(
+            [(i, "en", t) for i, t in sorted(texts.items())],
+            "doc_id bigint, lang string, text string",
+        ).write.parquet(str(d / "documents.parquet"))
+        word_counts = Counter(w for t in texts.values() for w in t.lower().split())
+        n_merges = 6
+        ref_merges, _ = _py_bpe(dict(word_counts), n_merges)
+        got = tokenize.train_merges(spark, str(d), n_merges)
+        assert got == ref_merges, f"seed {seed}: {got} != {ref_merges}"
