@@ -209,7 +209,7 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "doc_fingerprints": [
         "doc_fingerprint", "doc_rolling_hash", "dedup_segments_within_doc",
-        "span_duplication_ratio",
+        "span_duplication_ratio", "pagerank_doc_graph",
     ],
     "term_stats": [
         "corpus_bigram_topk", "tfidf_top_terms", "bpe_train_merges",

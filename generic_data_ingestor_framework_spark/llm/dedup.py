@@ -671,8 +671,64 @@ def connected_components(
     return labels
 
 
+PR_DAMP = 0.85
+PR_ITERS = 5
+PR_ROUND = 9  # per-iteration rounding (cross-engine summation contract)
+
+
+def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate similarity graph: LSH candidate
+    pairs become symmetric edges and ``PR_ITERS`` power iterations rank
+    each document's centrality in its duplication neighborhood — high
+    rank = hub of a large near-dup family (the doc you keep or audit
+    first), base rank = no duplicates anywhere.
+
+    The iterative-analytics sibling of ``connected_components``: each
+    iteration is one join (rank/degree onto edges) + one hash-aggregate
+    on the destination — the textbook distributed PageRank shape, edges
+    and degrees persisted once per session, ranks never on the driver.
+    Dangling mass is NOT redistributed (defined contract, mirrored in
+    the oracle). Per-iteration ranks round to ``PR_ROUND`` dp so the
+    two engines' independent summation orders cannot drift."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist, shared_value
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = shared_persist(
+        spark,
+        ("pr_edges", sf_dir),
+        lambda: (
+            dedup_minhash_lsh_pairs(spark, sf_dir)
+            .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .unionAll(
+                dedup_minhash_lsh_pairs(spark, sf_dir).select(
+                    F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                )
+            )
+        ),
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = shared_value(spark, ("pr_n", sf_dir), lambda: docs.count())
+    base = 0.15 / n
+    p = docs.select(F.col("doc_id").alias("v"), F.lit(1.0 / n).alias("p"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(p.withColumnRenamed("v", "u"), "u")
+            .join(deg, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("p") / F.col("deg")).alias("s"))
+        )
+        p = docs.join(contrib, docs.doc_id == contrib.v, "left").select(
+            F.col("doc_id").alias("v"),
+            F.round(
+                F.lit(base) + PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)), PR_ROUND
+            ).alias("p"),
+        )
+    return p.select(F.col("v").alias("doc_id"), F.round("p", 6).alias("pagerank"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "pagerank_doc_graph": pagerank_doc_graph,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_exact_by_key": dedup_exact_by_key,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -698,6 +754,39 @@ sig AS (
   FROM hashed GROUP BY doc_id
 )
 """
+
+def _pagerank_oracle() -> str:
+    """The power-iteration trajectory unrolled into CTEs; reuses the
+    LSH-pairs oracle verbatim as the edge source so the two members can
+    never disagree about the graph."""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""p{k} AS (
+          SELECT d.doc_id AS v,
+                 round(0.15 / (SELECT n FROM n_nodes)
+                       + {PR_DAMP} * COALESCE(c.s, 0.0), {PR_ROUND}) AS p
+          FROM documents d LEFT JOIN (
+            SELECT e.v AS v, sum(p.p / g.deg) AS s
+            FROM edges e JOIN p{k - 1} p ON p.v = e.u JOIN deg g ON g.u = e.u
+            GROUP BY e.v) c ON c.v = d.doc_id
+        )""")
+    chain = ",\n        ".join(iters)
+    return f"""
+        WITH n_nodes AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        pairs AS MATERIALIZED ({{lsh}}),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+        p0 AS (
+          SELECT doc_id AS v, 1.0 / (SELECT n FROM n_nodes) AS p FROM documents
+        ),
+        {chain}
+        SELECT v AS doc_id, round(p, 6) AS pagerank FROM p{PR_ITERS}
+    """
+
 
 ORACLES = {
     "dedup_incremental_near": f"""
@@ -880,3 +969,8 @@ ORACLES = {
         FROM contrib GROUP BY doc_id
     """,
 }
+
+# PageRank oracle reuses the LSH-pairs SQL verbatim as the edge source
+ORACLES["pagerank_doc_graph"] = _pagerank_oracle().format(
+    lsh=ORACLES["dedup_minhash_lsh_pairs"]
+)

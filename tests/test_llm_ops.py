@@ -883,3 +883,27 @@ def test_bpe_matches_reference_random_corpora(spark, tmp_path):
         ref_merges, _ = _py_bpe(dict(word_counts), n_merges)
         got = tokenize.train_merges(spark, str(d), n_merges)
         assert got == ref_merges, f"seed {seed}: {got} != {ref_merges}"
+
+
+def test_pagerank_doc_graph_invariants(spark):
+    """Isolated docs sit exactly at the base rank, connected docs above
+    it, and total mass stays <= 1 (dangling mass leaks by contract)."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        PR_DAMP,
+        pagerank_doc_graph,
+        dedup_minhash_lsh_pairs,
+    )
+
+    ranks = {r["doc_id"]: r["pagerank"] for r in pagerank_doc_graph(spark, SF).collect()}
+    n = len(ranks)
+    base = round(round(0.15 / n, 9), 6)
+    connected = set()
+    for r in dedup_minhash_lsh_pairs(spark, SF).collect():
+        connected.add(r["doc_a"]); connected.add(r["doc_b"])
+    assert connected, "corpus should contain planted near-duplicates"
+    for d, p in ranks.items():
+        if d in connected:
+            assert p > base, (d, p, base)
+        else:
+            assert p == base, (d, p, base)
+    assert sum(ranks.values()) <= 1.0 + 1e-6
