@@ -60,9 +60,10 @@ QUERIES = [
     "bpe_vocab_topk",
     "lm_unigram_score",
     "bm25_topk",
-    # mixture design / semantic dedup
+    # mixture design / semantic dedup / graph centrality
     "source_reputation",
     "dedup_semantic_clusters",
+    "pagerank_doc_graph",
     # embeddings
     "ann_cosine_topk",
     "ann_ivf_topk",
