@@ -213,7 +213,7 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "term_stats": [
         "corpus_bigram_topk", "tfidf_top_terms", "bpe_train_merges",
-        "bpe_vocab_topk", "bm25_topk",
+        "bpe_vocab_topk", "bpe_encode_docs", "bm25_topk",
     ],
     "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
     "multimodal_family": [

@@ -194,6 +194,39 @@ def bpe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENCODE_DOCS = 20  # doc_id bound for the oracle-checked encode member
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-encoded through the LEARNED merge table: for the first
+    ``ENCODE_DOCS`` documents, the subword stream (each word replaced by
+    its final symbol sequence, original token order) is fingerprinted —
+    the cross-engine proof that encoding with the trained vocabulary is
+    exactly the training-time segmentation. Pure joins/aggregates: the
+    word→symbols map is the final training relation, the doc side is a
+    posexplode preserving token positions."""
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    fw = _final_words(spark, sf_dir).select("word", "s")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < ENCODE_DOCS)
+    toks = (
+        d.select("doc_id", F.posexplode(tokens_col()).alias("pos", "word"))
+        .filter(F.col("word") != "")
+    )
+    joined = toks.join(fw, "word")
+    stream = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda r: r["s"]
+        ),
+        " ",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size(F.split("s", " "))).cast("long").alias("n_subwords"),
+        F.md5(stream).alias("subword_md5"),
+    )
+
+
 def encode_with_merges(
     df: DataFrame, merges: list[tuple[int, str, str, int]], column: str = "text"
 ) -> DataFrame:
@@ -268,6 +301,7 @@ _MERGE_ROWS = "\nUNION ALL\n".join(
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_vocab_topk": bpe_vocab_topk,
+    "bpe_encode_docs": bpe_encode_docs,
 }
 
 ORACLES = {
@@ -280,5 +314,22 @@ ORACLES = {
         SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n FROM (
           SELECT unnest(string_split(s, ' ')) AS symbol, cnt FROM w{BPE_MERGES}
         ) GROUP BY symbol ORDER BY n DESC, symbol LIMIT {VOCAB_TOPK}
+    """,
+    "bpe_encode_docs": f"""
+        WITH {_bpe_ctes()},
+        dt AS (
+          SELECT doc_id, l[i] AS word, i AS pos FROM (
+            SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+              FROM documents WHERE doc_id < {ENCODE_DOCS}
+            )
+          ) WHERE l[i] <> ''
+        )
+        SELECT dt.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(w.s, ' '))) AS BIGINT) AS n_subwords,
+               md5(string_agg(w.s, ' ' ORDER BY dt.pos)) AS subword_md5
+        FROM dt JOIN w{BPE_MERGES} w ON w.word = dt.word
+        GROUP BY dt.doc_id
     """,
 }
