@@ -1,9 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: median_sec_of_STEADY_RUNS, ...},
-   "spread": {name: [min, max]}, "sf": ...,
+Prints TWO JSON lines — a verbose diagnostics line first, then the
+compact canonical record LAST (the driver keeps only a bounded tail of
+stdout, so the parseable record must be the final, small line):
+  {"metric": "headline_queries_detail", "spread": {...},
+   "cold_total": ..., "cold_queries": {...}, "sf": ...}
+  {"metric": "headline_queries_total", "value": total_sec,
+   "unit": "sec", "queries": {name: median_sec_of_STEADY_RUNS, ...},
+   "sf": ..., "ingest_rps": ...,
    "vs_prev": {"baseline": file, "total_ratio": r,
                "regressions": {name: ratio > 1.3}}}
 
@@ -70,14 +74,21 @@ STEADY_RUNS = 5  # report per-query medians; 5 runs so one JIT/GC-warming
 
 
 def _vs_prev(times: dict[str, float], total: float) -> dict | None:
-    """Diff against the most recent recorded round, common queries only."""
+    """Diff against the most recent PARSEABLE recorded round (walking
+    back past rounds whose record lost its medians, e.g. BENCH_r05.json
+    where the driver's tail window truncated the line head)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prior:
-        return None
-    baseline_file = prior[-1]
+    for baseline_file in reversed(prior):
+        result = _vs_one(times, baseline_file)
+        if result is not None:
+            return result
+    return None
+
+
+def _vs_one(times: dict[str, float], baseline_file: str) -> dict | None:
     try:
         with open(baseline_file) as fh:
             prev = json.load(fh)
@@ -89,8 +100,14 @@ def _vs_prev(times: dict[str, float], total: float) -> dict | None:
     parsed = prev.get("parsed", prev) or {}
     if "queries" not in parsed and isinstance(prev.get("tail"), str):
         tail = prev["tail"].strip()
-        m2 = re.search(r'\{"metric":.*\}', tail)
-        candidate = m2.group(0) if m2 else None
+        # prefer the LAST `{"metric": ...}` line (the canonical compact
+        # record); fall back to any metric line, then to a head-truncated
+        # line starting mid-object at "value"
+        lines = [ln for ln in tail.splitlines() if '"metric"' in ln]
+        candidate = None
+        if lines:
+            m2 = re.search(r'\{"metric":.*\}', lines[-1])
+            candidate = m2.group(0) if m2 else None
         if candidate is None and tail.startswith('"value"'):
             candidate = '{"metric": null,' + tail  # head cut off mid-line
         if candidate:
@@ -153,6 +170,28 @@ def main() -> None:
     ingest_rps = _bench_ingest(spark)
 
     total = round(sum(times.values()), 3)
+    # Two lines, verbose first, canonical LAST. The driver records only a
+    # bounded TAIL of stdout; round 5's single ~4 KB line outgrew that
+    # window and lost its head (including every median), leaving the
+    # official record unparseable (BENCH_r05.json parsed: null). The
+    # bulky diagnostics (per-query min/max spread, cold first-run times)
+    # go on their own leading line; the final line is the compact
+    # canonical record — metric/value/queries/vs_prev — small enough
+    # (~1.5 KB at 30 queries) to always sit fully inside the tail window.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "spread": spread,
+                "cold_total": round(sum(cold.values()), 3),
+                # per-query first-run times: a regression visible in cold
+                # but not in `queries` is plan-compilation cost, not
+                # execution cost
+                "cold_queries": cold,
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -160,13 +199,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "spread": spread,
                 "sf": sf,
-                "cold_total": round(sum(cold.values()), 3),
-                # per-query first-run times: a regression visible here
-                # but not in `queries` is plan-compilation cost, not
-                # execution cost
-                "cold_queries": cold,
                 "ingest_rps": ingest_rps,
                 "vs_prev": _vs_prev(times, total),
             }

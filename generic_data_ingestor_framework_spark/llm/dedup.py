@@ -674,6 +674,10 @@ def connected_components(
 PR_DAMP = 0.85
 PR_ITERS = 5
 PR_ROUND = 9  # per-iteration rounding (cross-engine summation contract)
+PR_SCALE = 10**12  # per-edge contribs integer-scale before summing so the
+                   # two engines' (and Spark partial-agg's) summation
+                   # orders cannot drift a float sum across a rounding
+                   # boundary; si ≤ PR_SCALE per node, far inside bigint
 
 
 def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,46 +687,57 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = hub of a large near-dup family (the doc you keep or audit
     first), base rank = no duplicates anywhere.
 
-    The iterative-analytics sibling of ``connected_components``: each
-    iteration is one join (rank/degree onto edges) + one hash-aggregate
-    on the destination — the textbook distributed PageRank shape, edges
-    and degrees persisted once per session, ranks never on the driver.
+    The iterative-analytics sibling of ``connected_components``, and it
+    gets the same plan hygiene: the edge list is pre-joined with its
+    out-degree ONCE and session-persisted (one join + one destination
+    hash-aggregate per iteration — the textbook distributed PageRank
+    shape), and the rank relation is ``localCheckpoint``-truncated every
+    iteration so the executed plan stays flat instead of re-deriving
+    all prior iterations (round-5 audit: 100 exchanges, sf1 ratio 6.59).
     Dangling mass is NOT redistributed (defined contract, mirrored in
-    the oracle). Per-iteration ranks round to ``PR_ROUND`` dp so the
-    two engines' independent summation orders cannot drift."""
+    the oracle). Per-edge contributions are integer-scaled by
+    ``PR_SCALE`` before summing (order-exact cross-engine) and ranks
+    round to ``PR_ROUND`` dp per iteration."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist, shared_value
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = shared_persist(
-        spark,
-        ("pr_edges", sf_dir),
-        lambda: (
-            dedup_minhash_lsh_pairs(spark, sf_dir)
-            .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-            .unionAll(
-                dedup_minhash_lsh_pairs(spark, sf_dir).select(
-                    F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-                )
-            )
-        ),
-    )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    def _edges_with_degree() -> DataFrame:
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+        e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        return e.join(deg, "u")
+
+    ed = shared_persist(spark, ("pr_edges_deg", sf_dir), _edges_with_degree)
     n = shared_value(spark, ("pr_n", sf_dir), lambda: docs.count())
     base = 0.15 / n
     p = docs.select(F.col("doc_id").alias("v"), F.lit(1.0 / n).alias("p"))
+    p = p.localCheckpoint(eager=True)  # referenced once per iteration; seed flat
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(p.withColumnRenamed("v", "u"), "u")
-            .join(deg, "u")
+            ed.join(p.withColumnRenamed("v", "u"), "u")
             .groupBy("v")
-            .agg(F.sum(F.col("p") / F.col("deg")).alias("s"))
+            .agg(
+                F.sum(
+                    F.round(F.col("p") * PR_SCALE / F.col("deg")).cast("bigint")
+                ).alias("si")
+            )
         )
         p = docs.join(contrib, docs.doc_id == contrib.v, "left").select(
             F.col("doc_id").alias("v"),
             F.round(
-                F.lit(base) + PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)), PR_ROUND
+                F.lit(base)
+                + PR_DAMP
+                * (F.coalesce(F.col("si"), F.lit(0)).cast("double") / F.lit(float(PR_SCALE))),
+                PR_ROUND,
             ).alias("p"),
         )
+        # truncate lineage: without this, iteration k's plan re-derives
+        # iterations 1..k-1 (the round-5 100-exchange plan); with it each
+        # iteration executes exactly one join + one aggregate
+        p = p.localCheckpoint(eager=True)
     return p.select(F.col("v").alias("doc_id"), F.round("p", 6).alias("pagerank"))
 
 
@@ -764,9 +779,11 @@ def _pagerank_oracle() -> str:
         iters.append(f"""p{k} AS (
           SELECT d.doc_id AS v,
                  round(0.15 / (SELECT n FROM n_nodes)
-                       + {PR_DAMP} * COALESCE(c.s, 0.0), {PR_ROUND}) AS p
+                       + {PR_DAMP} * (COALESCE(c.si, 0) / {float(PR_SCALE)}),
+                       {PR_ROUND}) AS p
           FROM documents d LEFT JOIN (
-            SELECT e.v AS v, sum(p.p / g.deg) AS s
+            SELECT e.v AS v,
+                   sum(CAST(round(p.p * {PR_SCALE} / g.deg) AS BIGINT)) AS si
             FROM edges e JOIN p{k - 1} p ON p.v = e.u JOIN deg g ON g.u = e.u
             GROUP BY e.v) c ON c.v = d.doc_id
         )""")

@@ -50,6 +50,21 @@ untouched by a higher-ranked pair in the same batch) to cut job count
 ~10-50× — the documented extension point, not implemented here
 because merge-batch semantics differ subtly from sequential BPE and
 the sequential form is the verifiable contract.
+
+Deep merge tables (round-6): naive sequential application chains one
+nested ``replace`` per merge, so iteration k re-derives all k-1 prior
+merges (O(n_merges²) work) and a 256-merge table builds a 256-deep
+expression (Catalyst analysis cost, codegen size-limit fallback).
+``_apply_merges_chunked`` bounds both: merges apply in chunks of
+``CHUNK_MERGES`` with a ``localCheckpoint`` between chunks, so the
+executed plan is never more than one chunk deep and total work is
+O(n_merges × CHUNK_MERGES / relation). ``train_from_words`` uses the
+same chunking for its working relation, and ``encode_with_merges``
+switches past ``CHAIN_MAX`` merges to a distinct-word join (encode the
+Heaps-law-sized vocabulary once, join the segmentation back) instead
+of dragging a deep replace chain across the full corpus. A 256-merge
+training run is pinned against the python reference in
+``tests/test_llm_ops.py`` and timed at sf0.1 in SCALE.md.
 """
 
 from __future__ import annotations
@@ -63,6 +78,11 @@ from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
 BPE_MERGES = 10   # merges learned by the gate queries (parameterizable)
 VOCAB_TOPK = 20   # rows reported by bpe_vocab_topk
 END_MARK = "</w>" # end-of-word symbol (single symbol, appended per word)
+CHUNK_MERGES = 32 # merges applied per projection before a localCheckpoint
+                  # truncates lineage (bounds expression depth + rework)
+CHAIN_MAX = 48    # encode_with_merges: longest merge table applied as a
+                  # pure corpus projection; deeper tables encode the
+                  # distinct-word relation and join the result back
 
 _MERGES_SCHEMA = T.StructType(
     [
@@ -128,15 +148,43 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _apply_merges_chunked(
+    rel: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    chunk: int = CHUNK_MERGES,
+) -> DataFrame:
+    """Apply a learned merge table to a ``(…, s)`` relation in rank
+    order, ``chunk`` merges per projection with a ``localCheckpoint``
+    between chunks. Bounds the replace-expression depth (codegen-safe
+    at any vocab size) and the rework per chunk; intended for the
+    vocab-sized word relation, where materializing between chunks is
+    cheap (Heaps' law: distinct words ≪ corpus)."""
+    for i in range(0, len(merges), chunk):
+        s = F.col("s")
+        for _, pair, _, _ in merges[i : i + chunk]:
+            s = apply_merge(s, pair)
+        rel = rel.withColumn("s", s)
+        if i + chunk < len(merges):  # last chunk stays lazy for the caller
+            rel = rel.localCheckpoint(eager=True)
+    return rel
+
+
 def train_from_words(
-    words: DataFrame, n_merges: int = BPE_MERGES
+    words: DataFrame, n_merges: int = BPE_MERGES, checkpoint_every: int = CHUNK_MERGES
 ) -> list[tuple[int, str, str, int]]:
     """The merge-learning loop over an arbitrary ``(word, cnt, s)``
     relation — shared by the corpus trainer and the pipeline step so
     the two can never diverge. Stops early on a degenerate corpus
-    (every word fully merged before ``n_merges``)."""
+    (every word fully merged before ``n_merges``).
+
+    Every ``checkpoint_every`` merges the working relation is
+    ``localCheckpoint``-truncated, so the pair-count job at iteration k
+    replays at most ``checkpoint_every`` prior replace projections
+    instead of all k-1 (O(n·K) total work, plans never deeper than one
+    chunk — the property that makes a 256-merge run tractable)."""
     merges: list[tuple[int, str, str, int]] = []
     cur = words
+    since_ckpt = 0
     for k in range(1, n_merges + 1):
         best = (
             _pair_counts(cur).orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
@@ -146,6 +194,10 @@ def train_from_words(
         pair, c = best[0]["pair"], best[0]["c"]
         merges.append((k, pair, pair.replace(" ", ""), c))
         cur = cur.withColumn("s", apply_merge(F.col("s"), pair))
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            cur = cur.localCheckpoint(eager=True)
+            since_ckpt = 0
     return merges
 
 
@@ -165,13 +217,11 @@ def train_merges(
 
 
 def _final_words(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Word relation with all learned merges applied — one chained
-    projection over the persisted word table (no per-merge jobs)."""
+    """Word relation with all learned merges applied — chunked
+    projections over the persisted word table (lazy below one chunk,
+    checkpoint-bounded depth beyond it)."""
     merges = train_merges(spark, sf_dir, n_merges)
-    s = F.col("s")
-    for _, pair, _, _ in merges:
-        s = apply_merge(s, pair)
-    return _word_freqs(spark, sf_dir).withColumn("s", s)
+    return _apply_merges_chunked(_word_freqs(spark, sf_dir), merges)
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,23 +278,69 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def encode_with_merges(
-    df: DataFrame, merges: list[tuple[int, str, str, int]], column: str = "text"
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    column: str = "text",
+    chain_max: int = CHAIN_MAX,
 ) -> DataFrame:
     """Tokenize ``column`` with a learned merge table: adds
     ``bpe_tokens`` (array<string> of subword symbols, ``</w>``-marked
-    word ends). Pure projection — transform over the word array with
-    the same replace chain, no shuffle, no UDF."""
+    word ends).
 
-    def encode_word(w):
-        s = _init_syms(w)
-        for _, pair, _, _ in merges:
-            s = apply_merge(s, pair)
-        return F.split(s, " ")
+    Two physical strategies, same result:
 
-    words = F.split(F.lower(F.col(column)), r"\s+")
-    return df.withColumn(
-        "bpe_tokens",
-        F.flatten(F.transform(F.filter(words, lambda w: w != ""), encode_word)),
+    - ``len(merges) <= chain_max``: pure projection — transform over
+      the word array with the replace chain, no shuffle, no UDF (the
+      hot path for the gate's 10-merge table).
+    - deeper tables: encoding each corpus occurrence through a
+      hundreds-deep replace chain would repeat the same per-word work
+      corpus-many times and blow the codegen size limit, so instead the
+      DISTINCT words of the corpus are encoded once (vocab-sized
+      relation, chunk-checkpointed) and the segmentation joins back by
+      word, rebuilding each row's subword array by original position.
+      Costs two shuffles (distinct + regroup) but total merge work is
+      Heaps-law-sized, the 100 TB-safe trade."""
+    if len(merges) <= chain_max:
+
+        def encode_word(w):
+            s = _init_syms(w)
+            for _, pair, _, _ in merges:
+                s = apply_merge(s, pair)
+            return F.split(s, " ")
+
+        words = F.split(F.lower(F.col(column)), r"\s+")
+        return df.withColumn(
+            "bpe_tokens",
+            F.flatten(F.transform(F.filter(words, lambda w: w != ""), encode_word)),
+        )
+
+    rid = "_bpe_rid"
+    base = df.withColumn(rid, F.monotonically_increasing_id())
+    words_arr = F.filter(F.split(F.lower(F.col(column)), r"\s+"), lambda w: w != "")
+    toks = base.select(rid, F.posexplode(words_arr).alias("_pos", "word"))
+    wmap = _apply_merges_chunked(
+        toks.select("word").distinct().withColumn("s", _init_syms(F.col("word"))),
+        merges,
+    )
+    enc = (
+        toks.join(wmap.select("word", "s"), "word")
+        .groupBy(rid)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "s"))),
+                    lambda r: F.split(r["s"], " "),
+                )
+            ).alias("bpe_tokens")
+        )
+    )
+    return (
+        base.join(enc, rid, "left")
+        .withColumn(
+            "bpe_tokens",
+            F.coalesce(F.col("bpe_tokens"), F.array().cast("array<string>")),
+        )
+        .drop(rid)
     )
 
 

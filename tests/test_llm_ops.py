@@ -885,6 +885,56 @@ def test_bpe_matches_reference_random_corpora(spark, tmp_path):
         assert got == ref_merges, f"seed {seed}: {got} != {ref_merges}"
 
 
+def test_bpe_256_merges_matches_reference(spark, tmp_path):
+    """Deep-vocab training: 256 merges with chunked checkpointing
+    (CHUNK_MERGES-bounded plans) must still match the sequential python
+    reference merge-for-merge — the round-6 proof that the trainer's
+    scale path changes the plan, never the contract."""
+    import random
+    from collections import Counter
+
+    from generic_data_ingestor_framework_spark.llm import tokenize
+
+    rng = random.Random(99)
+    words = [
+        "".join(rng.choices("abcdefgh", k=rng.randint(3, 10))) for _ in range(300)
+    ]
+    texts = {i: " ".join(rng.choices(words, k=40)) for i in range(20)}
+    d = tmp_path / "deep_bpe"
+    spark.createDataFrame(
+        [(i, "en", t) for i, t in sorted(texts.items())],
+        "doc_id bigint, lang string, text string",
+    ).write.parquet(str(d / "documents.parquet"))
+    word_counts = Counter(w for t in texts.values() for w in t.lower().split())
+    ref_merges, _ = _py_bpe(dict(word_counts), 256)
+    assert len(ref_merges) == 256, "corpus too small to exercise 256 merges"
+    got = tokenize.train_merges(spark, str(d), 256)
+    assert got == ref_merges
+
+
+def test_bpe_encode_join_path_matches_projection(spark):
+    """encode_with_merges' distinct-word-join strategy (forced via
+    chain_max=0) must produce byte-identical subword arrays to the pure
+    projection path, including empty-text rows."""
+    from generic_data_ingestor_framework_spark.llm import tokenize
+
+    df = spark.createDataFrame(
+        [(1, "The cat SAT on the mat"), (2, "abab aaaa cat"), (3, ""), (4, "   ")],
+        "id bigint, text string",
+    )
+    merges = [(1, "a b", "ab", 0), (2, "ab ab", "abab", 0), (3, "c a", "ca", 0)]
+    proj = {
+        r["id"]: r["bpe_tokens"]
+        for r in tokenize.encode_with_merges(df, merges).collect()
+    }
+    joined = {
+        r["id"]: r["bpe_tokens"]
+        for r in tokenize.encode_with_merges(df, merges, chain_max=0).collect()
+    }
+    assert proj == joined
+    assert joined[3] == [] and joined[4] == []
+
+
 def test_pagerank_doc_graph_invariants(spark):
     """Isolated docs sit exactly at the base rank, connected docs above
     it, and total mass stays <= 1 (dangling mass leaks by contract)."""
