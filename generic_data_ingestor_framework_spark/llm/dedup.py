@@ -187,22 +187,39 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig_df(spark, sf_dir)
 
 
+def _banded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-signature relation (doc_id, bucket, band_idx, band_sig),
+    persisted once per session: 4 short rows per document, shared by
+    the LSH self-join, the incremental near-dup index, and PageRank's
+    edge builder — consumers start from the materialized bands instead
+    of each re-deriving sig → posexplode lineage."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def build() -> DataFrame:
+        sig = _minhash_sig_df(spark, sf_dir)
+        bands = F.array(
+            *[
+                F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                for b in range(BANDS)
+            ]
+        )
+        return sig.select(
+            "doc_id",
+            (portable_hash32(F.col("doc_id").cast("string")) % 2).alias("bucket"),
+            F.posexplode(bands).alias("band_idx", "band_sig"),
+        )
+
+    return shared_persist(spark, ("minhash_bands", sf_dir), build)
+
+
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
     signature become a candidate pair (doc_a < doc_b).
 
     The join key is (band_idx, band_sig) — candidate generation scales
     with bucket sizes, never with the number of document pairs."""
-    # the signature relation (persisted in _minhash_sig_df) feeds both
-    # sides of the self-join
-    sig = _minhash_sig_df(spark, sf_dir)
-    bands = F.array(
-        *[
-            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-            for b in range(BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_sig"))
+    # the persisted band relation feeds both sides of the self-join
+    banded = _banded_df(spark, sf_dir).select("doc_id", "band_idx", "band_sig")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -532,45 +549,29 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     same recall contract as ``dedup_minhash_lsh_pairs``), and admitted
     documents are also band-unique within the batch (min doc_id wins).
 
-    Scale shape: one semi-join of the batch's bands against the corpus
-    band set plus one window over batch bands — both equi-shuffles on
-    the band key; no pairwise comparisons anywhere."""
+    Scale shape (round-6: ONE band-key shuffle instead of the prior
+    semi-join + separate window): corpus rows sort before batch rows
+    inside each (band_idx, band_sig) partition (bucket 0 < 1, then
+    doc_id), so a batch row with ``row_number > 1`` is exactly
+    "band already claimed" — by corpus history OR by an earlier batch
+    document. No pairwise comparisons anywhere; the band relation is
+    session-persisted (``_banded_df``)."""
     from pyspark.sql import Window as W
 
-    sig = _minhash_sig_df(spark, sf_dir)
-    bands = F.array(
-        *[
-            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-            for b in range(BANDS)
-        ]
-    )
-    banded = sig.select(
-        "doc_id",
-        (portable_hash32(F.col("doc_id").cast("string")) % 2).alias("bucket"),
-        F.posexplode(bands).alias("band_idx", "band_sig"),
-    )
-    corpus_bands = (
-        banded.filter(F.col("bucket") == 0).select("band_idx", "band_sig").distinct()
-    )
-    batch = banded.filter(F.col("bucket") == 1)
-    hit = (
-        batch.join(corpus_bands, ["band_idx", "band_sig"], "semi")
+    banded = _banded_df(spark, sf_dir)
+    w = W.partitionBy("band_idx", "band_sig").orderBy("bucket", "doc_id")
+    rejected = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("bucket") == 1) & (F.col("rn") > 1))
         .select("doc_id")
         .distinct()
     )
-    # batch-internal near-dups: first doc_id claims each band signature
-    w = W.partitionBy("band_idx", "band_sig").orderBy("doc_id")
-    batch_loser = (
-        batch.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
-        .select("doc_id")
-        .distinct()
-    )
+    batch_ids = banded.filter(F.col("bucket") == 1).select("doc_id").distinct()
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "lang")
-        .join(batch.select("doc_id").distinct(), "doc_id", "semi")
-        .join(hit.union(batch_loser).distinct(), "doc_id", "anti")
+        .join(batch_ids, "doc_id", "semi")
+        .join(rejected, "doc_id", "anti")
     )
 
 
