@@ -68,6 +68,9 @@ def _run_to_completion(q, what: str) -> None:
         raise RuntimeError(f"{what} failed: {q.exception()}")
 
 
+MEMORY_SINK_MAX_ROWS = 1_000_000  # parity-harness bound; see _drain_memory_sink
+
+
 def _drain_memory_sink(spark: SparkSession, q, sink: str, what: str) -> DataFrame:
     """Wait for the availableNow query, copy the memory sink into a
     session-independent local DataFrame, and DROP the sink's temp view:
@@ -75,9 +78,24 @@ def _drain_memory_sink(spark: SparkSession, q, sink: str, what: str) -> DataFram
     one view behind per invocation accumulates result copies for the
     life of the session (the same leak class cachemgr fixed for batch
     persists). Sink results here are aggregate-sized, so the local copy
-    is driver-safe by construction."""
+    is driver-safe by construction — and that construction is ENFORCED:
+    past ``MEMORY_SINK_MAX_ROWS`` this raises instead of silently
+    ballooning the driver. The memory sink is the batch-parity harness
+    path only; corpus-scale streaming goes through the
+    ``foreachBatch``/file-sink route (``stream_upsert``), which never
+    routes results through the driver."""
     _run_to_completion(q, what)
     t = spark.table(sink)
+    n = t.count()
+    if n > MEMORY_SINK_MAX_ROWS:
+        spark.catalog.dropTempView(sink)
+        raise RuntimeError(
+            f"{what}: memory sink holds {n} rows "
+            f"(> MEMORY_SINK_MAX_ROWS={MEMORY_SINK_MAX_ROWS}); this path is "
+            f"the parity harness for aggregate-sized results — use the "
+            f"foreachBatch/file-sink route (see stream_upsert) for "
+            f"corpus-scale streams"
+        )
     local = spark.createDataFrame(t.collect(), t.schema)
     spark.catalog.dropTempView(sink)
     return local

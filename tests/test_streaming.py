@@ -201,3 +201,19 @@ def test_asof_join_tolerance(spark):
     assert {(r["k"], str(r["lts"]), r["rv"]) for r in tol.collect()} == {
         (1, "2024-01-01 10:00:00", 100),
     }
+
+
+def test_memory_sink_guard_rejects_oversized_results(spark, monkeypatch):
+    """_drain_memory_sink is the parity-harness path for aggregate-sized
+    results; past MEMORY_SINK_MAX_ROWS it must raise (pointing at the
+    foreachBatch/file-sink route) and still drop the sink view rather
+    than leak a driver-resident copy."""
+    import pytest
+
+    from generic_data_ingestor_framework_spark import streaming
+
+    monkeypatch.setattr(streaming, "MEMORY_SINK_MAX_ROWS", 5)
+    with pytest.raises(RuntimeError, match="stream_tumbling_counts.*foreachBatch"):
+        streaming.stream_tumbling_counts(spark, SF)
+    leftover = [t.name for t in spark.catalog.listTables() if "tumbling" in t.name]
+    assert leftover == [], f"sink view leaked: {leftover}"

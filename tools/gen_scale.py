@@ -80,7 +80,18 @@ def main() -> None:
             df = df.withColumn(
                 "ts", F.col("ts") + F.expr("make_dt_interval(0, 0, 0, _r * 1e-6)")
             )
-        n = df.drop("_r").write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        # write 32 part files: the sf0.1 source is a single part, and a
+        # 1-file decade-up would give Spark exactly ONE input split —
+        # map-only queries (token_stats & friends) would run on 1 of 32
+        # cores and the harness would measure file layout, not the plan.
+        # Real corpus-scale tables always arrive in many splits; 32
+        # matches local[32] the way thousands of splits match a cluster.
+        n = (
+            df.drop("_r")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{DST}/{t}.parquet")
+        )
         print(f"wrote {t} x{REPLICAS}")
 
     for t in list(REMAP) + COPY:
