@@ -29,12 +29,21 @@ the handler beyond driver-sized JSON marshalling.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
+
+MAX_UPLOAD_BYTES = 64 * 1024 * 1024  # refuse larger bodies with 413: the
+# upload lands on the driver's local disk before the DISTRIBUTED ingest
+# reads it, so this bound is about not letting one request exhaust the
+# control plane — bulk data arrives via the CLI/object-store path, not HTTP
+MAX_PREVIEW_ROWS = 1000  # /preview collects to the driver; cap like the UI
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,127}$")
 
 _INDEX_HTML = """<!doctype html>
 <html><head><title>generic_data_ingestor_framework_spark</title></head>
@@ -108,7 +117,16 @@ def _make_handler(state: _State):
                 from generic_data_ingestor_framework_spark import catalog, query
 
                 table = q.get("table", [""])[0]
-                limit = int(q.get("limit", ["100"])[0])
+                try:
+                    limit = int(q.get("limit", ["100"])[0])
+                except ValueError:
+                    self._json({"error": "limit must be an integer"}, 400)
+                    return
+                if not 0 <= limit <= MAX_PREVIEW_ROWS:
+                    self._json(
+                        {"error": f"limit must be in [0, {MAX_PREVIEW_ROWS}]"}, 400
+                    )
+                    return
                 if not catalog.table_exists(state.spark, table):
                     self._json({"error": f"no such table: {table}"}, 404)
                     return
@@ -131,14 +149,28 @@ def _make_handler(state: _State):
         def _post(self) -> None:
             url = urlparse(self.path)
             q = parse_qs(url.query)
-            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._json({"error": "bad Content-Length"}, 400)
+                return
+            if n < 0:
+                # read(-1) would block on the socket until client EOF
+                self._json({"error": "bad Content-Length"}, 400)
+                return
+            if n > MAX_UPLOAD_BYTES:
+                self._json(
+                    {"error": f"body exceeds {MAX_UPLOAD_BYTES} bytes"}, 413
+                )
+                return
             body = self.rfile.read(n) if n else b""
             if url.path == "/upload":
                 name = q.get("name", [""])[0]
                 # basename-only: an upload may not escape the session dir
+                # (Path.name keeps '..' as-is — reject dot names outright)
                 safe = Path(name).name
-                if not safe:
-                    self._json({"error": "missing ?name="}, 400)
+                if not safe or safe in (".", "..") or "\x00" in safe:
+                    self._json({"error": "missing or invalid ?name="}, 400)
                     return
                 (state.upload_dir / safe).write_bytes(body)
                 self._json({"uploaded": safe, "bytes": len(body)})
@@ -147,6 +179,12 @@ def _make_handler(state: _State):
                 from generic_data_ingestor_framework_spark.ingest import ingest_directory
 
                 table = q.get("table", ["processed_data"])[0]
+                if not _IDENT.match(table):
+                    # identifier-shaped only: table names reach saveAsTable
+                    # and later /schema//preview lookups; reject rather
+                    # than let hostile names hit the catalog parser
+                    self._json({"error": "invalid table name"}, 400)
+                    return
                 with state.lock:
                     df, report = ingest_directory(
                         state.spark, state.upload_dir, schema_mode="first_record"
