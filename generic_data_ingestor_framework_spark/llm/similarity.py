@@ -190,7 +190,20 @@ def _kmeans_centroids(
         .cache()
     )
     init = cand.filter(F.col("point_id") < N_QUERY + k).orderBy("point_id").collect()
-    cents: dict[int, list[float]] = {i: list(r["pv"]) for i, r in enumerate(init)}
+    # centroid_id = vec_id - N_QUERY is the CONTRACT the DuckDB oracle
+    # computes; deriving it from the id (not enumerate()) keeps the two
+    # engines' centroid labels aligned even if candidate vec_ids ever
+    # had gaps — and a gap also means fewer than k seeds, which must be
+    # loud, not a silent smaller-k trajectory
+    cents: dict[int, list[float]] = {
+        int(r["point_id"]) - N_QUERY: list(r["pv"]) for r in init
+    }
+    if sorted(cents) != list(range(k)):
+        raise ValueError(
+            f"k-means seeding expects candidate vec_ids contiguous from "
+            f"{N_QUERY}: wanted seeds 0..{k - 1}, got {sorted(cents)[:5]}…"
+            f" ({len(cents)} of {k})"
+        )
     w = W.partitionBy("point_id").orderBy(F.desc("sim"), "centroid_id")
     for _ in range(N_KMEANS_ITERS):
         cdf = spark.createDataFrame(

@@ -205,6 +205,8 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_N_QUERIES = 5   # doc_id < 5 are the query documents
 BM25_TOP_K = 5
+BM25_SCALE = 10**6   # per-term contribs round to integer micro-units
+                     # before summing (order-exact cross-engine)
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,13 +220,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     or dedup-by-retrieval pass uses.
 
     Scale shape: the (doc, term, tf) relation is built once (shared
-    with NB/LM via ``_doc_tokens``); df is a COUNT window over the
-    term partitioning the query-term join already needs; the query
-    side is tiny and broadcast; the only corpus-wide shuffles are the
-    shared relation's own build and the per-(query, doc) aggregate.
-    Determinism: integer counts everywhere, one ln per (term) and one
-    division chain per (query, doc, term), rounded to 4 dp before the
-    rank window (ties break on doc_id)."""
+    with NB/LM via ``_doc_tokens``); the corpus side is semi-joined to
+    the (broadcast, tiny) distinct query-term set BEFORE the df window,
+    so the partition-by-term shuffle carries only query-term rows —
+    df per term is unchanged (the filter is by term, never by doc) but
+    the corpus-wide shuffle the round-5 plan paid for non-query terms
+    is gone. Determinism: integer counts everywhere; each per-term
+    contribution is scaled by ``BM25_SCALE`` and rounded to an integer
+    BEFORE the (query, doc) sum, so partial-aggregation order can never
+    drift a float sum across the 4-dp reporting boundary (the module's
+    mixture-weight members already use this contract); ties break on
+    doc_id."""
     from pyspark.sql import Window as W
 
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
@@ -245,33 +251,41 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0].asDict(),
     )
     n_docs, tot_dl = int(sc["n_docs"] or 0), int(sc["tot_dl"] or 0) or 1
-    dfreq = corpus.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
-    )
     qterms = (
         toks.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(F.col("doc_id").alias("query_id"), "tok")
+    )
+    # df only matters for query terms: filter by term (doc-independent,
+    # so each surviving term's df is exact) before the tok-partition
+    # window, shrinking that shuffle from corpus-wide to query-term rows
+    dfreq = corpus.join(F.broadcast(qterms.select("tok").distinct()), "tok").withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
     )
     scored = (
         dfreq.join(F.broadcast(qterms), "tok")
         .join(dl, "doc_id")
         .withColumn(
-            "contrib",
-            F.log(
-                1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * (F.col("n") * (BM25_K1 + 1.0))
-            / (
-                F.col("n")
-                + BM25_K1
-                * (
-                    1.0 - BM25_B
-                    + BM25_B * F.col("dl") * F.lit(n_docs) / F.lit(tot_dl)
+            "contrib_i",
+            F.round(
+                F.log(
+                    1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 )
-            ),
+                * (F.col("n") * (BM25_K1 + 1.0))
+                / (
+                    F.col("n")
+                    + BM25_K1
+                    * (
+                        1.0 - BM25_B
+                        + BM25_B * F.col("dl") * F.lit(n_docs) / F.lit(tot_dl)
+                    )
+                )
+                * BM25_SCALE
+            ).cast("bigint"),
         )
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+        .agg(
+            F.round(F.sum("contrib_i") / F.lit(float(BM25_SCALE)), 4).alias("bm25")
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
     return (
@@ -591,22 +605,26 @@ ORACLES = {
                  CAST(sum(dl) AS BIGINT) AS tot_dl
           FROM dl
         ),
-        dfreq AS (
-          SELECT doc_id, tok, n,
-                 CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df
-          FROM corpus
-        ),
         q AS (
           SELECT doc_id AS query_id, tok FROM toks WHERE doc_id < {BM25_N_QUERIES}
         ),
+        dfreq AS (
+          -- term-filter BEFORE the df window (engine lockstep): df per
+          -- surviving term is unchanged, the window just skips terms no
+          -- query mentions
+          SELECT doc_id, tok, n,
+                 CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+          FROM corpus WHERE tok IN (SELECT DISTINCT tok FROM q)
+        ),
         scored AS (
           SELECT q.query_id, d.doc_id,
-                 round(sum(
+                 round(CAST(sum(CAST(round(
                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                    * (d.n * ({BM25_K1} + 1.0))
                    / (d.n + {BM25_K1} * (1.0 - {BM25_B}
                         + {BM25_B} * l.dl * s.n_docs / s.tot_dl))
-                 ), 4) AS bm25
+                   * {BM25_SCALE}) AS BIGINT)) AS BIGINT) / {float(BM25_SCALE)},
+                   4) AS bm25
           FROM dfreq d
           JOIN q ON d.tok = q.tok
           JOIN dl l ON d.doc_id = l.doc_id

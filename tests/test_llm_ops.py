@@ -957,3 +957,75 @@ def test_pagerank_doc_graph_invariants(spark):
         else:
             assert p == base, (d, p, base)
     assert sum(ranks.values()) <= 1.0 + 1e-6
+
+
+def test_semantic_clusters_adaptive_k_oracle_parity(spark, tmp_path):
+    """dedup_semantic_clusters with a corpus big enough that _sem_k
+    EXCEEDS N_CENTROIDS (the adaptive-k scale path) must match the
+    DuckDB oracle row-for-row — pinning that the engine's centroid
+    labels (vec_id - N_QUERY seeding) and the oracle's scalar-subquery
+    k stay in lockstep beyond the gate corpus's k=16."""
+    import math
+    import random
+
+    import duckdb
+
+    from generic_data_ingestor_framework_spark import cachemgr
+    from generic_data_ingestor_framework_spark.llm import similarity
+
+    rng = random.Random(7)
+    dim = 16
+    n = 5 + 560  # 560 candidates -> k = ceil(560/32) = 18 > N_CENTROIDS
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)], i % 3)
+        for i in range(n)
+    ]
+    d = tmp_path / "adaptive_k"
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    k = similarity._sem_k(spark, str(d))
+    assert k == math.ceil(560 / 32) > similarity.N_CENTROIDS
+
+    got = sorted(
+        (r["cell"], r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in similarity.dedup_semantic_clusters(spark, str(d)).collect()
+    )
+    assert got, "corpus should yield at least one within-cell near-dup pair"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d / 'embeddings.parquet'}/*.parquet'"
+    )
+    ora = sorted(tuple(r) for r in
+                 con.execute(similarity.ORACLES["dedup_semantic_clusters"]).fetchall())
+    assert got == ora
+    # engine-side hygiene for other tests sharing the session registry
+    similarity._KMEANS_CACHE.clear()
+    cachemgr.clear_caches()
+
+
+def test_kmeans_seeding_rejects_vec_id_gaps(spark, tmp_path):
+    """A candidate id gap below N_QUERY + k would silently desync the
+    engine's centroid labels from the oracle's vec_id - N_QUERY
+    contract; the trainer must refuse instead."""
+    import pytest
+
+    from generic_data_ingestor_framework_spark import cachemgr
+    from generic_data_ingestor_framework_spark.llm import similarity
+
+    rows = [
+        (i, [float(i % 7), 1.0, -0.5], 0)
+        for i in range(5 + 20)
+        if i != 9  # hole inside the seed range
+    ]
+    d = tmp_path / "gapped"
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="contiguous"):
+        similarity._kmeans_centroids(spark, str(d), k=8)
+    similarity._KMEANS_CACHE.clear()
+    cachemgr.clear_caches()
