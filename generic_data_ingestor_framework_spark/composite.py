@@ -205,15 +205,17 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "text_quality": [
         "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
-        "lm_unigram_score",
+        "lm_unigram_score", "corpus_select_budget",
     ],
     "doc_fingerprints": [
         "doc_fingerprint", "doc_rolling_hash", "dedup_segments_within_doc",
         "span_duplication_ratio", "pagerank_doc_graph",
+        "remove_duplicated_spans",
     ],
     "term_stats": [
         "corpus_bigram_topk", "tfidf_top_terms", "bpe_train_merges",
         "bpe_vocab_topk", "bpe_encode_docs", "bm25_topk",
+        "retrieval_qlm_topk", "retrieval_rrf_fusion",
     ],
     "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
     "multimodal_family": [

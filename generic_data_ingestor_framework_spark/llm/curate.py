@@ -314,6 +314,154 @@ def span_duplication_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUDGET_NUM, BUDGET_DEN = 2, 5  # select the top-quality 40% of corpus tokens
+
+
+def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank documents by heuristic
+    quality (shared ``_quality_expr`` formula) and keep the best docs
+    until the cumulative token count reaches a budget — here 40% of
+    the corpus — the data-selection step that decides what a training
+    run actually reads.
+
+    Scale shape: a naive global ORDER BY quality + running-sum window
+    is a single-partition sort at 100 TB. This runs the TWO-LEVEL
+    cumsum instead: quality is 6-dp rounded, so ``band = round(q·1e6)``
+    is an exact integer in [0, 1e6]; per-band token totals (≤ 1e6+1
+    rows, a bounded driver-sized relation at ANY corpus size) give
+    each band's prefix offset on the driver, bands that start past the
+    budget are pruned before any row-level work, and the row-level
+    window runs PARTITIONED by band with the offset added — no global
+    sort ever happens. The DuckDB oracle computes the same selection
+    with the naive global window, pinning the decomposition's
+    equivalence."""
+    from pyspark.sql import Window as W
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+    from generic_data_ingestor_framework_spark.llm.textstats import _quality_expr
+
+    scored = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.round(_quality_expr(F.col("ts")), 6).alias("quality"),
+    )
+    banded = scored.withColumn(
+        "band", F.round(F.col("quality") * 1e6).cast("bigint")
+    )
+    band_rows = shared_value(
+        spark,
+        ("qsel_bands", sf_dir),
+        lambda: [
+            (int(r["band"]), int(r["toks"]), int(r["docs"]))
+            for r in banded.groupBy("band")
+            .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("docs"))
+            .collect()
+        ],
+    )
+    total = sum(t for _, t, _ in band_rows)
+    budget = total * BUDGET_NUM // BUDGET_DEN
+    offs, tok_off, rank_off = [], 0, 0
+    for band, toks, docs in sorted(band_rows, reverse=True):
+        if tok_off < budget:  # bands starting past the budget can't contribute
+            offs.append((band, tok_off, rank_off))
+        tok_off += toks
+        rank_off += docs
+    offs_df = spark.createDataFrame(
+        offs, schema="band bigint, tok_off bigint, rank_off bigint"
+    )
+    wc = (
+        W.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wr = W.partitionBy("band").orderBy("doc_id")
+    return (
+        banded.join(F.broadcast(offs_df), "band")
+        .withColumn(
+            "cum_tokens",
+            (F.sum("n_tokens").over(wc) + F.col("tok_off")).cast("bigint"),
+        )
+        .withColumn(
+            "sel_rank", (F.row_number().over(wr) + F.col("rank_off")).cast("int")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens", "sel_rank")
+    )
+
+
+SPAN_K = DECON_GRAM_K  # duplicated-span gram width (13 tokens)
+
+
+def _pos_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL 13-gram relation ``(doc_id, pos, gram)`` — unlike
+    ``_gram_relation`` (distinct grams, for membership tests), this
+    keeps every occurrence with its 0-based token offset so span
+    REMOVAL can map duplicated grams back to covered token ranges.
+    Persisted once per session."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    toks = _docs_with_tokens(spark, sf_dir).select("doc_id", "ts")
+    n = F.size("ts")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - SPAN_K),
+        lambda p: F.array_join(F.slice("ts", p + 1, SPAN_K), " "),
+    )
+    gs = F.when(n >= SPAN_K, grams).otherwise(F.array().cast("array<string>"))
+    return shared_persist(
+        spark,
+        ("span_pos_grams", sf_dir),
+        lambda: toks.select("doc_id", F.posexplode(gs).alias("pos", "gram")),
+    )
+
+
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    13-token gram occurring ≥2 times in the corpus (across documents
+    OR repeated within one) marks its token range as duplicated; every
+    covered token is cut and the surviving text is reported by md5 —
+    the substring-level complement of the doc-level dedup operators
+    (``span_duplication_ratio`` is this operator's audit).
+
+    Scale shape: occurrence counting is one hash-aggregate over the
+    session-persisted positional gram relation (the canonical
+    skew-tolerant counting plan); coverage explodes ONLY duplicated
+    postings ×13 offsets; the per-doc covered set is bounded by doc
+    length and the text rebuild is a map-side array filter — the
+    corpus text never shuffles."""
+    pg = _pos_gram_relation(spark, sf_dir)
+    dup = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("occ")).filter(
+        F.col("occ") >= 2
+    )
+    covered = (
+        pg.join(dup.select("gram"), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias(
+                "cov"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("cov").alias("cov"))
+    )
+    toks = _docs_with_tokens(spark, sf_dir).select("doc_id", "ts")
+    joined = toks.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("ts"), lambda t, i: ~F.array_contains(F.col("cov"), i)
+    )
+    n = F.size("ts")
+    return joined.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size("cov").alias("n_removed"),
+        (F.floor(F.size("cov") * 10000.0 / n) / 10000).alias("removed_ratio"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    )
+
+
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape quality flags per document: word
     count band, mean word length band, duplicate-token fraction cap —
@@ -342,6 +490,8 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_select_budget": corpus_select_budget,
+    "remove_duplicated_spans": remove_duplicated_spans,
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "pack_context_windows": pack_context_windows,
     "chunk_documents_overlap": chunk_documents_overlap,
@@ -363,7 +513,83 @@ _GRAMS_CTE = f"""
         )
 """
 
+from generic_data_ingestor_framework_spark.llm.textstats import (  # noqa: E402
+    _QUALITY_SQL,
+    _STOP_IN,
+)
+
 ORACLES = {
+    # Naive global-window twin of the engine's two-level banded cumsum:
+    # same ordering (quality DESC, doc_id), same integer budget — pins
+    # the decomposition's equivalence.
+    "corpus_select_budget": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({_TOKS_SQL}) AS n,
+                 len(list_filter({_TOKS_SQL}, x -> x IN ('{_STOP_IN}'))) AS n_stop
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                 round({_QUALITY_SQL.format(n='n', n_stop='n_stop')}, 6) AS quality
+          FROM t
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM scored),
+        cum AS (
+          SELECT doc_id, quality, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                 CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+                      AS INT) AS sel_rank
+          FROM scored
+        )
+        SELECT doc_id, quality, n_tokens, cum_tokens, sel_rank
+        FROM cum, tot
+        WHERE cum_tokens <= total * {BUDGET_NUM} // {BUDGET_DEN}
+    """,
+
+    "remove_duplicated_spans": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        pg AS (
+          SELECT doc_id, CAST(r.i AS INT) AS pos,
+                 array_to_string(ts[r.i + 1 : r.i + {SPAN_K}], ' ') AS gram
+          FROM tok, range(0, 4096) r(i)
+          WHERE r.i <= len(ts) - {SPAN_K}
+        ),
+        dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT p.doc_id, p.pos + j.j AS cov
+          FROM pg p JOIN dup d USING (gram), range(0, {SPAN_K}) j(j)
+        ),
+        ncov AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_removed
+          FROM cov GROUP BY doc_id
+        ),
+        tokidx AS (
+          SELECT doc_id, CAST(r.i AS INT) AS idx, ts[r.i + 1] AS tok
+          FROM tok, range(0, 4096) r(i)
+          WHERE r.i < len(ts)
+        ),
+        kept AS (
+          SELECT t.doc_id,
+                 md5(coalesce(string_agg(
+                   CASE WHEN c.cov IS NULL THEN t.tok END, ' '
+                   ORDER BY t.idx), '')) AS cleaned_md5
+          FROM tokidx t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.cov
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.ts) AS INT) AS n_tokens,
+               COALESCE(n.n_removed, 0) AS n_removed,
+               floor(COALESCE(n.n_removed, 0) * 10000.0 / len(d.ts)) / 10000
+                 AS removed_ratio,
+               k.cleaned_md5
+        FROM tok d
+        LEFT JOIN ncov n USING (doc_id)
+        JOIN kept k USING (doc_id)
+    """,
+
     "dedup_segments_within_doc": f"""
         WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
         segs AS (

@@ -206,6 +206,24 @@ BM25_B = 0.75
 BM25_N_QUERIES = 5   # doc_id < 5 are the query documents
 BM25_TOP_K = 5
 BM25_SCALE = 10**6   # per-term contribs round to integer micro-units
+
+
+def _corpus_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus token length ``(doc_id, dl)`` — shared by
+    every retrieval scorer (BM25, query-likelihood), persisted once
+    per session so each ranker reuses one aggregate instead of
+    re-shuffling the token relation."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+    from generic_data_ingestor_framework_spark.llm.classify import _doc_tokens
+
+    return shared_persist(
+        spark,
+        ("retrieval_dl", sf_dir),
+        lambda: _doc_tokens(spark, sf_dir)
+        .filter(F.col("doc_id") >= BM25_N_QUERIES)
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("dl")),
+    )
                      # before summing (order-exact cross-engine)
 
 
@@ -238,7 +256,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _doc_tokens(spark, sf_dir).select("doc_id", "tok", "n")
     corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
-    dl = corpus.groupBy("doc_id").agg(F.sum("n").alias("dl"))
+    dl = _corpus_dl(spark, sf_dir)
     # corpus stats as memoized driver scalars (two ints — the NB/LM
     # scalar pattern); avgdl stays as the exact integer pair (total,
     # count) so dl/avgdl = dl·n_docs/tot_dl is one deterministic
@@ -292,6 +310,147 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+QLM_MU = 300.0      # Dirichlet smoothing pseudo-length (Zhai & Lafferty 2001)
+QLM_SCALE = 10**6   # per-term contribs round to integer micro-units
+RRF_RANK_K = 60     # reciprocal-rank-fusion constant (Cormack et al. 2009)
+RRF_TOP_K = 5
+
+
+def retrieval_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) — the language-modeling complement to ``bm25_topk``, over the
+    SAME query/corpus split so the two rankers can be rank-fused.
+
+    score(q,d) = Σ_{t∈q} qtf·ln((tf_d + μ·p(t|C)) / (dl_d + μ)),
+    decomposed into the sparse form every inverted index serves:
+    a per-query constant Σ qtf·ln(μ·p(t|C)), a per-doc length part
+    −Lq·ln(dl+μ), and corrections qtf·ln(1 + tf·T/(μ·cf)) ONLY for
+    (query-term, doc) postings — so candidates are docs sharing ≥1
+    term with the query (standard OR semantics) and no query×corpus
+    cross join ever materializes. OOV query terms (cf = 0) are dropped,
+    as every smoothed-LM implementation does.
+
+    Scale shape: the collection frequencies and per-doc lengths are
+    session-persisted relations shared with BM25/NB/LM; the posting
+    join broadcasts the (tiny) query-term side; everything downstream
+    of the postings is one (query, doc) hash-aggregate + a top-k
+    window. Determinism: every summed contribution is integer-scaled
+    by ``QLM_SCALE`` before aggregation (the module's cross-engine
+    summation-order contract); final ordering is on the integer score
+    with doc_id tiebreak."""
+    from pyspark.sql import Window as W
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist, shared_value
+    from generic_data_ingestor_framework_spark.llm.classify import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "tok", "n")
+    corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
+    dl = _corpus_dl(spark, sf_dir)
+    cf = shared_persist(
+        spark,
+        ("qlm_cf", sf_dir),
+        lambda: corpus.groupBy("tok").agg(F.sum("n").alias("cf")),
+    )
+    sc = shared_value(
+        spark,
+        ("bm25_stats", sf_dir),
+        lambda: dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+        ).collect()[0].asDict(),
+    )
+    t = int(sc["tot_dl"] or 0) or 1
+    qterms = toks.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok", F.col("n").alias("qtf")
+    )
+    # query terms annotated with collection frequency; inner join drops
+    # OOV terms (ln(0) guards), broadcast-sized by construction
+    qcf = cf.join(F.broadcast(qterms), "tok")
+    qstats = qcf.groupBy("query_id").agg(
+        F.sum(
+            F.round(
+                F.col("qtf") * F.log(QLM_MU * F.col("cf") / F.lit(float(t))) * QLM_SCALE
+            ).cast("bigint")
+        ).alias("qconst_i"),
+        F.sum("qtf").alias("lq"),
+    )
+    corr = (
+        corpus.join(F.broadcast(qcf), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("qtf")
+                    * F.log(
+                        1.0 + F.col("n") * F.lit(float(t)) / (QLM_MU * F.col("cf"))
+                    )
+                    * QLM_SCALE
+                ).cast("bigint")
+            ).alias("corr_i")
+        )
+    )
+    dlp_i = F.round(F.log(F.col("dl") + QLM_MU) * QLM_SCALE).cast("bigint")
+    scored = (
+        corr.join(dl, "doc_id")
+        .join(F.broadcast(qstats), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("qconst_i") - F.col("lq") * dlp_i + F.col("corr_i")).alias(
+                "score_i"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score_i"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_i") / F.lit(float(QLM_SCALE)), 4).alias("qlm"),
+            "rank",
+        )
+    )
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 and query-likelihood top-k lists for the same queries are
+    fused on rank alone — rrf(d) = Σ_rankers 1/(k + rank_r(d)) — the
+    score-free combiner production RAG stacks use because it needs no
+    cross-ranker score calibration.
+
+    Scale shape: each ranker's top-k is already query-bounded (k rows
+    per query per ranker), so the fusion input is tiny regardless of
+    corpus size; one union + one (query, doc) hash-aggregate + a top-k
+    window. Determinism: contributions are exact integer micro-units
+    via integer division (``RRF_SCALE DIV (k + rank)``), so the fused
+    ordering is integer-exact in both engines; ties break on doc_id."""
+    from pyspark.sql import Window as W
+
+    contrib = F.expr(f"{QLM_SCALE} DIV ({RRF_RANK_K} + rank)").cast("bigint")
+    bm = bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    ql = retrieval_qlm_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    fused = (
+        bm.unionByName(ql)
+        .select("query_id", "doc_id", contrib.alias("c_i"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_i").alias("rrf_i"), F.count(F.lit(1)).alias("n_rankers"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_i"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("rrf_i") / F.lit(float(QLM_SCALE)), 6).alias("rrf"),
+            "n_rankers",
+            "rank",
+        )
     )
 
 
@@ -566,6 +725,8 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "token_stats": token_stats,
     "bm25_topk": bm25_topk,
+    "retrieval_qlm_topk": retrieval_qlm_topk,
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "lm_unigram_score": lm_unigram_score,
     "context_length_buckets": context_length_buckets,
     "corpus_mix_weights": corpus_mix_weights,
@@ -587,7 +748,72 @@ _STOP_IN = "','".join(STOPWORDS)
 # and source_reputation oracles ({n} = token count, {n_stop} = stopword count)
 _QUALITY_SQL = "least(1.0, {n} / 100.0) * (0.5 + 0.5 * ({n_stop} / {n}))"
 
+# Dirichlet query-likelihood oracle — mirrors retrieval_qlm_topk's
+# integer-scaled decomposition term for term (same rounding, same
+# integer sums, same tiebreaks). Stands alone so the RRF fusion oracle
+# can nest it as a CTE.
+_QLM_SQL = f"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        toks AS MATERIALIZED (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+          FROM tok0 WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        corpus AS (SELECT * FROM toks WHERE doc_id >= {BM25_N_QUERIES}),
+        dl AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS dl FROM corpus GROUP BY doc_id
+        ),
+        stats AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM corpus),
+        cf AS (
+          SELECT tok, CAST(sum(n) AS BIGINT) AS cf FROM corpus GROUP BY tok
+        ),
+        q AS (
+          SELECT doc_id AS query_id, tok, n AS qtf
+          FROM toks WHERE doc_id < {BM25_N_QUERIES}
+        ),
+        qcf AS (
+          SELECT q.query_id, q.tok, q.qtf, cf.cf FROM q JOIN cf USING (tok)
+        ),
+        qstats AS (
+          SELECT query_id,
+                 CAST(sum(CAST(round(
+                   qtf * ln({QLM_MU} * cf / t) * {QLM_SCALE}) AS BIGINT))
+                   AS BIGINT) AS qconst_i,
+                 CAST(sum(qtf) AS BIGINT) AS lq
+          FROM qcf CROSS JOIN stats GROUP BY query_id
+        ),
+        corr AS (
+          SELECT qcf.query_id, c.doc_id,
+                 CAST(sum(CAST(round(
+                   qcf.qtf * ln(1.0 + c.n * t / ({QLM_MU} * qcf.cf))
+                   * {QLM_SCALE}) AS BIGINT)) AS BIGINT) AS corr_i
+          FROM corpus c JOIN qcf USING (tok) CROSS JOIN stats
+          GROUP BY qcf.query_id, c.doc_id
+        ),
+        qscored AS (
+          SELECT corr.query_id, corr.doc_id,
+                 qstats.qconst_i
+                   - qstats.lq * CAST(round(ln(dl.dl + {QLM_MU}) * {QLM_SCALE})
+                                      AS BIGINT)
+                   + corr.corr_i AS score_i
+          FROM corr JOIN dl USING (doc_id) JOIN qstats USING (query_id)
+        )
+        SELECT query_id, doc_id, round(score_i / {float(QLM_SCALE)}, 4) AS qlm,
+               CAST(rn AS INT) AS rank FROM (
+          SELECT query_id, doc_id, score_i,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_i DESC, doc_id) AS rn
+          FROM qscored
+        ) WHERE rn <= {BM25_TOP_K}
+"""
+
 ORACLES = {
+    "retrieval_qlm_topk": _QLM_SQL,
+    # RRF fusion: both rankers' full oracle pipelines nested as CTEs
+    # (the bm25 CTE body is spliced in below, after the dict literal,
+    # to reuse the exact same SQL the bm25_topk gate row runs).
+    "retrieval_rrf_fusion": None,  # placeholder, filled in after dict
     "bm25_topk": f"""
         WITH tok0 AS (
           SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
@@ -844,3 +1070,31 @@ ORACLES = {
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
     """,
 }
+
+# RRF fusion oracle: nests the EXACT bm25 and query-likelihood oracle
+# pipelines as CTEs (DuckDB allows a WITH inside a CTE body), unions
+# their (query, doc, rank) lists, and fuses with the same integer-
+# division contributions the engine computes.
+ORACLES["retrieval_rrf_fusion"] = f"""
+        WITH bm AS ({ORACLES["bm25_topk"]}),
+        ql AS ({_QLM_SQL}),
+        u AS (
+          SELECT query_id, doc_id,
+                 {QLM_SCALE} // ({RRF_RANK_K} + rank) AS c_i FROM bm
+          UNION ALL
+          SELECT query_id, doc_id,
+                 {QLM_SCALE} // ({RRF_RANK_K} + rank) AS c_i FROM ql
+        ),
+        fused AS (
+          SELECT query_id, doc_id, CAST(sum(c_i) AS BIGINT) AS rrf_i,
+                 CAST(count(*) AS BIGINT) AS n_rankers
+          FROM u GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, round(rrf_i / {float(QLM_SCALE)}, 6) AS rrf,
+               n_rankers, CAST(rn AS INT) AS rank FROM (
+          SELECT query_id, doc_id, rrf_i, n_rankers,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_i DESC, doc_id) AS rn
+          FROM fused
+        ) WHERE rn <= {RRF_TOP_K}
+"""

@@ -1029,3 +1029,178 @@ def test_kmeans_seeding_rejects_vec_id_gaps(spark, tmp_path):
         similarity._kmeans_centroids(spark, str(d), k=8)
     similarity._KMEANS_CACHE.clear()
     cachemgr.clear_caches()
+
+
+def test_qlm_matches_python_reference(spark, tmp_path):
+    """Dirichlet query-likelihood ranking must equal a naive python
+    recompute of the FULL (non-decomposed) formula with the same
+    integer-scaled contributions — pinning the sparse decomposition
+    qconst − Lq·ln(dl+μ) + corrections against first principles."""
+    import math
+    from collections import Counter
+
+    from generic_data_ingestor_framework_spark import cachemgr
+    from generic_data_ingestor_framework_spark.llm import textstats
+
+    rows = [
+        (0, "en", "alpha beta gamma"),                      # query doc
+        (1, "en", "beta beta delta"),                       # query doc
+        (2, "en", "zeta only here"),                        # query with OOV terms
+        (3, "en", "alpha beta beta gamma delta epsilon"),
+        (4, "en", "unrelated words entirely different here"),
+        (5, "en", "alpha alpha alpha beta"),
+        (6, "en", "gamma delta gamma delta gamma"),
+        (7, "en", "beta"),
+    ]
+    d = tmp_path / "qlm_corpus"
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    cachemgr.clear_caches()
+    try:
+        got = [
+            (r["query_id"], r["doc_id"], r["rank"])
+            for r in textstats.retrieval_qlm_topk(spark, str(d))
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        nq, mu, scale = textstats.BM25_N_QUERIES, textstats.QLM_MU, textstats.QLM_SCALE
+        docs = {i: Counter(t.lower().split()) for i, _, t in rows}
+        corpus = {i: c for i, c in docs.items() if i >= nq}
+        cf = Counter()
+        for c in corpus.values():
+            cf.update(c)
+        t = sum(cf.values())
+        want = []
+        for q in sorted(i for i in docs if i < nq):
+            qterms = {tok: n for tok, n in docs[q].items() if cf[tok] > 0}
+            scores = {}
+            for did, c in corpus.items():
+                if not any(tok in c for tok in qterms):
+                    continue  # OR semantics: must share >=1 term
+                s = 0
+                # decomposed integer scaling: three separately rounded
+                # term groups, exactly as the engine sums them
+                for tok, qtf in qterms.items():
+                    tf = c.get(tok, 0)
+                    s += round(qtf * math.log(mu * cf[tok] / t) * scale)
+                    if tf:
+                        s += round(
+                            qtf * math.log(1.0 + tf * float(t) / (mu * cf[tok])) * scale
+                        )
+                dl = sum(c.values())
+                s -= sum(qterms.values()) * round(math.log(dl + mu) * scale)
+                scores[did] = s
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : textstats.BM25_TOP_K
+            ]
+            for rk, (did, _) in enumerate(ranked, 1):
+                want.append((q, did, rk))
+        assert got == want
+    finally:
+        cachemgr.clear_caches()
+
+
+def test_rrf_fusion_matches_rankers(spark):
+    """The fused list must be exactly reconstructible from the two
+    rankers' top-k outputs with integer 1e6//(60+rank) contributions."""
+    from collections import defaultdict
+
+    from generic_data_ingestor_framework_spark.llm import textstats
+
+    bm = textstats.bm25_topk(spark, SF).collect()
+    ql = textstats.retrieval_qlm_topk(spark, SF).collect()
+    acc = defaultdict(lambda: [0, 0])
+    for r in list(bm) + list(ql):
+        key = (r["query_id"], r["doc_id"])
+        acc[key][0] += textstats.QLM_SCALE // (textstats.RRF_RANK_K + r["rank"])
+        acc[key][1] += 1
+    want = []
+    by_q = defaultdict(list)
+    for (q, did), (s, n) in acc.items():
+        by_q[q].append((s, did, n))
+    for q in sorted(by_q):
+        ranked = sorted(by_q[q], key=lambda x: (-x[0], x[1]))[: textstats.RRF_TOP_K]
+        for rk, (s, did, n) in enumerate(ranked, 1):
+            want.append((q, did, round(s / float(textstats.QLM_SCALE), 6), n, rk))
+    got = [
+        (r["query_id"], r["doc_id"], r["rrf"], r["n_rankers"], r["rank"])
+        for r in textstats.retrieval_rrf_fusion(spark, SF)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
+    assert any(n == 2 for *_, n, _rk in got), "some doc should appear in both rankers"
+
+
+def test_corpus_select_budget_is_greedy_prefix(spark):
+    """Selection must be the exact greedy prefix of (quality DESC,
+    doc_id) whose cumulative tokens fit the 40% budget — and the
+    banded two-level cumsum must produce the same cum_tokens/ranks as
+    a naive global recompute."""
+    from generic_data_ingestor_framework_spark.llm import curate, textstats
+
+    qs = [
+        (r["doc_id"], r["quality"], r["n_tokens"])
+        for r in textstats.quality_score(spark, SF).collect()
+    ]
+    total = sum(n for _, _, n in qs)
+    budget = total * curate.BUDGET_NUM // curate.BUDGET_DEN
+    ordered = sorted(qs, key=lambda x: (-x[1], x[0]))
+    want, cum = [], 0
+    for rk, (did, q, n) in enumerate(ordered, 1):
+        cum += n
+        if cum > budget:
+            break
+        want.append((did, q, n, cum, rk))
+    got = [
+        (r["doc_id"], r["quality"], r["n_tokens"], r["cum_tokens"], r["sel_rank"])
+        for r in curate.corpus_select_budget(spark, SF).orderBy("sel_rank").collect()
+    ]
+    assert got == want
+    assert want and want[-1][3] <= budget
+
+
+def test_remove_duplicated_spans_planted(spark, tmp_path):
+    """Planted span duplication: exact-duplicate docs are fully
+    removed; a doc embedding the shared span keeps only its unique
+    prefix/suffix; unique and too-short docs are untouched."""
+    import hashlib
+
+    from generic_data_ingestor_framework_spark import cachemgr
+    from generic_data_ingestor_framework_spark.llm import curate
+
+    shared = [f"s{i}" for i in range(20)]
+    prefix = [f"p{i}" for i in range(5)]
+    suffix = [f"x{i}" for i in range(5)]
+    unique = [f"u{i}" for i in range(20)]
+    rows = [
+        (0, "en", " ".join(shared)),
+        (1, "en", " ".join(shared)),                      # exact dup of 0
+        (2, "en", " ".join(prefix + shared + suffix)),    # embeds the span
+        (3, "en", " ".join(unique)),                      # untouched
+        (4, "en", "too short for grams"),                 # < 13 tokens
+    ]
+    d = tmp_path / "span_removal"
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    cachemgr.clear_caches()
+    try:
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_removed"], r["removed_ratio"], r["cleaned_md5"]
+            )
+            for r in curate.remove_duplicated_spans(spark, str(d)).collect()
+        }
+    finally:
+        cachemgr.clear_caches()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[0] == (20, 20, 1.0, md5(""))
+    assert got[1] == (20, 20, 1.0, md5(""))
+    # doc 2: only grams fully inside the shared 20 tokens are duplicated
+    assert got[2] == (
+        30, 20, 0.6666, md5(" ".join(prefix + suffix))
+    )
+    assert got[3] == (20, 0, 0.0, md5(" ".join(unique)))
+    assert got[4] == (4, 0, 0.0, md5("too short for grams"))
