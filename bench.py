@@ -64,6 +64,9 @@ HEADLINE = [
     "span_duplication_ratio",
     "bpe_vocab_topk",
     "source_reputation",
+    "retrieval_rrf_fusion",
+    "corpus_select_budget",
+    "remove_duplicated_spans",
 ]
 
 REGRESSION_RATIO = 1.3

@@ -61,6 +61,77 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_EXPORT_SHARDS = 8
+
+
+def shard_export_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard layout for a training-data export:
+    every doc gets a shard (``hash % N_EXPORT_SHARDS``) and a position
+    within it (rank by hash, doc_id tiebreak) — the reproducible
+    GLOBAL shuffle a training run needs so that re-exports, resumed
+    jobs, and different cluster sizes all read the same byte order.
+
+    Scale shape: the ordering window is partitioned BY SHARD, so no
+    global sort exists — each shard sorts 1/N of the corpus, which is
+    exactly ``repartition(shard).sortWithinPartitions(hash)`` at
+    export time; membership and order are pure hash arithmetic, so any
+    engine reproduces them without coordination."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = _doc_hash()
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", (h % N_EXPORT_SHARDS).cast("int").alias("shard"), h.alias("h"))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+RESAMPLE_PPM = 10**6  # keep-probability resolution (parts per million)
+
+
+def mix_resample_equalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-equalizing resample: apply ``corpus_mix_weights``'s
+    equalize rate as an actual deterministic document filter — each
+    doc survives iff ``hash(doc_id) % 1e6 < min(1, rate)·1e6`` — the
+    step that turns a mixture recipe into a concrete corpus (rates >1,
+    i.e. up-sampling of rare languages, clamp to keep-all here; an
+    up-sampling export would replicate by ⌈rate⌉ with the same hash).
+
+    Scale shape: one per-language aggregate (a handful of rows),
+    broadcast back, then a map-only filter — membership is engine- and
+    partitioning-independent hash arithmetic, so the resampled corpus
+    is auditable and re-joinable like every sample here."""
+    d = load_table(spark, sf_dir, "documents")
+    from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
+
+    per_lang = (
+        d.select("lang", F.size(tokens_col()).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        F.floor(
+            F.least(
+                F.lit(1.0), F.col("tot") / (F.col("n_langs") * F.col("n_tokens"))
+            )
+            * RESAMPLE_PPM
+        )
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(_doc_hash() % RESAMPLE_PPM < F.col("keep_ppm"))
+        .select("doc_id", "lang", "keep_ppm")
+    )
+
+
 def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key pseudonymization: stable md5 surrogate for user_id, with the
     event payload intact — referential integrity preserved (same user
@@ -110,6 +181,8 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "shard_export_assignment": shard_export_assignment,
+    "mix_resample_equalized": mix_resample_equalized,
     "sample_hash_mod": sample_hash_mod,
     "redact_pii": redact_pii,
     "train_val_test_split": train_val_test_split,
@@ -117,7 +190,35 @@ QUERIES = {
     "pseudonymize_users": pseudonymize_users,
 }
 
+_TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
+
 ORACLES = {
+    "shard_export_assignment": f"""
+        SELECT doc_id, CAST(h % {N_EXPORT_SHARDS} AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY h % {N_EXPORT_SHARDS}
+                                       ORDER BY h, doc_id) AS INT) AS pos_in_shard
+        FROM (SELECT doc_id, {_HASH_SQL.format(c='doc_id')} AS h FROM documents)
+    """,
+    "mix_resample_equalized": f"""
+        WITH per AS (
+          SELECT lang, CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n_langs
+          FROM per
+        ),
+        rates AS (
+          SELECT lang,
+                 CAST(floor(least(1.0, tot / (n_langs * n_tokens))
+                            * {RESAMPLE_PPM}) AS BIGINT) AS keep_ppm
+          FROM per, tot
+        )
+        SELECT d.doc_id, d.lang, r.keep_ppm
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {_HASH_SQL.format(c='doc_id')} % {RESAMPLE_PPM} < r.keep_ppm
+    """,
     "redact_pii": f"""
         WITH r AS (
           SELECT doc_id,

@@ -1204,3 +1204,53 @@ def test_remove_duplicated_spans_planted(spark, tmp_path):
     )
     assert got[3] == (20, 0, 0.0, md5(" ".join(unique)))
     assert got[4] == (4, 0, 0.0, md5("too short for grams"))
+
+
+def test_shard_export_assignment_invariants(spark):
+    """Every doc lands in exactly one shard; positions are contiguous
+    1..n within each shard; the layout is deterministic across runs."""
+    from collections import defaultdict
+
+    from generic_data_ingestor_framework_spark.llm import sampling
+
+    rows = sampling.shard_export_assignment(spark, SF).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard"] < sampling.N_EXPORT_SHARDS
+        by_shard[r["shard"]].append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = sampling.shard_export_assignment(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mix_resample_membership_matches_python(spark):
+    """Resample membership must equal a python recompute of the hash
+    threshold from the per-language equalize rates."""
+    import hashlib
+
+    from generic_data_ingestor_framework_spark.llm import sampling
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text").collect()
+    tok_per_lang, ppm = {}, {}
+    for r in docs:
+        tok_per_lang[r["lang"]] = tok_per_lang.get(r["lang"], 0) + len(
+            r["text"].lower().split()
+        )
+    tot, n_langs = sum(tok_per_lang.values()), len(tok_per_lang)
+    import math
+
+    for lang, n in tok_per_lang.items():
+        ppm[lang] = int(math.floor(min(1.0, tot / (n_langs * n)) * sampling.RESAMPLE_PPM))
+    h32 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)  # noqa: E731
+    want = {
+        r["doc_id"]
+        for r in docs
+        if h32(str(r["doc_id"])) % sampling.RESAMPLE_PPM < ppm[r["lang"]]
+    }
+    got = {
+        r["doc_id"] for r in sampling.mix_resample_equalized(spark, SF).collect()
+    }
+    assert got == want and 0 < len(got) < len(docs)

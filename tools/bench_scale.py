@@ -64,6 +64,11 @@ QUERIES = [
     "source_reputation",
     "dedup_semantic_clusters",
     "pagerank_doc_graph",
+    # retrieval + r6 curation (span removal stresses the positional
+    # gram relation; budget selection stresses the banded cumsum)
+    "retrieval_rrf_fusion",
+    "corpus_select_budget",
+    "remove_duplicated_spans",
     # embeddings
     "ann_cosine_topk",
     "ann_ivf_topk",
