@@ -426,14 +426,27 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each ranker's top-k is already query-bounded (k rows
     per query per ranker), so the fusion input is tiny regardless of
     corpus size; one union + one (query, doc) hash-aggregate + a top-k
-    window. Determinism: contributions are exact integer micro-units
-    via integer division (``RRF_SCALE DIV (k + rank)``), so the fused
+    window. The rank lists themselves are session-persisted — they are
+    the index this operator consumes (cold run pays both rankers once,
+    like the IVF build; warm fusion touches only k·queries rows).
+    Determinism: contributions are exact integer micro-units via
+    integer division (``RRF_SCALE DIV (k + rank)``), so the fused
     ordering is integer-exact in both engines; ties break on doc_id."""
     from pyspark.sql import Window as W
 
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
     contrib = F.expr(f"{QLM_SCALE} DIV ({RRF_RANK_K} + rank)").cast("bigint")
-    bm = bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
-    ql = retrieval_qlm_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    bm = shared_persist(
+        spark,
+        ("bm25_ranklist", sf_dir),
+        lambda: bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank"),
+    )
+    ql = shared_persist(
+        spark,
+        ("qlm_ranklist", sf_dir),
+        lambda: retrieval_qlm_topk(spark, sf_dir).select("query_id", "doc_id", "rank"),
+    )
     fused = (
         bm.unionByName(ql)
         .select("query_id", "doc_id", contrib.alias("c_i"))

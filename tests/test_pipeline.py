@@ -235,3 +235,55 @@ def test_pipeline_bpe_tokenize_step(spark, tmp_path):
     assert sorted(map(tuple, (r["bpe_tokens"] for r in df2.collect()))) == sorted(
         map(tuple, (r["bpe_tokens"] for r in out))
     )
+
+
+def test_pipeline_remove_dup_spans_step(spark):
+    """A span shared by two rows is cut from both; unique rows are
+    untouched; fully-duplicated rows are dropped; blanks pass through."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    unique = " ".join(f"u{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (0, shared),
+            (1, shared),
+            (2, f"head0 head1 {shared} tail0"),
+            (3, unique),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    from generic_data_ingestor_framework_spark.pipeline import STEP_REGISTRY
+
+    out = STEP_REGISTRY["remove_dup_spans"](
+        df, {"id": "doc_id", "column": "text"}
+    ).collect()
+    got = {r["doc_id"]: r["text"] for r in out}
+    # 0 and 1 are fully duplicated -> dropped entirely
+    assert set(got) == {2, 3, 4}
+    assert got[2] == "head0 head1 tail0"
+    assert got[3] == unique
+    assert got[4] is None
+
+
+def test_pipeline_select_budget_step(spark):
+    """Selection keeps the highest-quality rows within the token
+    budget and preserves original columns."""
+    from generic_data_ingestor_framework_spark.llm import textstats
+    from generic_data_ingestor_framework_spark.pipeline import STEP_REGISTRY
+
+    stop = " ".join(textstats.STOPWORDS)
+    rows = [
+        # high quality: long + stopword-dense
+        (0, f"{stop} {stop} {stop} {stop} extra tokens here", "keepish"),
+        (1, f"{stop} {stop} {stop} more filler words now", "keepish"),
+        # low quality: short, no stopwords
+        (2, "zz", "dropish"),
+        (3, "qq ww", "dropish"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tag string")
+    out = STEP_REGISTRY["select_budget"](
+        df, {"id": "doc_id", "column": "text", "frac": 0.95}
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {0, 1}, kept
+    assert {r["tag"] for r in out} == {"keepish"}
