@@ -197,7 +197,7 @@ COMPOSITES: dict[str, list[str]] = {
     # llm families
     "embed_stats": [
         "embed_norms", "label_centroid_dims", "embed_quantize_int8",
-        "dedup_semantic_clusters",
+        "dedup_semantic_clusters", "ann_quantized_rerank",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",

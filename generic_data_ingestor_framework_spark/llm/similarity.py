@@ -454,6 +454,88 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RERANK_FACTOR = 2  # phase-1 int8 candidates per final exact result
+
+
+def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ANN: int8-quantized coarse scoring, then full-precision
+    rerank of the survivors — the memory-bandwidth pattern every
+    production vector index runs (scan the 4×-smaller quantized codes,
+    touch float vectors only for the shortlist).
+
+    Phase 1 ranks every candidate by the INTEGER dot product of the
+    symmetric-int8 codes (``embed_quantize_int8``'s scheme) rescaled
+    by the two per-vector scales — the integer sum is order-exact in
+    any engine, so the shortlist is deterministic by construction.
+    Phase 2 recomputes exact cosine for the top
+    ``TOP_K·RERANK_FACTOR`` shortlist and emits the final top-k.
+
+    Scale shape: phase 1 is the same broadcast-query scan as
+    ``ann_cosine_topk`` but streams int8 codes (4× less bandwidth,
+    integer SIMD); phase 2 touches ``k·RERANK_FACTOR`` rows per query.
+    Composable with the IVF index: probe cells first, then quantized
+    scan within the probed cells."""
+    from pyspark.sql import Window as W
+
+    vecs = _vectors(spark, sf_dir)
+    sc = (
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / F.lit(127.0)
+    )
+    base = vecs.select("vec_id", "v", sc.alias("sc"))
+    base = base.select(
+        "vec_id",
+        "v",
+        "sc",
+        F.transform("v", lambda x: F.round(x / F.col("sc")).cast("int")).alias("q"),
+        _norm(F.col("v")).alias("nrm"),
+    )
+    qs = base.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("q").alias("qq"),
+        F.col("sc").alias("qsc"),
+        F.col("nrm").alias("qn"),
+    )
+    cs = base.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("q").alias("cq"),
+        F.col("sc").alias("csc"),
+        F.col("nrm").alias("cn"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    ph1 = (
+        cs.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "approx_sim",
+            F.round(
+                idot * F.col("qsc") * F.col("csc") / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    cand = ph1.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= TOP_K * RERANK_FACTOR
+    )
+    exact = cand.withColumn(
+        "cos_sim",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_sim", "cos_sim", "rank")
+    )
+
+
 SEMDEDUP_TAU = 0.4    # within-cell cosine cutoff (SemDeDup-style)
 SEM_TARGET_CELL = 32  # target vectors per cell: k grows with the corpus
 
@@ -578,6 +660,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "label_centroid_dims": label_centroid_dims,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_quantized_rerank": ann_quantized_rerank,
     "ann_recall_report": ann_recall_report,
     "ann_probe_tradeoff": ann_probe_tradeoff,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -698,6 +781,52 @@ _TRADEOFF_UNION = "\n          UNION ALL\n".join(
 )
 
 ORACLES = {
+    "ann_quantized_rerank": f"""
+        WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        base AS (
+          SELECT vec_id, v,
+                 greatest(list_reduce(list_transform(v, x -> abs(x)),
+                                      (a, b) -> CASE WHEN a > b THEN a ELSE b END),
+                          1e-12) / 127.0 AS sc
+          FROM vecs
+        ),
+        wq AS (
+          SELECT vec_id, v, sc,
+                 list_transform(v, x -> CAST(round(x / sc) AS INT)) AS q,
+                 {_NORM.format(a='v')} AS nrm
+          FROM base
+        ),
+        qs AS (
+          SELECT vec_id AS query_id, v AS qv, q AS qq, sc AS qsc, nrm AS qn
+          FROM wq WHERE vec_id < {N_QUERY}
+        ),
+        cs AS (
+          SELECT vec_id AS neighbor_id, v AS cv, q AS cq, sc AS csc, nrm AS cn
+          FROM wq WHERE vec_id >= {N_QUERY}
+        ),
+        ph1 AS (
+          SELECT query_id, neighbor_id, qv, cv, qn, cn,
+                 round(CAST(list_reduce(list_transform(range(1, len(qq) + 1),
+                         i -> CAST(qq[i] AS BIGINT) * cq[i]), (a, b) -> a + b)
+                       AS BIGINT) * qsc * csc / (qn * cn), 6) AS approx_sim
+          FROM cs, qs
+        ),
+        cand AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY approx_sim DESC, neighbor_id) AS rn1
+            FROM ph1) WHERE rn1 <= {TOP_K * RERANK_FACTOR}
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id, approx_sim,
+                 {_sim_sql('qv', 'cv')} AS cos_sim
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, approx_sim, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM exact)
+        WHERE rn <= {TOP_K}
+    """,
     "embed_quantize_int8": """
         WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         base AS (

@@ -1254,3 +1254,22 @@ def test_mix_resample_membership_matches_python(spark):
         r["doc_id"] for r in sampling.mix_resample_equalized(spark, SF).collect()
     }
     assert got == want and 0 < len(got) < len(docs)
+
+
+def test_ann_quantized_rerank_recall_and_exactness(spark):
+    """Phase-2 scores must be EXACT cosines (identical to brute force
+    for shared pairs) and the int8 shortlist must recover most of the
+    true top-k on the test corpus."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.ann_cosine_topk(spark, SF).collect()
+    }
+    got = similarity.ann_quantized_rerank(spark, SF).collect()
+    assert len(got) == similarity.N_QUERY * similarity.TOP_K
+    hits = 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            hits += 1
+            assert r["cos_sim"] == exact[key], key
+    assert hits >= len(exact) * 2 // 3, (hits, len(exact))
