@@ -441,7 +441,9 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cov"
             ),
         )
-        .distinct()
+        # collect_set dedups overlapping gram coverage itself — a
+        # pre-distinct would add a second corpus-scale shuffle for
+        # nothing (measured: the sf1 harness's worst r6 ratio was here)
         .groupBy("doc_id")
         .agg(F.collect_set("cov").alias("cov"))
     )

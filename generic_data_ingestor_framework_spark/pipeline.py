@@ -367,7 +367,7 @@ def _step_remove_dup_spans(df: DataFrame, p: dict) -> DataFrame:
                 "__cov"
             ),
         )
-        .distinct()
+        # collect_set dedups overlapping coverage; no pre-distinct
         .groupBy(idc)
         .agg(F.collect_set("__cov").alias("__cov"))
     )
