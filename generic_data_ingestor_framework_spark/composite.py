@@ -205,7 +205,7 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "text_quality": [
         "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
-        "lm_unigram_score", "corpus_select_budget",
+        "lm_unigram_score", "corpus_select_budget", "dedup_keep_best_quality",
     ],
     "doc_fingerprints": [
         "doc_fingerprint", "doc_rolling_hash", "dedup_segments_within_doc",

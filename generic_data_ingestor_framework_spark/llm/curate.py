@@ -389,6 +389,39 @@ def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: within each connected
+    near-duplicate cluster (``dedup_cluster_assign``'s components over
+    the MinHash-LSH graph), keep the HIGHEST-quality member instead of
+    the min-id — the choice real curation makes (of N copies of an
+    article, keep the longest / cleanest one).
+
+    Scale shape: rides the session-persisted cluster labels; quality
+    is a map-only projection; the argmax is one window partitioned by
+    cluster (clusters are near-dup families — bounded, never
+    corpus-sized partitions)."""
+    from pyspark.sql import Window as W
+
+    from generic_data_ingestor_framework_spark.llm.dedup import dedup_cluster_assign
+    from generic_data_ingestor_framework_spark.llm.textstats import _quality_expr
+
+    ca = dedup_cluster_assign(spark, sf_dir).select("doc_id", "cluster_id")
+    q = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.round(_quality_expr(F.col("ts")), 6).alias("quality")
+    )
+    j = ca.join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    wc = W.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id", F.col("doc_id").alias("keep_id"), "quality", "n_members"
+        )
+    )
+
+
 SPAN_K = DECON_GRAM_K  # duplicated-span gram width (13 tokens)
 
 
@@ -494,6 +527,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "corpus_select_budget": corpus_select_budget,
     "remove_duplicated_spans": remove_duplicated_spans,
+    "dedup_keep_best_quality": dedup_keep_best_quality,
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "pack_context_windows": pack_context_windows,
     "chunk_documents_overlap": chunk_documents_overlap,
@@ -515,12 +549,40 @@ _GRAMS_CTE = f"""
         )
 """
 
+from generic_data_ingestor_framework_spark.llm import dedup as _dedup_mod  # noqa: E402
 from generic_data_ingestor_framework_spark.llm.textstats import (  # noqa: E402
     _QUALITY_SQL,
     _STOP_IN,
 )
 
 ORACLES = {
+    # Nests the full recursive-closure cluster oracle as a CTE, joins
+    # the shared quality formula, and takes the per-cluster argmax.
+    "dedup_keep_best_quality": f"""
+        WITH ca AS ({{CLUSTER_SQL}}),
+        t AS (
+          SELECT doc_id,
+                 len({_TOKS_SQL}) AS n,
+                 len(list_filter({_TOKS_SQL}, x -> x IN ('{_STOP_IN}'))) AS n_stop
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id,
+                 round({_QUALITY_SQL.format(n='n', n_stop='n_stop')}, 6) AS quality
+          FROM t
+        ),
+        j AS (
+          SELECT ca.cluster_id, ca.doc_id, q.quality
+          FROM ca JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS keep_id, quality, n_members FROM (
+          SELECT cluster_id, doc_id, quality,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY quality DESC, doc_id) AS rn,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+          FROM j) WHERE rn = 1
+    """,
     # Naive global-window twin of the engine's two-level banded cumsum:
     # same ordering (quality DESC, doc_id), same integer budget — pins
     # the decomposition's equivalence.
@@ -740,3 +802,10 @@ ORACLES = {
         FROM m
     """,
 }
+
+# Splice the recursive-closure cluster oracle (dedup.py) into the
+# keep-best-quality oracle as its `ca` CTE — one definition of the
+# component labeling, shared verbatim across both members.
+ORACLES["dedup_keep_best_quality"] = ORACLES["dedup_keep_best_quality"].replace(
+    "{CLUSTER_SQL}", _dedup_mod.ORACLES["dedup_cluster_assign"]
+)

@@ -1273,3 +1273,31 @@ def test_ann_quantized_rerank_recall_and_exactness(spark):
             hits += 1
             assert r["cos_sim"] == exact[key], key
     assert hits >= len(exact) * 2 // 3, (hits, len(exact))
+
+
+def test_dedup_keep_best_quality_argmax(spark):
+    """Each near-dup cluster appears exactly once, and the keeper is
+    the quality-argmax of its members (doc_id tiebreak)."""
+    from generic_data_ingestor_framework_spark.llm import curate, dedup as ddp
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ddp.dedup_cluster_assign(spark, SF).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality"] for r in textstats.quality_score(spark, SF).collect()
+    }
+    best, size = {}, {}
+    for did, cid in clusters.items():
+        size[cid] = size.get(cid, 0) + 1
+        cur = best.get(cid)
+        key = (-quality[did], did)
+        if cur is None or key < cur[0]:
+            best[cid] = (key, did)
+    got = {
+        r["cluster_id"]: (r["keep_id"], r["quality"], r["n_members"])
+        for r in curate.dedup_keep_best_quality(spark, SF).collect()
+    }
+    assert set(got) == set(best)
+    for cid, (_, did) in best.items():
+        assert got[cid] == (did, quality[did], size[cid]), cid
