@@ -1301,3 +1301,136 @@ def test_dedup_keep_best_quality_argmax(spark):
     assert set(got) == set(best)
     for cid, (_, did) in best.items():
         assert got[cid] == (did, quality[did], size[cid]), cid
+
+
+def test_select_budget_plan_has_no_global_sort(spark):
+    """The banded decomposition's point: no single-partition exchange
+    (global window/sort) anywhere in the selection plan, at any SF."""
+    from generic_data_ingestor_framework_spark.llm import curate
+    from generic_data_ingestor_framework_spark.scale import explain_string
+
+    plan = explain_string(curate.corpus_select_budget(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-band windows are still there
+
+
+def test_span_removal_matches_python_random_corpora(spark, tmp_path):
+    """Whole-algorithm cross-validation on pseudo-random corpora: the
+    engine's surviving text must equal a sequential python reference
+    (find duplicated k-grams, mark covered positions, cut)."""
+    import hashlib
+
+    from generic_data_ingestor_framework_spark import cachemgr
+    from generic_data_ingestor_framework_spark.llm import curate
+
+    k = curate.SPAN_K
+
+    def py_reference(texts):
+        toks = {i: t.lower().split() for i, t in texts.items()}
+        occ = {}
+        for i, ts in toks.items():
+            for p in range(len(ts) - k + 1):
+                occ.setdefault(" ".join(ts[p : p + k]), []).append((i, p))
+        covered = {i: set() for i in toks}
+        for gram, posts in occ.items():
+            if len(posts) >= 2:
+                for i, p in posts:
+                    covered[i].update(range(p, p + k))
+        out = {}
+        for i, ts in toks.items():
+            kept = [t for j, t in enumerate(ts) if j not in covered[i]]
+            out[i] = (
+                len(ts),
+                len(covered[i]),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    vocab = [f"w{j}" for j in range(30)]
+    for seed in (3, 7):
+        texts = {}
+        for i in range(24):
+            # deterministic pseudo-random words; low vocab → many
+            # colliding k-grams, some within-doc repeats
+            n = 8 + (i * seed) % 30
+            words = [vocab[(i * 31 + j * seed * 7 + j * j) % len(vocab)] for j in range(n)]
+            if i % 5 == 0 and n > k:
+                words = words[:k] + words[:k] + words[2 * k :]  # within-doc repeat
+            texts[i] = " ".join(words)
+        d = tmp_path / f"span_rand_{seed}"
+        spark.createDataFrame(
+            [(i, "en", t) for i, t in texts.items()],
+            "doc_id bigint, lang string, text string",
+        ).write.parquet(str(d / "documents.parquet"))
+        cachemgr.clear_caches()
+        try:
+            got = {
+                r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_md5"])
+                for r in curate.remove_duplicated_spans(spark, str(d)).collect()
+            }
+        finally:
+            cachemgr.clear_caches()
+        assert got == py_reference(texts), f"seed {seed}"
+
+
+def test_qlm_matches_python_random_corpora(spark, tmp_path):
+    """QLM ranking equality with the naive python recompute across
+    pseudo-random corpora (low vocab → shared terms, OOV queries,
+    varied doc lengths)."""
+    import math
+    from collections import Counter
+
+    from generic_data_ingestor_framework_spark import cachemgr
+    from generic_data_ingestor_framework_spark.llm import textstats
+
+    nq, mu, scale = textstats.BM25_N_QUERIES, textstats.QLM_MU, textstats.QLM_SCALE
+    vocab = [f"t{j}" for j in range(25)] + ["rare1", "rare2"]
+    for seed in (2, 9):
+        rows = []
+        for i in range(20):
+            n = 3 + (i * seed * 5) % 18
+            words = [vocab[(i * 17 + j * seed * 11 + 3 * j * j) % len(vocab)] for j in range(n)]
+            rows.append((i, "en", " ".join(words)))
+        d = tmp_path / f"qlm_rand_{seed}"
+        spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        ).write.parquet(str(d / "documents.parquet"))
+        cachemgr.clear_caches()
+        try:
+            got = [
+                (r["query_id"], r["doc_id"], r["rank"])
+                for r in textstats.retrieval_qlm_topk(spark, str(d))
+                .orderBy("query_id", "rank")
+                .collect()
+            ]
+        finally:
+            cachemgr.clear_caches()
+        docs = {i: Counter(t.lower().split()) for i, _, t in rows}
+        corpus = {i: c for i, c in docs.items() if i >= nq}
+        cf = Counter()
+        for c in corpus.values():
+            cf.update(c)
+        t = sum(cf.values())
+        want = []
+        for q in sorted(i for i in docs if i < nq):
+            qterms = {tok: n for tok, n in docs[q].items() if cf[tok] > 0}
+            scores = {}
+            for did, c in corpus.items():
+                if not any(tok in c for tok in qterms):
+                    continue
+                s = 0
+                for tok, qtf in qterms.items():
+                    tf = c.get(tok, 0)
+                    s += round(qtf * math.log(mu * cf[tok] / t) * scale)
+                    if tf:
+                        s += round(
+                            qtf * math.log(1.0 + tf * float(t) / (mu * cf[tok])) * scale
+                        )
+                dl = sum(c.values())
+                s -= sum(qterms.values()) * round(math.log(dl + mu) * scale)
+                scores[did] = s
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : textstats.BM25_TOP_K
+            ]
+            want.extend((q, did, rk) for rk, (did, _) in enumerate(ranked, 1))
+        assert got == want, f"seed {seed}"
