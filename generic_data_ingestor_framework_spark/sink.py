@@ -213,6 +213,45 @@ def write_jdbc(
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
 
 
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Distributed JDBC source — the read half of ``write_jdbc``.
+
+    A bare read issues ONE query on ONE executor; at warehouse scale
+    that's the classic single-connection bottleneck. Pass
+    ``partition_column`` (a numeric/indexed column) with
+    ``lower``/``upper``/``num_partitions`` and Spark issues that many
+    range-partitioned queries IN PARALLEL (each executor its own
+    connection, the same per-partition fan-out as the sink), or pass
+    explicit ``predicates`` (one WHERE clause per partition) for
+    non-numeric splits. Filters and column pruning push into the
+    remote query via JDBC pushdown. Round-trip tested against embedded
+    Derby including the parallel range-partitioned path."""
+    props = properties or {}
+    if predicates is not None:
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    if partition_column is not None:
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower,
+            upperBound=upper,
+            numPartitions=num_partitions or 4,
+            properties=props,
+        )
+    return spark.read.jdbc(url, table, properties=props)
+
+
 def _one_row_per_key(
     updates: DataFrame, key_cols: list[str], order_col: str | None
 ) -> DataFrame:

@@ -191,6 +191,32 @@ def test_write_jdbc_roundtrip_derby(spark, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == list(range(120))
 
 
+def test_read_jdbc_parallel_range_partitioned(spark, tmp_path):
+    """The JDBC source's parallel path: range-partitioning on a numeric
+    column issues one query per partition (4 concurrent connections),
+    and predicate-split reads cover non-numeric splits — both must
+    return exactly the written rows."""
+    from pyspark.sql import functions as F
+
+    url = f"jdbc:derby:{tmp_path}/derbydb_r;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 3).alias("grp"))
+    sink.write_jdbc(df, url, "T_PAR", mode="overwrite", properties=props)
+    par = sink.read_jdbc(
+        spark, url, "T_PAR",
+        partition_column="id", lower=0, upper=200, num_partitions=4,
+        properties=props,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert sorted(r["id"] for r in par.collect()) == list(range(200))
+    pred = sink.read_jdbc(
+        spark, url, "T_PAR",
+        predicates=['"grp" = 0', '"grp" = 1', '"grp" = 2'], properties=props,
+    )
+    assert pred.rdd.getNumPartitions() == 3
+    assert sorted(r["id"] for r in pred.collect()) == list(range(200))
+
+
 def test_merge_into_rejects_duplicate_keys_without_order(spark):
     """A CDC batch with two versions of one key must not leave the
     target with duplicate keys: without order_col the merge raises;

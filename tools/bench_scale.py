@@ -69,6 +69,9 @@ QUERIES = [
     "retrieval_rrf_fusion",
     "corpus_select_budget",
     "remove_duplicated_spans",
+    "ann_quantized_rerank",
+    "dedup_keep_best_quality",
+    "shard_export_assignment",
     # embeddings
     "ann_cosine_topk",
     "ann_ivf_topk",
