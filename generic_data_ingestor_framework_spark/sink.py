@@ -347,6 +347,10 @@ def merge_into(
     merged = merged.localCheckpoint(eager=True)
     n_total = merged.count()
     merged.write.mode("overwrite").saveAsTable(target_table)
+    # the overwrite replaced every file under the table; a same-session
+    # reader holding the old file listing would hit FILE_NOT_EXIST —
+    # invalidate the relation cache so the next spark.table() re-lists
+    spark.catalog.refreshTable(target_table)
     return {
         "updated": matched,
         "inserted": int(updates.count()) - matched,

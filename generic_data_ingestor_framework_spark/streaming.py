@@ -694,6 +694,11 @@ def stream_upsert(
         .start()
     )
     _run_to_completion(q, "stream_upsert")
+    # foreachBatch runs in a CLONED session — merge_into's refresh
+    # invalidates the clone's relation cache, not this session's. A
+    # reader here would otherwise hit FILE_NOT_EXIST on the rewritten
+    # table files after the stream drains.
+    spark.catalog.refreshTable(target_table)
 
 
 QUERIES = {

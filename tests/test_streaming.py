@@ -217,3 +217,41 @@ def test_memory_sink_guard_rejects_oversized_results(spark, monkeypatch):
         streaming.stream_tumbling_counts(spark, SF)
     leftover = [t.name for t in spark.catalog.listTables() if "tumbling" in t.name]
     assert leftover == [], f"sink view leaked: {leftover}"
+
+
+def test_stream_upsert_restart_exactly_once(spark, tmp_path):
+    """Restarting the CDC stream from its checkpoint must apply only
+    NEW files (exactly-once across restarts) — and a restart with no
+    new input must be a pure no-op, not a re-application."""
+    import json as _json
+
+    from generic_data_ingestor_framework_spark.streaming import stream_upsert
+
+    src = tmp_path / "cdc_r"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_r")
+    (src / "b0.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "v": f"v1_{i}"}) for i in range(4))
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    table = "t_stream_upsert_restart"
+    spark.createDataFrame([], schema).write.mode("overwrite").saveAsTable(table)
+
+    stream_upsert(spark, str(src), table, ["id"], ckpt, schema)
+    assert {r["id"]: r["v"] for r in spark.table(table).collect()} == {
+        i: f"v1_{i}" for i in range(4)
+    }
+
+    # restart with NO new files: checkpoint says everything is applied
+    stream_upsert(spark, str(src), table, ["id"], ckpt, schema)
+    assert spark.table(table).count() == 4
+
+    # new file after restart: only its rows are applied, upserting keys
+    (src / "b1.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "v": f"v2_{i}"}) for i in (2, 3, 4))
+    )
+    stream_upsert(spark, str(src), table, ["id"], ckpt, schema)
+    rows = {r["id"]: r["v"] for r in spark.table(table).collect()}
+    assert rows == {0: "v1_0", 1: "v1_1", 2: "v2_2", 3: "v2_3", 4: "v2_4"}
