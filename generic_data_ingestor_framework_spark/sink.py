@@ -399,6 +399,9 @@ def merge_into_partitioned(
         merged.write.mode("overwrite").insertInto(target_table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # same stale-listing hazard as merge_into: the touched partitions'
+    # files were replaced under any cached relation
+    spark.catalog.refreshTable(target_table)
     return {
         "updated": matched,
         "inserted": int(updates.count()) - matched,
