@@ -67,6 +67,9 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "corpus_select_budget",
     "remove_duplicated_spans",
+    "ann_quantized_rerank",
+    "dedup_keep_best_quality",
+    "shard_export_assignment",
 ]
 
 REGRESSION_RATIO = 1.3
