@@ -460,13 +460,21 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rep_pairs = shared_persist(spark, ("rep_pairs", sf_dir), build_rep_pairs)
-    rep_labels = connected_components(
-        with_rep.filter(F.col("doc_id") == F.col("rep_id")).select(
-            F.col("rep_id").alias("doc_id")
+    # the component labels themselves are an index: every consumer
+    # (keep_corpus, keep-best-quality resolution, repeated assigns)
+    # reuses ONE run of the iterative loop per session instead of
+    # re-executing all propagation iterations per call
+    rep_labels = shared_persist(
+        spark,
+        ("rep_labels", sf_dir),
+        lambda: connected_components(
+            with_rep.filter(F.col("doc_id") == F.col("rep_id")).select(
+                F.col("rep_id").alias("doc_id")
+            ),
+            rep_pairs,
+            "doc_a",
+            "doc_b",
         ),
-        rep_pairs,
-        "doc_a",
-        "doc_b",
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = (
