@@ -42,6 +42,41 @@ def salted_join(
     return salted_fact.join(replicated_dim, cond, how).drop("__salt")
 
 
+def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> dict:
+    """Pre-flight skew diagnostic for a join/agg key: per-key counts of
+    the ``top_n`` hottest keys, the skew factor (hottest key count /
+    mean per-key count), and the salt-bucket count that would level the
+    hottest key to roughly the mean (what ``salted_join`` needs).
+
+    One hash-aggregate + one tiny top-n sort over the aggregated
+    relation — safe to run on the full fact table before choosing a
+    join strategy; nothing row-level ever reaches the driver."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    ).collect()[0]
+    n_keys = int(stats["n_keys"] or 0)
+    if n_keys == 0:
+        return {"n_keys": 0, "n_rows": 0, "skew_factor": 0.0, "top": [],
+                "suggested_salt_buckets": 1}
+    n_rows, max_n = int(stats["n_rows"]), int(stats["max_n"])
+    mean = n_rows / n_keys
+    top = [
+        (tuple(r[c] for c in key_cols), int(r["n"]))
+        for r in counts.orderBy(F.desc("n"), *key_cols).limit(top_n).collect()
+    ]
+    return {
+        "n_keys": n_keys,
+        "n_rows": n_rows,
+        "skew_factor": round(max_n / mean, 2),
+        "top": top,
+        # buckets that level the hottest key's partition to ~mean size
+        "suggested_salt_buckets": max(1, round(max_n / mean)),
+    }
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

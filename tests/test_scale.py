@@ -177,3 +177,26 @@ def test_packing_cumsum_partitions_by_lang_and_bucket(spark):
         assert "lang" in cols and "bucket" in cols, (
             f"running-sum window partitions by [{cols}], not (lang, bucket)"
         )
+
+
+def test_skew_report_flags_hot_key(spark):
+    """A planted 90%-hot key must dominate the report and drive the
+    suggested salt-bucket count to ~its skew factor."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.scale import skew_report
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k")
+    )
+    rep = skew_report(df, ["k"])
+    assert rep["n_rows"] == 1000 and rep["n_keys"] == 101
+    assert rep["top"][0] == (("hot",), 900)
+    # mean ≈ 9.9 rows/key; the hot key is ~91× that
+    assert rep["skew_factor"] > 80
+    assert rep["suggested_salt_buckets"] == round(900 / (1000 / 101))
+    # uniform data reports no meaningful skew
+    uni = skew_report(spark.range(100).selectExpr("id % 10 AS k"), ["k"])
+    assert uni["skew_factor"] == 1.0 and uni["suggested_salt_buckets"] == 1
