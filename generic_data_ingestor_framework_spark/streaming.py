@@ -479,6 +479,59 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def stream_interval_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution interval join as a REAL stream-stream join with
+    EXACT batch parity: Spark allows an INNER stream-stream join
+    without watermarks, and without one the append-mode gate never
+    withholds a match — so the availableNow drain emits the COMPLETE
+    match set and the batch SQL oracle checks it value-exact. The
+    watermarked sibling (``stream_interval_join``) pins the production
+    configuration, whose late tail is legitimately withheld and which
+    therefore gets a subset-contract test instead of a gate row.
+
+    Tradeoff (100 TB): no watermark ⇒ both sides' join state is never
+    evicted — correct for a bounded drain like this job (state peaks at
+    the drained input), wrong for an unbounded stream, where the
+    watermarked form bounds state at the cost of the late tail."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round("value", 2).alias("purchase_value"),
+    )
+    sink = _unique_sink("stream_interval_exact_sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _drain_memory_sink(spark, q, sink, "stream_interval_join_exact")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts computed by an actual Structured
     Streaming job (watermark + availableNow + memory sink); the final
@@ -710,6 +763,7 @@ QUERIES = {
     "stream_dedup_keys": stream_dedup_keys,
     "stream_session_windows": stream_session_windows,
     "events_interval_join": events_interval_join,
+    "stream_interval_join_exact": stream_interval_join_exact,
     "events_asof_join": events_asof_join,
     "events_multi_rollup": events_multi_rollup,
     "session_stats_per_user": session_stats_per_user,
@@ -791,6 +845,16 @@ ORACLES = {
         FROM events GROUP BY 1
     """,
     "events_interval_join": """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               round(p.value, 2) AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    # the unwatermarked inner stream-stream join drains to the COMPLETE
+    # match set — same oracle as the batch interval join, verbatim
+    "stream_interval_join_exact": """
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
                round(p.value, 2) AS purchase_value
         FROM events c JOIN events p

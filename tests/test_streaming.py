@@ -255,3 +255,18 @@ def test_stream_upsert_restart_exactly_once(spark, tmp_path):
     stream_upsert(spark, str(src), table, ["id"], ckpt, schema)
     rows = {r["id"]: r["v"] for r in spark.table(table).collect()}
     assert rows == {0: "v1_0", 1: "v1_1", 2: "v2_2", 3: "v2_3", 4: "v2_4"}
+
+
+def test_stream_interval_join_exact_equals_batch(spark):
+    """The unwatermarked inner stream-stream join must emit EXACTLY the
+    batch interval-join result — no match withheld, none duplicated."""
+    from generic_data_ingestor_framework_spark.streaming import (
+        events_interval_join,
+        stream_interval_join_exact,
+    )
+
+    got = sorted(
+        map(tuple, stream_interval_join_exact(spark, SF).collect())
+    )
+    want = sorted(map(tuple, events_interval_join(spark, SF).collect()))
+    assert got == want and len(got) > 0
