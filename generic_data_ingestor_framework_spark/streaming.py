@@ -176,6 +176,64 @@ def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over event time: per user, consecutive ACTIVE
+    hours (hours with ≥1 event) merge into islands; reports island
+    count, the longest island, and the longest silent gap — the
+    activity-continuity profile behind churn/engagement features, and
+    the classic SQL pattern (lag → new-island flag → running sum →
+    per-island aggregate) the delegated surface was missing.
+
+    Scale shape: the event stream collapses to distinct (user, hour)
+    FIRST (one hash-aggregate — the heavy cardinality drop), then every
+    window runs partitioned by user over hour-counts, never raw events.
+    Hour arithmetic is integer epoch-hours, exact in both engines."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir)
+    hours = (
+        e.select(
+            "user_id",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("h")
+    flagged = hours.withColumn("prev_h", F.lag("h").over(w)).withColumn(
+        "new_island",
+        (F.col("prev_h").isNull() | (F.col("h") - F.col("prev_h") > 1)).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("island_hours")
+    )
+    gaps = flagged.filter(F.col("prev_h").isNotNull()).select(
+        "user_id", (F.col("h") - F.col("prev_h") - 1).alias("gap_hours")
+    )
+    agg_islands = per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("island_hours").alias("n_active_hours"),
+        F.max("island_hours").alias("longest_island_hours"),
+    )
+    agg_gaps = gaps.groupBy("user_id").agg(
+        F.max("gap_hours").alias("longest_gap_hours")
+    )
+    return (
+        agg_islands.join(agg_gaps, "user_id", "left")
+        .select(
+            "user_id",
+            "n_active_hours",
+            "n_islands",
+            "longest_island_hours",
+            F.coalesce("longest_gap_hours", F.lit(0)).alias("longest_gap_hours"),
+        )
+    )
+
+
 def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-dedup analogue in batch: first event per
     (user_id, event_type), the deterministic form of
@@ -767,6 +825,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_multi_rollup": events_multi_rollup,
     "session_stats_per_user": session_stats_per_user,
+    "user_activity_islands": user_activity_islands,
 }
 
 ORACLES = {
@@ -861,6 +920,44 @@ ORACLES = {
           ON c.user_id = p.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "user_activity_islands": """
+        WITH hours AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id, h,
+                 lag(h) OVER (PARTITION BY user_id ORDER BY h) AS prev_h
+          FROM hours
+        ),
+        islands AS (
+          SELECT user_id, h,
+                 CAST(sum(CASE WHEN prev_h IS NULL OR h - prev_h > 1
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY h
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+          FROM flagged
+        ),
+        per_island AS (
+          SELECT user_id, island, CAST(count(*) AS BIGINT) AS island_hours
+          FROM islands GROUP BY user_id, island
+        ),
+        agg_islands AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_islands,
+                 CAST(sum(island_hours) AS BIGINT) AS n_active_hours,
+                 CAST(max(island_hours) AS BIGINT) AS longest_island_hours
+          FROM per_island GROUP BY user_id
+        ),
+        agg_gaps AS (
+          SELECT user_id, CAST(max(h - prev_h - 1) AS BIGINT) AS longest_gap_hours
+          FROM flagged WHERE prev_h IS NOT NULL GROUP BY user_id
+        )
+        SELECT i.user_id, i.n_active_hours, i.n_islands, i.longest_island_hours,
+               COALESCE(g.longest_gap_hours, 0) AS longest_gap_hours
+        FROM agg_islands i LEFT JOIN agg_gaps g USING (user_id)
     """,
     "events_multi_rollup": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,

@@ -270,3 +270,37 @@ def test_stream_interval_join_exact_equals_batch(spark):
     )
     want = sorted(map(tuple, events_interval_join(spark, SF).collect()))
     assert got == want and len(got) > 0
+
+
+def test_user_activity_islands_planted(spark, tmp_path):
+    """Planted activity patterns: contiguous hours form one island;
+    a gap splits islands and is measured exactly; single-hour users
+    report gap 0."""
+    from datetime import datetime
+
+    from generic_data_ingestor_framework_spark.streaming import user_activity_islands
+
+    def ts(h, m=0):
+        return datetime(2024, 3, 1, h, m)
+
+    rows = [
+        # user 1: hours 0,1,2 (one island of 3), then 7,8 (island of 2) -> gap 4
+        (1, 100, "click", ts(0), 1.0), (1, 101, "click", ts(1), 1.0),
+        (1, 102, "click", ts(2, 30), 1.0), (1, 103, "click", ts(7), 1.0),
+        (1, 104, "click", ts(8), 1.0),
+        # user 2: single hour, two events
+        (2, 200, "view", ts(5), 1.0), (2, 201, "view", ts(5, 59), 1.0),
+    ]
+    d = tmp_path / "islands"
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp, value double"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r["user_id"]: (
+            r["n_active_hours"], r["n_islands"],
+            r["longest_island_hours"], r["longest_gap_hours"],
+        )
+        for r in user_activity_islands(spark, str(d)).collect()
+    }
+    assert got[1] == (5, 2, 3, 4)
+    assert got[2] == (1, 1, 1, 0)
