@@ -232,7 +232,7 @@ COMPOSITES: dict[str, list[str]] = {
     # streaming families
     "event_windows": [
         "window_tumbling_hourly", "window_sliding_1h_30m", "events_multi_rollup",
-        "stream_dedup_keys", "stream_interval_join_exact",
+        "stream_dedup_keys", "stream_interval_join_exact", "funnel_conversion",
     ],
     "sessions_family": [
         "session_window_10m", "session_stats_per_user", "stream_session_windows",

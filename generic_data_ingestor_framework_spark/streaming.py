@@ -234,6 +234,68 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users reach each step of
+    view → click → purchase IN ORDER (each step strictly after the
+    user's earliest qualifying previous step) — the canonical
+    sequential-pattern query of product analytics, expressed as a
+    chain of earliest-timestamp aggregates instead of per-user event
+    replay.
+
+    Scale shape: one filtered min-aggregate per funnel step, each
+    joined to the previous step's per-user timestamp (all shuffles on
+    user_id, reusable partitioning); no ordered event arrays are ever
+    collected per user. Conversion ratios are 4-dp floor (no
+    cross-engine round ties)."""
+    e = _events(spark, sf_dir)
+    reached = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    step_users = [reached]
+    for step in FUNNEL_STEPS[1:]:
+        prev = step_users[-1].select("user_id", F.col("t").alias("prev_t"))
+        reached = (
+            e.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        step_users.append(reached)
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    labeled = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                "user_id",
+            )
+            for i, (step, df) in enumerate(zip(FUNNEL_STEPS, step_users))
+        ],
+    )
+    counts = labeled.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = W.orderBy("step_idx").rowsBetween(-1, -1)
+    prev_n = F.coalesce(F.sum("n_users").over(w), F.col("n_users"))
+    return counts.select(
+        "step_idx",
+        "step",
+        "n_users",
+        # integer-floor basis points / 10000: no cross-engine round ties
+        (F.floor(F.col("n_users") * 10000 / prev_n) / 10000).alias("conversion"),
+    )
+
+
 def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-dedup analogue in batch: first event per
     (user_id, event_type), the deterministic form of
@@ -826,6 +888,7 @@ QUERIES = {
     "events_multi_rollup": events_multi_rollup,
     "session_stats_per_user": session_stats_per_user,
     "user_activity_islands": user_activity_islands,
+    "funnel_conversion": funnel_conversion,
 }
 
 ORACLES = {
@@ -920,6 +983,37 @@ ORACLES = {
           ON c.user_id = p.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "funnel_conversion": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+        ),
+        labeled AS (
+          SELECT 1 AS step_idx, 'view' AS step, user_id FROM s1
+          UNION ALL SELECT 2, 'click', user_id FROM s2
+          UNION ALL SELECT 3, 'purchase', user_id FROM s3
+        ),
+        counts AS (
+          SELECT step_idx, step, CAST(count(*) AS BIGINT) AS n_users
+          FROM labeled GROUP BY step_idx, step
+        )
+        SELECT step_idx, step, n_users,
+               floor(n_users * 10000 / COALESCE(
+                 sum(n_users) OVER (ORDER BY step_idx
+                       ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING),
+                 n_users)) / 10000 AS conversion
+        FROM counts
     """,
     "user_activity_islands": """
         WITH hours AS (

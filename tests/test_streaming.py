@@ -304,3 +304,36 @@ def test_user_activity_islands_planted(spark, tmp_path):
     }
     assert got[1] == (5, 2, 3, 4)
     assert got[2] == (1, 1, 1, 0)
+
+
+def test_funnel_conversion_ordering_matters(spark, tmp_path):
+    """A user whose purchase precedes their click must NOT count as
+    converting the purchase step; monotone funnels count fully."""
+    from datetime import datetime
+
+    from generic_data_ingestor_framework_spark.streaming import funnel_conversion
+
+    def ts(h):
+        return datetime(2024, 3, 1, h)
+
+    rows = [
+        # user 1: view(1) -> click(2) -> purchase(3): full conversion
+        (1, 1, "view", ts(1), 1.0), (1, 2, "click", ts(2), 1.0),
+        (1, 3, "purchase", ts(3), 1.0),
+        # user 2: purchase BEFORE click: reaches click, not purchase
+        (2, 4, "view", ts(1), 1.0), (2, 5, "purchase", ts(2), 1.0),
+        (2, 6, "click", ts(3), 1.0),
+        # user 3: click only (no view): reaches nothing
+        (3, 7, "click", ts(1), 1.0),
+    ]
+    d = tmp_path / "funnel"
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp, value double"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r["step"]: (r["n_users"], r["conversion"])
+        for r in funnel_conversion(spark, str(d)).collect()
+    }
+    assert got["view"] == (2, 1.0)
+    assert got["click"] == (2, 1.0)
+    assert got["purchase"] == (1, 0.5)
