@@ -236,7 +236,7 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "sessions_family": [
         "session_window_10m", "session_stats_per_user", "stream_session_windows",
-        "user_activity_islands",
+        "user_activity_islands", "cohort_retention",
     ],
 }
 

@@ -296,6 +296,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first
+    active epoch-week; each later week's distinct-active count over the
+    cohort's size is week-N retention — the other canonical
+    event-analytics rollup next to ``funnel_conversion``.
+
+    Weeks are integer ``floor(epoch/604800)`` so bucketing is exact
+    arithmetic in both engines (no locale week-start semantics). Scale
+    shape: events collapse to distinct (user, week) first; the cohort
+    label is one min-aggregate joined back on user_id; the matrix is
+    one (cohort, weeks_since) hash-aggregate; cohort sizes broadcast
+    back (weeks-bounded relation). Retention is 4-dp floor."""
+    e = _events(spark, sf_dir)
+    weeks = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week"),
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    matrix = (
+        weeks.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            (F.floor(F.col("n_active") * 10000 / F.col("cohort_size")) / 10000).alias(
+                "retention"
+            ),
+        )
+    )
+
+
 def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-dedup analogue in batch: first event per
     (user_id, event_type), the deterministic form of
@@ -889,6 +927,7 @@ QUERIES = {
     "session_stats_per_user": session_stats_per_user,
     "user_activity_islands": user_activity_islands,
     "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
 }
 
 ORACLES = {
@@ -983,6 +1022,29 @@ ORACLES = {
           ON c.user_id = p.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "cohort_retention": """
+        WITH weeks AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+          FROM events
+        ),
+        cohorts AS (
+          SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+        ),
+        matrix AS (
+          SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM weeks w JOIN cohorts c USING (user_id)
+          GROUP BY c.cohort_week, w.week - c.cohort_week
+        ),
+        sizes AS (
+          SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM cohorts GROUP BY cohort_week
+        )
+        SELECT m.cohort_week, m.weeks_since, m.n_active, s.cohort_size,
+               floor(m.n_active * 10000 / s.cohort_size) / 10000 AS retention
+        FROM matrix m JOIN sizes s USING (cohort_week)
     """,
     "funnel_conversion": """
         WITH s1 AS (

@@ -337,3 +337,35 @@ def test_funnel_conversion_ordering_matters(spark, tmp_path):
     assert got["view"] == (2, 1.0)
     assert got["click"] == (2, 1.0)
     assert got["purchase"] == (1, 0.5)
+
+
+def test_cohort_retention_planted(spark, tmp_path):
+    """Planted cohorts: week-0 retention is 1.0 by construction; a user
+    active in a later week counts toward their FIRST-seen cohort only."""
+    from datetime import datetime, timedelta
+
+    from generic_data_ingestor_framework_spark.streaming import cohort_retention
+
+    w0 = datetime(2024, 1, 4)  # aligned inside one epoch week
+    rows = []
+    # cohort A: users 1,2 first seen week 0; user 1 returns week 1
+    rows += [(1, 1, "view", w0, 1.0), (2, 2, "view", w0, 1.0)]
+    rows += [(1, 3, "view", w0 + timedelta(days=7), 1.0)]
+    # cohort B: user 3 first seen week 1
+    rows += [(3, 4, "view", w0 + timedelta(days=7), 1.0)]
+    d = tmp_path / "cohorts"
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp, value double"
+    ).write.parquet(str(d / "events.parquet"))
+    out = {
+        (r["cohort_week"], r["weeks_since"]): (
+            r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in cohort_retention(spark, str(d)).collect()
+    }
+    weeks = sorted({cw for cw, _ in out})
+    a, b = weeks[0], weeks[1]
+    assert out[(a, 0)] == (2, 2, 1.0)
+    assert out[(a, 1)] == (1, 2, 0.5)
+    assert out[(b, 0)] == (1, 1, 1.0)
+    assert (b, 1) not in out
