@@ -70,6 +70,9 @@ HEADLINE = [
     "ann_quantized_rerank",
     "dedup_keep_best_quality",
     "shard_export_assignment",
+    "user_activity_islands",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 REGRESSION_RATIO = 1.3

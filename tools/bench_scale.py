@@ -72,6 +72,10 @@ QUERIES = [
     "ann_quantized_rerank",
     "dedup_keep_best_quality",
     "shard_export_assignment",
+    # event analytics (r6): continuity, ordered funnel, cohorts
+    "user_activity_islands",
+    "funnel_conversion",
+    "cohort_retention",
     # embeddings
     "ann_cosine_topk",
     "ann_ivf_topk",
