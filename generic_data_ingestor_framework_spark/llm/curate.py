@@ -317,6 +317,45 @@ def span_duplication_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUDGET_NUM, BUDGET_DEN = 2, 5  # select the top-quality 40% of corpus tokens
 
 
+def banded_budget_select(
+    banded: DataFrame, id_col: str, band_rows: list, budget: int
+) -> DataFrame:
+    """The two-level banded-cumsum selection core, shared by the corpus
+    member and the pipeline step: ``banded`` has (id, n_tok, band);
+    ``band_rows`` is the driver-sized [(band, total_tokens, n_rows)]
+    relation. Bands that start past the budget are pruned before any
+    row-level work; the row-level windows run PARTITIONED by band with
+    driver-computed offsets added — no global sort at any data size.
+    Returns the selected rows annotated with ``cum_tokens`` and
+    ``sel_rank``."""
+    offs, tok_off, rank_off = [], 0, 0
+    for band, toks, docs in sorted(band_rows, reverse=True):
+        if tok_off < budget:  # bands starting past the budget can't contribute
+            offs.append((band, tok_off, rank_off))
+        tok_off += toks
+        rank_off += docs
+    offs_df = banded.sparkSession.createDataFrame(
+        offs, schema="band bigint, tok_off bigint, rank_off bigint"
+    )
+    wc = (
+        W.partitionBy("band")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wr = W.partitionBy("band").orderBy(id_col)
+    return (
+        banded.join(F.broadcast(offs_df), "band")
+        .withColumn(
+            "cum_tokens",
+            (F.sum("n_tok").over(wc) + F.col("tok_off")).cast("bigint"),
+        )
+        .withColumn(
+            "sel_rank", (F.row_number().over(wr) + F.col("rank_off")).cast("int")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection: rank documents by heuristic
     quality (shared ``_quality_expr`` formula) and keep the best docs
@@ -335,57 +374,32 @@ def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort ever happens. The DuckDB oracle computes the same selection
     with the naive global window, pinning the decomposition's
     equivalence."""
-    from pyspark.sql import Window as W
-
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
     from generic_data_ingestor_framework_spark.llm.textstats import _quality_expr
 
-    scored = _docs_with_tokens(spark, sf_dir).select(
+    banded = _docs_with_tokens(spark, sf_dir).select(
         "doc_id",
-        F.size("ts").alias("n_tokens"),
+        F.size("ts").alias("n_tok"),
         F.round(_quality_expr(F.col("ts")), 6).alias("quality"),
-    )
-    banded = scored.withColumn(
-        "band", F.round(F.col("quality") * 1e6).cast("bigint")
-    )
+    ).withColumn("band", F.round(F.col("quality") * 1e6).cast("bigint"))
     band_rows = shared_value(
         spark,
         ("qsel_bands", sf_dir),
         lambda: [
             (int(r["band"]), int(r["toks"]), int(r["docs"]))
             for r in banded.groupBy("band")
-            .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("docs"))
+            .agg(F.sum("n_tok").alias("toks"), F.count(F.lit(1)).alias("docs"))
             .collect()
         ],
     )
     total = sum(t for _, t, _ in band_rows)
     budget = total * BUDGET_NUM // BUDGET_DEN
-    offs, tok_off, rank_off = [], 0, 0
-    for band, toks, docs in sorted(band_rows, reverse=True):
-        if tok_off < budget:  # bands starting past the budget can't contribute
-            offs.append((band, tok_off, rank_off))
-        tok_off += toks
-        rank_off += docs
-    offs_df = spark.createDataFrame(
-        offs, schema="band bigint, tok_off bigint, rank_off bigint"
-    )
-    wc = (
-        W.partitionBy("band")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wr = W.partitionBy("band").orderBy("doc_id")
-    return (
-        banded.join(F.broadcast(offs_df), "band")
-        .withColumn(
-            "cum_tokens",
-            (F.sum("n_tokens").over(wc) + F.col("tok_off")).cast("bigint"),
-        )
-        .withColumn(
-            "sel_rank", (F.row_number().over(wr) + F.col("rank_off")).cast("int")
-        )
-        .filter(F.col("cum_tokens") <= budget)
-        .select("doc_id", "quality", "n_tokens", "cum_tokens", "sel_rank")
+    return banded_budget_select(banded, "doc_id", band_rows, budget).select(
+        "doc_id",
+        "quality",
+        F.col("n_tok").alias("n_tokens"),
+        "cum_tokens",
+        "sel_rank",
     )
 
 
@@ -425,6 +439,56 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = DECON_GRAM_K  # duplicated-span gram width (13 tokens)
 
 
+# --- shared span-removal core (one definition for the corpus member
+# AND the pipeline step — a fix in one cannot silently miss the other)
+
+def pos_grams_from_tokens(tokens_df: DataFrame, id_col: str, ts_col: str, k: int) -> DataFrame:
+    """``(id, ts)`` → ``(id, pos, gram)``: every k-gram occurrence with
+    its 0-based token offset (no rows for docs shorter than k)."""
+    n = F.size(ts_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda p: F.array_join(F.slice(ts_col, p + 1, k), " "),
+    )
+    gs = F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    return tokens_df.select(id_col, F.posexplode(gs).alias("pos", "gram"))
+
+
+def span_coverage(pg: DataFrame, id_col: str, k: int, min_occ: int = 2) -> DataFrame:
+    """``(id, pos, gram)`` → ``(id, cov array<int>)``: token offsets
+    covered by any gram occurring ≥ ``min_occ`` times corpus-wide.
+    ``collect_set`` dedups overlapping coverage itself — a pre-distinct
+    would add a second corpus-scale shuffle for nothing (measured: the
+    first r6 sf1 run's worst ratio was exactly that)."""
+    dup = (
+        pg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occ)
+        .select("gram")
+    )
+    return (
+        pg.join(dup, "gram")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("cov"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cov").alias("cov"))
+    )
+
+
+def cut_covered_tokens(tokens_df: DataFrame, cov_df: DataFrame, id_col: str, ts_col: str):
+    """Left-join coverage onto ``(id, ts)``; returns the joined frame
+    (``cov`` coalesced to empty) and the kept-tokens array column."""
+    joined = tokens_df.join(cov_df, id_col, "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col(ts_col), lambda t, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return joined, kept
+
+
 def _pos_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POSITIONAL 13-gram relation ``(doc_id, pos, gram)`` — unlike
     ``_gram_relation`` (distinct grams, for membership tests), this
@@ -434,16 +498,10 @@ def _pos_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
     toks = _docs_with_tokens(spark, sf_dir).select("doc_id", "ts")
-    n = F.size("ts")
-    grams = F.transform(
-        F.sequence(F.lit(0), n - SPAN_K),
-        lambda p: F.array_join(F.slice("ts", p + 1, SPAN_K), " "),
-    )
-    gs = F.when(n >= SPAN_K, grams).otherwise(F.array().cast("array<string>"))
     return shared_persist(
         spark,
         ("span_pos_grams", sf_dir),
-        lambda: toks.select("doc_id", F.posexplode(gs).alias("pos", "gram")),
+        lambda: pos_grams_from_tokens(toks, "doc_id", "ts", SPAN_K),
     )
 
 
@@ -462,31 +520,9 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings ×13 offsets; the per-doc covered set is bounded by doc
     length and the text rebuild is a map-side array filter — the
     corpus text never shuffles."""
-    pg = _pos_gram_relation(spark, sf_dir)
-    dup = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("occ")).filter(
-        F.col("occ") >= 2
-    )
-    covered = (
-        pg.join(dup.select("gram"), "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias(
-                "cov"
-            ),
-        )
-        # collect_set dedups overlapping gram coverage itself — a
-        # pre-distinct would add a second corpus-scale shuffle for
-        # nothing (measured: the sf1 harness's worst r6 ratio was here)
-        .groupBy("doc_id")
-        .agg(F.collect_set("cov").alias("cov"))
-    )
+    covered = span_coverage(_pos_gram_relation(spark, sf_dir), "doc_id", SPAN_K)
     toks = _docs_with_tokens(spark, sf_dir).select("doc_id", "ts")
-    joined = toks.join(covered, "doc_id", "left").withColumn(
-        "cov", F.coalesce("cov", F.array().cast("array<int>"))
-    )
-    kept = F.filter(
-        F.col("ts"), lambda t, i: ~F.array_contains(F.col("cov"), i)
-    )
+    joined, kept = cut_covered_tokens(toks, covered, "doc_id", "ts")
     n = F.size("ts")
     return joined.select(
         "doc_id",
@@ -614,11 +650,17 @@ ORACLES = {
 
     "remove_duplicated_spans": f"""
         WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        -- struct-unnest enumeration: unbounded in document length
+        -- (a fixed range() cap would silently truncate long docs and
+        -- falsely flag the engine as divergent)
         pg AS (
-          SELECT doc_id, CAST(r.i AS INT) AS pos,
-                 array_to_string(ts[r.i + 1 : r.i + {SPAN_K}], ' ') AS gram
-          FROM tok, range(0, 4096) r(i)
-          WHERE r.i <= len(ts) - {SPAN_K}
+          SELECT doc_id, CAST(g.pos AS INT) AS pos, g.gram FROM (
+            SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(ts) - {SPAN_K - 2}, 1)),
+              i -> struct_pack(pos := i - 1,
+                               gram := array_to_string(
+                                 ts[i : i + {SPAN_K - 1}], ' ')))) AS g
+            FROM tok)
         ),
         dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
         cov AS (
@@ -630,9 +672,11 @@ ORACLES = {
           FROM cov GROUP BY doc_id
         ),
         tokidx AS (
-          SELECT doc_id, CAST(r.i AS INT) AS idx, ts[r.i + 1] AS tok
-          FROM tok, range(0, 4096) r(i)
-          WHERE r.i < len(ts)
+          SELECT doc_id, CAST(t.idx AS INT) AS idx, t.tok FROM (
+            SELECT doc_id, unnest(list_transform(
+              range(1, len(ts) + 1),
+              i -> struct_pack(idx := i - 1, tok := ts[i]))) AS t
+            FROM tok)
         ),
         kept AS (
           SELECT t.doc_id,

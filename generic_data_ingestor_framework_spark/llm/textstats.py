@@ -206,6 +206,7 @@ BM25_B = 0.75
 BM25_N_QUERIES = 5   # doc_id < 5 are the query documents
 BM25_TOP_K = 5
 BM25_SCALE = 10**6   # per-term contribs round to integer micro-units
+                     # before summing (order-exact cross-engine)
 
 
 def _corpus_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +225,6 @@ def _corpus_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n").alias("dl")),
     )
-                     # before summing (order-exact cross-engine)
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

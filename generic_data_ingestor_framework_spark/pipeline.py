@@ -332,53 +332,31 @@ def _step_remove_dup_spans(df: DataFrame, p: dict) -> DataFrame:
     marks its token range; covered tokens are cut and the column is
     rewritten to the surviving text. Rows left empty (fully-duplicated
     text) are dropped; NULL/blank rows pass through unchanged — the
-    same contracts as ``paragraph_dedup``. Same plan as
-    ``llm.curate.remove_duplicated_spans``: one gram hash-aggregate,
-    coverage exploded for duplicated postings only, map-side rebuild."""
-    from generic_data_ingestor_framework_spark.llm.curate import SPAN_K
+    same contracts as ``paragraph_dedup``. The gram/coverage/rebuild
+    core is the SAME code as ``llm.curate.remove_duplicated_spans``
+    (``pos_grams_from_tokens`` / ``span_coverage`` /
+    ``cut_covered_tokens``), so the operator and the step cannot
+    drift."""
+    from generic_data_ingestor_framework_spark.llm.curate import (
+        SPAN_K,
+        cut_covered_tokens,
+        pos_grams_from_tokens,
+        span_coverage,
+    )
 
     col = p.get("column", "text")
     idc = p["id"]
+    if idc in ("pos", "gram", "cov"):
+        raise ValueError(f"id column {idc!r} collides with span-removal internals")
     k = int(p.get("k", SPAN_K))
     min_occ = int(p.get("min_occ", 2))
     is_blank = F.col(col).isNull() | (F.trim(F.col(col)) == "")
     blank_rows = df.filter(is_blank)
     df = df.filter(~is_blank)
-    ts = F.split(F.lower(F.col(col)), r"\s+")
-    base = df.select(idc, ts.alias("__ts"))
-    n = F.size("__ts")
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda pos: F.array_join(F.slice("__ts", pos + 1, k), " "),
-    )
-    gs = F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
-    pg = base.select(idc, F.posexplode(gs).alias("__pos", "__gram"))
-    dup = (
-        pg.groupBy("__gram")
-        .agg(F.count(F.lit(1)).alias("__occ"))
-        .filter(F.col("__occ") >= min_occ)
-        .select("__gram")
-    )
-    covered = (
-        pg.join(dup, "__gram")
-        .select(
-            idc,
-            F.explode(F.sequence(F.col("__pos"), F.col("__pos") + k - 1)).alias(
-                "__cov"
-            ),
-        )
-        # collect_set dedups overlapping coverage; no pre-distinct
-        .groupBy(idc)
-        .agg(F.collect_set("__cov").alias("__cov"))
-    )
-    kept = F.filter(
-        F.col("__ts"), lambda t, i: ~F.array_contains(F.col("__cov"), i)
-    )
-    cleaned = (
-        base.join(covered, idc, "left")
-        .withColumn("__cov", F.coalesce("__cov", F.array().cast("array<int>")))
-        .select(idc, F.array_join(kept, " ").alias("__clean"))
-    )
+    base = df.select(idc, F.split(F.lower(F.col(col)), r"\s+").alias("__ts"))
+    covered = span_coverage(pos_grams_from_tokens(base, idc, "__ts", k), idc, k, min_occ)
+    _joined, kept = cut_covered_tokens(base, covered, idc, "__ts")
+    cleaned = _joined.select(idc, F.array_join(kept, " ").alias("__clean"))
     out = (
         df.drop(col)
         .join(cleaned, idc)
@@ -392,50 +370,47 @@ def _step_remove_dup_spans(df: DataFrame, p: dict) -> DataFrame:
 def _step_select_budget(df: DataFrame, p: dict) -> DataFrame:
     """Token-budget selection: keep the highest-quality rows (shared
     ``_quality_expr`` heuristic over ``column``) until ``frac`` of the
-    dataset's tokens are spent. Runs the same two-level banded cumsum
-    as ``llm.curate.corpus_select_budget`` — per-band totals are a
-    bounded driver-sized relation (quality is 6-dp, ≤1e6+1 bands at
-    ANY data size), so no global sort exists; rows keep their original
+    dataset's tokens are spent. The banded-cumsum selection core is the
+    SAME code as ``llm.curate.corpus_select_budget``
+    (``banded_budget_select``) — per-band totals are a bounded
+    driver-sized relation (quality is 6-dp, ≤1e6+1 bands at ANY data
+    size), so no global sort exists; rows keep their original
     columns."""
+    from generic_data_ingestor_framework_spark.llm.curate import banded_budget_select
     from generic_data_ingestor_framework_spark.llm.textstats import _quality_expr
 
     col = p.get("column", "text")
     idc = p["id"]
     num, den = float(p.get("frac", 0.4)).as_integer_ratio()
-    ts = F.split(F.lower(F.col(col)), r"\s+")
-    banded = df.select(
+    # NULL/blank rows can't be quality-scored: pass them through
+    # UNCHANGED (the same contract as paragraph_dedup/remove_dup_spans;
+    # size(NULL) would otherwise poison the token total as -1 or NULL)
+    is_blank = F.col(col).isNull() | (F.trim(F.col(col)) == "")
+    blank_rows = df.filter(is_blank)
+    df = df.filter(~is_blank)
+    # materialize the token array BEFORE the quality lambda: Catalyst
+    # re-inlines aliased expressions into HOF lambda bodies, re-running
+    # the regex split per element otherwise (see dedup.py:66-70)
+    if idc in ("band", "n_tok", "cum_tokens", "sel_rank"):
+        raise ValueError(f"id column {idc!r} collides with selection internals")
+    base = df.select(idc, F.split(F.lower(F.col(col)), r"\s+").alias("__ts"))
+    banded = base.select(
         idc,
-        F.size(ts).alias("__n_tok"),
-        F.round(F.round(_quality_expr(ts), 6) * 1e6).cast("bigint").alias("__band"),
+        F.size("__ts").alias("n_tok"),
+        F.round(F.round(_quality_expr(F.col("__ts")), 6) * 1e6)
+        .cast("bigint")
+        .alias("band"),
     )
     stats = [
-        (int(r["__band"]), int(r["t"]), int(r["c"]))
-        for r in banded.groupBy("__band")
-        .agg(F.sum("__n_tok").alias("t"), F.count(F.lit(1)).alias("c"))
+        (int(r["band"]), int(r["t"]), int(r["c"]))
+        for r in banded.groupBy("band")
+        .agg(F.sum("n_tok").alias("t"), F.count(F.lit(1)).alias("c"))
         .collect()
     ]
     total = sum(t for _, t, _ in stats)
     budget = total * num // den
-    offs, tok_off = [], 0
-    for band, toks, _cnt in sorted(stats, reverse=True):
-        if tok_off < budget:
-            offs.append((band, tok_off))
-        tok_off += toks
-    offs_df = df.sparkSession.createDataFrame(
-        offs, schema="__band bigint, __tok_off bigint"
-    )
-    wc = (
-        W.partitionBy("__band")
-        .orderBy(idc)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    sel_ids = (
-        banded.join(F.broadcast(offs_df), "__band")
-        .withColumn("__cum", F.sum("__n_tok").over(wc) + F.col("__tok_off"))
-        .filter(F.col("__cum") <= budget)
-        .select(idc)
-    )
-    return df.join(sel_ids, idc, "semi")
+    sel_ids = banded_budget_select(banded, idc, stats, budget).select(idc)
+    return df.join(sel_ids, idc, "semi").unionByName(blank_rows)
 
 
 STEP_REGISTRY: dict[str, StepFn] = {

@@ -287,3 +287,30 @@ def test_pipeline_select_budget_step(spark):
     kept = {r["doc_id"] for r in out}
     assert kept == {0, 1}, kept
     assert {r["tag"] for r in out} == {"keepish"}
+
+
+def test_pipeline_select_budget_passes_blank_rows_through(spark):
+    """NULL/blank-text rows can't be quality-scored: they must pass
+    through UNCHANGED (not poison the token total via size(NULL),
+    not be silently dropped) — same contract as the sibling steps."""
+    from generic_data_ingestor_framework_spark.llm import textstats
+    from generic_data_ingestor_framework_spark.pipeline import STEP_REGISTRY
+
+    stop = " ".join(textstats.STOPWORDS)
+    df = spark.createDataFrame(
+        [
+            (0, f"{stop} {stop} {stop} {stop} extra tokens here"),
+            (1, f"{stop} {stop} {stop} more filler words now"),
+            (2, "zz"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = STEP_REGISTRY["select_budget"](
+        df, {"id": "doc_id", "column": "text", "frac": 0.999}
+    ).collect()
+    got = {r["doc_id"]: r["text"] for r in out}
+    # blanks pass through; the budget is computed over scoreable rows only
+    assert got[3] is None and got[4] == "   "
+    assert {0, 1} <= set(got) and 2 not in got
