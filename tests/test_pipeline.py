@@ -314,3 +314,17 @@ def test_pipeline_select_budget_passes_blank_rows_through(spark):
     # blanks pass through; the budget is computed over scoreable rows only
     assert got[3] is None and got[4] == "   "
     assert {0, 1} <= set(got) and 2 not in got
+
+
+def test_pipeline_select_budget_all_blank_rows(spark):
+    """A frame with ONLY unscoreable rows must pass them all through
+    (empty band stats → zero budget → empty selection → blanks union)."""
+    from generic_data_ingestor_framework_spark.pipeline import STEP_REGISTRY
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "  ")], "doc_id bigint, text string"
+    )
+    out = STEP_REGISTRY["select_budget"](
+        df, {"id": "doc_id", "column": "text", "frac": 0.5}
+    ).collect()
+    assert {r["doc_id"] for r in out} == {0, 1, 2}
