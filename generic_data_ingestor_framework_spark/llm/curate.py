@@ -479,13 +479,22 @@ def span_coverage(pg: DataFrame, id_col: str, k: int, min_occ: int = 2) -> DataF
 
 def cut_covered_tokens(tokens_df: DataFrame, cov_df: DataFrame, id_col: str, ts_col: str):
     """Left-join coverage onto ``(id, ts)``; returns the joined frame
-    (``cov`` coalesced to empty) and the kept-tokens array column."""
+    (``cov`` coalesced to empty) and the kept-tokens array column.
+
+    Kept positions come from ``array_except(sequence(0, n-1), cov)``
+    (hash-set membership, O(len + |cov|) per doc) followed by an O(1)
+    ``element_at`` per survivor — NOT a per-token ``array_contains``
+    scan, which would be O(len x |cov|) and quadratic for long,
+    heavily-duplicated documents."""
     joined = tokens_df.join(cov_df, id_col, "left").withColumn(
         "cov", F.coalesce("cov", F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.col(ts_col), lambda t, i: ~F.array_contains(F.col("cov"), i)
-    )
+    n = F.size(ts_col)
+    # guard n=0: sequence(0, -1) would DESCEND ([0, -1]), not be empty
+    kept_pos = F.when(
+        n > 0, F.array_except(F.sequence(F.lit(0), n - 1), F.col("cov"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(kept_pos, lambda p: F.element_at(F.col(ts_col), p + 1))
     return joined, kept
 
 

@@ -326,6 +326,14 @@ def _step_bpe_tokenize(df: DataFrame, p: dict) -> DataFrame:
     return encode_with_merges(df, train_from_words(words, n_merges), column=col)
 
 
+# Internal working-column names per step: an id (or data) column with one
+# of these names would yield a confusing duplicate-column failure deep in
+# the plan, so both steps reject them up front (includes the __ts/__clean
+# temporaries, not just the span-core outputs).
+_SPAN_RESERVED = frozenset({"pos", "gram", "cov", "__ts", "__clean"})
+_BUDGET_RESERVED = frozenset({"band", "n_tok", "cum_tokens", "sel_rank", "__ts"})
+
+
 def _step_remove_dup_spans(df: DataFrame, p: dict) -> DataFrame:
     """Cross-corpus duplicated-SPAN removal over ``column`` (Lee et al.
     2022): any ``k``-token gram occurring ≥``min_occ`` times corpus-wide
@@ -346,10 +354,14 @@ def _step_remove_dup_spans(df: DataFrame, p: dict) -> DataFrame:
 
     col = p.get("column", "text")
     idc = p["id"]
-    if idc in ("pos", "gram", "cov"):
+    if idc in _SPAN_RESERVED:
         raise ValueError(f"id column {idc!r} collides with span-removal internals")
     k = int(p.get("k", SPAN_K))
     min_occ = int(p.get("min_occ", 2))
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (k=0 makes every gram empty-equal); got {k}")
+    if min_occ < 2:
+        raise ValueError(f"min_occ must be >= 2 (1 would cut every token); got {min_occ}")
     is_blank = F.col(col).isNull() | (F.trim(F.col(col)) == "")
     blank_rows = df.filter(is_blank)
     df = df.filter(~is_blank)
@@ -381,7 +393,10 @@ def _step_select_budget(df: DataFrame, p: dict) -> DataFrame:
 
     col = p.get("column", "text")
     idc = p["id"]
-    num, den = float(p.get("frac", 0.4)).as_integer_ratio()
+    frac = float(p.get("frac", 0.4))
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1]; got {frac}")
+    num, den = frac.as_integer_ratio()
     # NULL/blank rows can't be quality-scored: pass them through
     # UNCHANGED (the same contract as paragraph_dedup/remove_dup_spans;
     # size(NULL) would otherwise poison the token total as -1 or NULL)
@@ -391,7 +406,7 @@ def _step_select_budget(df: DataFrame, p: dict) -> DataFrame:
     # materialize the token array BEFORE the quality lambda: Catalyst
     # re-inlines aliased expressions into HOF lambda bodies, re-running
     # the regex split per element otherwise (see dedup.py:66-70)
-    if idc in ("band", "n_tok", "cum_tokens", "sel_rank"):
+    if idc in _BUDGET_RESERVED:
         raise ValueError(f"id column {idc!r} collides with selection internals")
     base = df.select(idc, F.split(F.lower(F.col(col)), r"\s+").alias("__ts"))
     banded = base.select(

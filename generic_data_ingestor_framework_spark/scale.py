@@ -9,6 +9,8 @@ bucketed join, salt fan-out on the skewed side), not just results.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,8 +74,10 @@ def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> dict:
         "n_rows": n_rows,
         "skew_factor": round(max_n / mean, 2),
         "top": top,
-        # buckets that level the hottest key's partition to ~mean size
-        "suggested_salt_buckets": max(1, round(max_n / mean)),
+        # buckets that level the hottest key's partition to ~mean size;
+        # ceil, not round: banker's rounding at N.5x would under-salt,
+        # and over-salting is harmless
+        "suggested_salt_buckets": max(1, math.ceil(max_n / mean)),
     }
 
 

@@ -240,6 +240,11 @@ def read_jdbc(
     if predicates is not None:
         return spark.read.jdbc(url, table, predicates=predicates, properties=props)
     if partition_column is not None:
+        if lower is None or upper is None:
+            raise ValueError(
+                "partition_column requires lower and upper bounds "
+                f"(got lower={lower!r}, upper={upper!r})"
+            )
         return spark.read.jdbc(
             url,
             table,
