@@ -50,6 +50,9 @@ HEADLINE = [
     "token_stats",
     "json_funcs",
     "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
     "ann_ivf_topk",
     "tfidf_top_terms",
     "events_asof_join",

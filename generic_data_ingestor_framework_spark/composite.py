@@ -158,10 +158,13 @@ COMPOSITES: dict[str, list[str]] = {
     "tpch_shapes": [
         "q2_min_cost_supplier", "q3_shipping_priority", "q4_priority_exists",
         "q5_region_revenue", "q6_forecast_revenue", "q7_nation_trade_volume",
-        "q10_returned_revenue", "q13_order_count_distribution",
-        "q14_promo_revenue_pct", "q16_supplier_cnt_distribution",
-        "q17_small_quantity_revenue", "q19_disjunctive_predicates",
-        "q20_supplier_part_chain", "q22_idle_customers",
+        "q8_market_share", "q9_product_profit", "q10_returned_revenue",
+        "q11_important_stock", "q12_late_shipment_priority",
+        "q13_order_count_distribution", "q14_promo_revenue_pct",
+        "q15_top_supplier", "q16_supplier_cnt_distribution",
+        "q17_small_quantity_revenue", "q18_large_volume_customers",
+        "q19_disjunctive_predicates", "q20_supplier_part_chain",
+        "q21_suppliers_kept_waiting", "q22_idle_customers",
     ],
     "scan_preview": [
         "preview_limit", "count_rows", "distinct_scan", "sort_limit_offset",

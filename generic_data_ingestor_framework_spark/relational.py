@@ -1123,6 +1123,377 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of a region's market by year —
+    conditional-sum ratio over a 6-table star join.
+
+    Scale shape: lineitem is pre-pruned by a broadcast part semi join,
+    the customer→nation→region chain collapses to a broadcast custkey
+    set, and supplier/nation are broadcast; the only fact shuffle is
+    lineitem↔orders on the order key. The ratio is a single-pass
+    conditional aggregate (no second scan for the denominator)."""
+    t = _t(spark, sf_dir)
+    asia_cust = (
+        t("customer")
+        .join(F.broadcast(t("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t("supplier")
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = t("lineitem").join(
+        F.broadcast(t("part").filter(F.col("p_type") == "STANDARD").select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "semi",
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part      ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name LIKE filter. The testdata has no partsupp, so unit cost
+    is proxied as 60% of ``p_retailprice`` (same plan shape: the cost
+    column rides the broadcast part dim into the fact join).
+
+    Scale shape: part's LIKE filter prunes the broadcast build side;
+    lineitem↔orders is the one key shuffle; supplier/nation broadcast.
+    """
+    t = _t(spark, sf_dir)
+    part = t("part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = (
+        t("supplier")
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+    )
+    return (
+        t("lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        # floor-truncate, not round: profit sums regularly land on exact
+        # .xx5 ties where HALF_UP vs half-even disagree cross-engine;
+        # floor of an identical double is identical everywhere (q2 idiom)
+        .agg((F.floor(F.sum(amount) * 100) / 100).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       floor(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.6 * l_quantity) * 100) / 100 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value vs a global-fraction threshold
+    (scalar subquery in HAVING). Value is proxied as shipped revenue
+    from NATION_1 suppliers (no partsupp table).
+
+    Scale shape: the same pre-aggregated relation feeds BOTH the
+    per-part rows and the global threshold — the total is a 1-row
+    broadcast joined back in-plan (no driver round trip, no second
+    fact scan)."""
+    t = _t(spark, sf_dir)
+    n1_supp = (
+        t("supplier")
+        .join(
+            F.broadcast(t("nation").filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "semi",
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        t("lineitem")
+        .join(F.broadcast(n1_supp), F.col("l_suppkey") == F.col("s_suppkey"), "semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") * 0.001)
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+_Q11_ORACLE = """
+SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_1')
+GROUP BY l_partkey
+HAVING sum(l_extendedprice) > (
+    SELECT sum(l_extendedprice) * 0.001 FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                        JOIN nation ON s_nationkey = n_nationkey
+                        WHERE n_name = 'NATION_1'))
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts per group over a
+    lateness predicate. The testdata has no shipmode/commit/receipt
+    columns, so the group is ``l_linestatus`` and "late" is shipped
+    more than 90 days after the order date — the plan shape (join +
+    CASE-sum split by priority class) is Q12's."""
+    t = _t(spark, sf_dir)
+    li = t("lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max over an aggregate view — revenue per
+    supplier in a quarter, keep the supplier(s) hitting the maximum.
+
+    Scale shape: the revenue view is computed ONCE and feeds both the
+    max (1-row broadcast, kept in-plan) and the equality filter; the
+    comparison runs on the 2-dp-rounded revenue in BOTH engines so the
+    selection is deterministic under FP sum reordering."""
+    t = _t(spark, sf_dir)
+    rev = (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery semi join — customers whose
+    orders exceed a total-quantity threshold, top 100 by price.
+
+    Scale shape: the qualifying-order set is a fact-side hash
+    aggregate (partial combine) semi-joined back into lineitem on the
+    order key; customer is broadcast. No correlated re-scan."""
+    t = _t(spark, sf_dir)
+    li = t("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                F.col("l_orderkey") == F.col("b_orderkey"), "semi")
+        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.first("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(any_value(o_totalprice), 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS chain against the same
+    fact — suppliers in one nation who were the ONLY supplier with a
+    returned line on a multi-supplier finished order. "Failed" is
+    ``l_returnflag = 'R'`` (no receipt/commit dates in the testdata);
+    the three correlated subqueries decorrelate exactly as in TPC-H:
+    one semi join (another supplier shipped the order) and one anti
+    join (no OTHER supplier failed it), both equi on the order key
+    with the supplier inequality as a residual join predicate.
+
+    Scale shape: every join is keyed on l_orderkey (one shuffle key
+    throughout, AQE-coalesced); nation and supplier are broadcast."""
+    t = _t(spark, sf_dir)
+    li = t("lineitem")
+    n2_supp = (
+        t("supplier")
+        .join(
+            F.broadcast(t("nation").filter(F.col("n_name") == "NATION_2")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "semi",
+        )
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t("orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "semi",
+        )
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(n2_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND o_orderstatus = 'F'
+  AND n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1177,6 +1548,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": fuzzy_customer_pairs,
     "profile_customer": profile_customer,
     "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "array_funcs": array_funcs,
     "bool_bit_aggs": bool_bit_aggs,
     "correlated_subquery": correlated_subquery,
@@ -1443,6 +1821,13 @@ ORACLES: dict[str, str] = {
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
     """,
+    "q8_market_share": _Q8_ORACLE,
+    "q9_product_profit": _Q9_ORACLE,
+    "q11_important_stock": _Q11_ORACLE,
+    "q12_late_shipment_priority": _Q12_ORACLE,
+    "q15_top_supplier": _Q15_ORACLE,
+    "q18_large_volume_customers": _Q18_ORACLE,
+    "q21_suppliers_kept_waiting": _Q21_ORACLE,
     "profile_customer": """
         WITH w AS (
           SELECT
