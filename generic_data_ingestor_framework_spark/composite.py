@@ -198,6 +198,13 @@ COMPOSITES: dict[str, list[str]] = {
         "union_all_missing_cols", "error_summary_topk",
     ],
     # llm families
+    # minhash config sweep: the default-width signature plus the wide
+    # (16-perm / 8-band) signature + LSH pairs — the gate row that
+    # proves minhash_coeffs generalizes beyond the historical 8/4
+    "dedup_minhash_sig": [
+        "dedup_minhash_sig", "dedup_minhash_sig_wide",
+        "dedup_minhash_lsh_pairs_wide",
+    ],
     "embed_stats": [
         "embed_norms", "label_centroid_dims", "embed_quantize_int8",
         "dedup_semantic_clusters", "ann_quantized_rerank",

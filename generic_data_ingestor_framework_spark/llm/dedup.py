@@ -43,11 +43,32 @@ from pyspark.sql import functions as F
 from generic_data_ingestor_framework_spark.relational import load_table
 
 MOD = 1_000_000_007
-A = [2, 3, 5, 7, 11, 13, 17, 19]
-B = [7919 * (j + 1) for j in range(8)]
 N_PERM = 8
 BANDS = 4  # rows-per-band = 2
 DF_CAP = 100  # max document frequency for a shingle to join on
+
+
+def minhash_coeffs(n_perm: int) -> tuple[list[int], list[int]]:
+    """Affine permutation coefficients for ``h_j(x) = (a_j x + b_j) % MOD``.
+
+    ``a_j`` is the j-th prime, ``b_j = 7919 (j+1)`` — MOD is prime so
+    any nonzero ``a_j`` is invertible and each map is a true
+    permutation of Z_MOD. The first 8 pairs are byte-identical to the
+    historical fixed constants, so the default configuration's
+    signatures (and every downstream gate checksum) are unchanged; a
+    production 100 TB near-dup run wants ``n_perm=128, bands=16`` for
+    a sharp S-curve knee (see ``dedup_minhash_sig_wide``).
+    """
+    primes: list[int] = []
+    c = 2
+    while len(primes) < n_perm:
+        if all(c % p for p in primes if p * p <= c):
+            primes.append(c)
+        c += 1
+    return primes, [7919 * (j + 1) for j in range(n_perm)]
+
+
+A, B = minhash_coeffs(N_PERM)
 
 
 def portable_hash32(col):
@@ -163,23 +184,28 @@ def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
-def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature relation, persisted once per session (it feeds both
-    sides of the LSH self-join and the cluster/keep-corpus pipelines)."""
+def _minhash_sig_df(
+    spark: SparkSession, sf_dir: str, n_perm: int = N_PERM
+) -> DataFrame:
+    """Signature relation, persisted once per session AND per width (it
+    feeds both sides of the LSH self-join and the cluster/keep-corpus
+    pipelines; an explicit wide config must not reuse the default)."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    a, b = minhash_coeffs(n_perm)
 
     def build() -> DataFrame:
         sh = _exploded_shingles(spark, sf_dir)
-        # hash ONCE per shingle in a projection; the 8 permutations are
-        # cheap affine transforms of that single value
+        # hash ONCE per shingle in a projection; the n_perm permutations
+        # are cheap affine transforms of that single value
         hashed = sh.select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
         aggs = [
-            F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % MOD).alias(f"mh{j}")
-            for j in range(N_PERM)
+            F.min((F.lit(a[j]) * F.col("h") + F.lit(b[j])) % MOD).alias(f"mh{j}")
+            for j in range(n_perm)
         ]
         return hashed.groupBy("doc_id").agg(*aggs)
 
-    return shared_persist(spark, ("minhash_sig", sf_dir), build)
+    return shared_persist(spark, ("minhash_sig", sf_dir, n_perm), build)
 
 
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,39 +213,55 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig_df(spark, sf_dir)
 
 
-def _banded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature at a WIDER configuration (16 permutations) —
+    the config-sweep witness that ``minhash_coeffs`` generalizes
+    beyond the default: oracle-checked exactly against a 16-column
+    DuckDB twin generated from the same coefficient family. The build
+    plan is identical to the default (one hash per shingle + affine
+    transforms inside one hash-aggregate), so width scales the
+    aggregate state linearly, never the shuffle count."""
+    return _minhash_sig_df(spark, sf_dir, n_perm=16)
+
+
+def _banded_df(
+    spark: SparkSession, sf_dir: str, n_perm: int = N_PERM, bands: int = BANDS
+) -> DataFrame:
     """Band-signature relation (doc_id, bucket, band_idx, band_sig),
-    persisted once per session: 4 short rows per document, shared by
-    the LSH self-join, the incremental near-dup index, and PageRank's
-    edge builder — consumers start from the materialized bands instead
-    of each re-deriving sig → posexplode lineage."""
+    persisted once per session and per (n_perm, bands) config: short
+    rows per document, shared by the LSH self-join, the incremental
+    near-dup index, and PageRank's edge builder — consumers start from
+    the materialized bands instead of each re-deriving sig →
+    posexplode lineage. ``n_perm`` must divide evenly into ``bands``
+    rows-per-band."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
+    if n_perm % bands:
+        raise ValueError(f"n_perm={n_perm} not divisible by bands={bands}")
+    rpb = n_perm // bands
+
     def build() -> DataFrame:
-        sig = _minhash_sig_df(spark, sf_dir)
-        bands = F.array(
+        sig = _minhash_sig_df(spark, sf_dir, n_perm=n_perm)
+        band_cols = F.array(
             *[
-                F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-                for b in range(BANDS)
+                F.concat_ws("_", *[F.col(f"mh{rpb * i + r}") for r in range(rpb)])
+                for i in range(bands)
             ]
         )
         return sig.select(
             "doc_id",
             (portable_hash32(F.col("doc_id").cast("string")) % 2).alias("bucket"),
-            F.posexplode(bands).alias("band_idx", "band_sig"),
+            F.posexplode(band_cols).alias("band_idx", "band_sig"),
         )
 
-    return shared_persist(spark, ("minhash_bands", sf_dir), build)
+    return shared_persist(spark, ("minhash_bands", sf_dir, n_perm, bands), build)
 
 
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
-    signature become a candidate pair (doc_a < doc_b).
-
-    The join key is (band_idx, band_sig) — candidate generation scales
-    with bucket sizes, never with the number of document pairs."""
-    # the persisted band relation feeds both sides of the self-join
-    banded = _banded_df(spark, sf_dir).select("doc_id", "band_idx", "band_sig")
+def _lsh_pairs_from(banded: DataFrame) -> DataFrame:
+    """Self-join a band relation on (band_idx, band_sig): docs sharing
+    any band signature become a candidate pair (doc_a < doc_b).
+    Candidate generation scales with bucket sizes, never with the
+    number of document pairs."""
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -231,6 +273,25 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs at the default 4 bands × 2 rows config."""
+    # the persisted band relation feeds both sides of the self-join
+    banded = _banded_df(spark, sf_dir).select("doc_id", "band_idx", "band_sig")
+    return _lsh_pairs_from(banded)
+
+
+def dedup_minhash_lsh_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs at the WIDE 16-perm / 8-band config (still
+    2 rows per band, so the per-band collision curve matches the
+    default while halving the miss probability: 1-(1-s²)⁸ vs ⁴).
+    Oracle-checked exactly; the production 128/16 shape differs only
+    in the two integers passed here."""
+    banded = _banded_df(spark, sf_dir, n_perm=16, bands=8).select(
+        "doc_id", "band_idx", "band_sig"
+    )
+    return _lsh_pairs_from(banded)
 
 
 # ---------------------------------------------------------------------------
@@ -756,7 +817,9 @@ QUERIES = {
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_exact_by_key": dedup_exact_by_key,
     "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_minhash_sig_wide": dedup_minhash_sig_wide,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_minhash_lsh_pairs_wide": dedup_minhash_lsh_pairs_wide,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_keep_corpus": dedup_keep_corpus,
@@ -764,20 +827,39 @@ QUERIES = {
     "dedup_incremental_near": dedup_incremental_near,
 }
 
-_MINHASH_MINS = ",\n         ".join(
-    f"CAST(min(({A[j]} * h + {B[j]}) % {MOD}) AS BIGINT) AS mh{j}" for j in range(N_PERM)
-)
-
-_SIG_CTE = f"""
+def _sig_cte(n_perm: int) -> str:
+    """DuckDB twin of ``_minhash_sig_df`` at any width — generated from
+    the SAME ``minhash_coeffs`` family, so the two engines cannot
+    drift on the coefficient tables."""
+    a, b = minhash_coeffs(n_perm)
+    mins = ",\n         ".join(
+        f"CAST(min(({a[j]} * h + {b[j]}) % {MOD}) AS BIGINT) AS mh{j}"
+        for j in range(n_perm)
+    )
+    return f"""
 hashed AS (
   SELECT doc_id, {_HASH_SQL.format(c='shingle')} AS h FROM sh
 ),
 sig AS (
   SELECT doc_id,
-         {_MINHASH_MINS}
+         {mins}
   FROM hashed GROUP BY doc_id
 )
 """
+
+
+def _banded_union_sql(n_perm: int, bands: int) -> str:
+    """DuckDB twin of ``_banded_df``'s band projection (no bucket)."""
+    rpb = n_perm // bands
+    return "\n          UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_idx, concat_ws('_', {cols}) AS band_sig FROM sig".format(
+            i=i, cols=", ".join(f"mh{rpb * i + r}" for r in range(rpb))
+        )
+        for i in range(bands)
+    )
+
+
+_SIG_CTE = _sig_cte(N_PERM)
 
 def _pagerank_oracle() -> str:
     """The power-iteration trajectory unrolled into CTEs; reuses the
@@ -933,6 +1015,20 @@ ORACLES = {
     "dedup_minhash_sig": f"""
         WITH {_SHINGLES_CTE}, {_SIG_CTE}
         SELECT * FROM sig
+    """,
+    "dedup_minhash_sig_wide": f"""
+        WITH {_SHINGLES_CTE}, {_sig_cte(16)}
+        SELECT * FROM sig
+    """,
+    "dedup_minhash_lsh_pairs_wide": f"""
+        WITH {_SHINGLES_CTE}, {_sig_cte(16)},
+        banded AS (
+          {_banded_union_sql(16, 8)}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
     """,
     "dedup_minhash_lsh_pairs": f"""
         WITH {_SHINGLES_CTE}, {_SIG_CTE},

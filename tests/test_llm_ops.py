@@ -1434,3 +1434,96 @@ def test_qlm_matches_python_random_corpora(spark, tmp_path):
             ]
             want.extend((q, did, rk) for rk, (did, _) in enumerate(ranked, 1))
         assert got == want, f"seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# MinHash width configuration (minhash_coeffs / wide members)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_coeffs_default_backcompat():
+    """The generated coefficient family must reproduce the historical
+    fixed constants at n_perm=8 — signatures (and every downstream
+    gate checksum) are pinned to them."""
+    a, b = dedup.minhash_coeffs(8)
+    assert a == [2, 3, 5, 7, 11, 13, 17, 19]
+    assert b == [7919 * (j + 1) for j in range(8)]
+    a128, b128 = dedup.minhash_coeffs(128)
+    assert a128[:8] == a and b128[:8] == b
+    assert len(set(a128)) == 128 and a128[-1] == 719  # 128th prime
+
+
+def test_banded_rejects_uneven_split(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        dedup._banded_df(spark, SF, n_perm=8, bands=3)
+
+
+def _make_similarity_corpus(spark, d, rng, n_pairs=36):
+    """Pairs (2i, 2i+1) engineered across the similarity spectrum with
+    pair-disjoint vocabularies (cross-pair Jaccard is exactly 0)."""
+    texts = {}
+    levels = []
+    for i in range(n_pairs):
+        vocab = [f"p{i}w{v}" for v in range(60)]
+        base = [rng.choice(vocab) for _ in range(40)]
+        # replace a suffix: longer replacement -> lower Jaccard
+        m = [2, 10, 30][i % 3]
+        other = list(base)
+        other[-m:] = [f"p{i}x{v}" for v in range(m)]
+        texts[2 * i] = " ".join(base)
+        texts[2 * i + 1] = " ".join(other)
+        levels.append(i % 3)
+    rows = [(i, "en", t) for i, t in sorted(texts.items())]
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    return texts, levels
+
+
+def _true_jaccard(ta: str, tb: str) -> float:
+    def sh(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sa, sb = sh(ta), sh(tb)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_band_collision_probability_tracks_jaccard(spark, tmp_path):
+    """Empirical band-collision rates must track the LSH S-curve
+    p = 1 - (1 - s^r)^b against brute-force shingle Jaccard, at BOTH
+    the default (8 perm / 4 band) and wide (16 perm / 8 band) configs,
+    and cross-pair false positives (J = 0) must be rare."""
+    import random
+
+    rng = random.Random(1234)
+    d = tmp_path / "simcorpus"
+    texts, levels = _make_similarity_corpus(spark, d, rng)
+    sf = str(d)
+
+    for fn, bands in (
+        (dedup.dedup_minhash_lsh_pairs, 4),
+        (dedup.dedup_minhash_lsh_pairs_wide, 8),
+    ):
+        got = {(r["doc_a"], r["doc_b"]) for r in fn(spark, sf).collect()}
+        # engineered pairs, bucketed by level
+        hits = {0: [], 1: [], 2: []}
+        theo = {0: [], 1: [], 2: []}
+        for i, lvl in enumerate(levels):
+            s = _true_jaccard(texts[2 * i], texts[2 * i + 1])
+            hits[lvl].append((2 * i, 2 * i + 1) in got)
+            theo[lvl].append(1 - (1 - s**2) ** bands)
+        rates = {k: sum(v) / len(v) for k, v in hits.items()}
+        expect = {k: sum(v) / len(v) for k, v in theo.items()}
+        for k in (0, 1, 2):
+            assert abs(rates[k] - expect[k]) <= 0.3, (
+                f"bands={bands} level={k}: empirical {rates[k]:.2f} "
+                f"vs theory {expect[k]:.2f}"
+            )
+        assert rates[0] >= rates[2], f"bands={bands}: S-curve not monotone"
+        # false positives across disjoint-vocab pairs
+        engineered = {(2 * i, 2 * i + 1) for i in range(len(levels))}
+        fp = [p for p in got - engineered]
+        assert len(fp) <= 3, f"bands={bands}: too many J=0 collisions: {fp}"

@@ -119,6 +119,30 @@ def _skew_evidence(spark) -> dict:
     }
 
 
+def _sig_width_linearity(spark) -> dict:
+    """Signature-build cost vs MinHash width (8 → 128 perms) at both
+    SFs, COLD each time (caches cleared, so the shingle explosion and
+    the hash-aggregate are both rebuilt). The build is one
+    hash-aggregate whatever the width — 128 perms should cost a small
+    multiple of 8 (wider aggregate state, same shuffle count) and the
+    decade-up ratio at 128 should stay ~data-scale."""
+    from generic_data_ingestor_framework_spark import clear_caches
+
+    res = {}
+    for sf_tag, sf in (("sf0.1", SF01), ("sf1", SF1)):
+        for width in (8, 128):
+            clear_caches()
+            t0 = time.time()
+            dedup._minhash_sig_df(spark, sf, n_perm=width).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            res[f"{sf_tag}_w{width}"] = round(time.time() - t0, 3)
+    clear_caches()
+    res["width_factor_sf1"] = round(res["sf1_w128"] / res["sf1_w8"], 2)
+    res["decade_ratio_w128"] = round(res["sf1_w128"] / res["sf0.1_w128"], 2)
+    return res
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("bench-scale")
@@ -142,6 +166,7 @@ def main() -> None:
         clear_caches()
 
     out["skew"] = _skew_evidence(spark)
+    out["minhash_width"] = _sig_width_linearity(spark)
     superlinear = {n: r for n, r in out["ratio"].items() if r and r > 3 * DATA_SCALE}
     out["superlinear_over_3x_data_scale"] = superlinear
 

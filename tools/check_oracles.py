@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive multiset of stringified rows.
 
-Usage: python tools/check_oracles.py [--members] [--strict] [sf_dir] [query_name ...]
+Usage: python tools/check_oracles.py [--members] [--strict] [--json OUT]
+       [sf_dir] [query_name ...]
+
+``--json OUT`` additionally writes a CORRECTNESS-shaped artifact (one
+record per query: rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err / secs) — used to produce CORRECTNESS_SF1.json, the
+value-check of the sf1 decade-up corpus.
 
 ``--members`` checks the FULL member registry (every query folded into
 a family composite, individually) instead of the registered surface.
@@ -69,16 +75,29 @@ def rows_to_multiset(rows, colnames):
 
 def main():
     global STRICT
-    argv = [a for a in sys.argv[1:] if a not in ("--members", "--strict")]
-    members = "--members" in sys.argv[1:]
-    STRICT = "--strict" in sys.argv[1:]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    argv = [a for a in args if a not in ("--members", "--strict")]
+    members = "--members" in args
+    STRICT = "--strict" in args
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (e.g. the
+        # _scale/sf1 decade-up corpus); glob them for DuckDB
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     if members:
         qs, oracles = entry_mod.member_queries(), entry_mod.member_oracles()
@@ -96,10 +115,16 @@ def main():
         except Exception as ex:
             failed.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {str(ex)[:300]}"}
             continue
         if name not in oracles:
             rows_only.append(name)
             print(f"ROWS  {name}: {len(srows)} rows (no oracle, rows-only check)")
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None, "rows_only": True}
             continue
         try:
             res = con.execute(oracles[name])
@@ -108,6 +133,9 @@ def main():
         except Exception as ex:
             failed.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": f"duckdb: {str(ex)[:300]}"}
             continue
 
         problems = []
@@ -125,6 +153,15 @@ def main():
                     f"spark={diffs[0][0][:200]!r} duckdb={diffs[0][1][:200]!r}"
                 )
         dt = time.time() - t0
+        records[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems)[:500] if problems else None,
+            "secs": round(dt, 2),
+        }
         if problems:
             failed.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)[:500]}")
@@ -132,6 +169,24 @@ def main():
             passed.append(name)
             print(f"PASS  {name} ({len(srows)} rows, {dt:.1f}s)")
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "members": members,
+                    "strict": STRICT,
+                    "n_pass": len(passed),
+                    "n_fail": len(failed),
+                    "n_rows_only": len(rows_only),
+                    "results": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     print(f"\n== {len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only ==")
     if failed:
         print("Failed:", [n for n, _ in failed])
