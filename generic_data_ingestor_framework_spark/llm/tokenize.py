@@ -42,14 +42,27 @@ Tested against a pure-python reference implementation (including the
 consecutive-pair and overlapping-run hazards) in
 ``tests/test_llm_ops.py``.
 
-Honest scale limit: the loop runs ONE Spark job per merge. That is
-the right shape for hundreds of merges (each job is a vocab-sized
-aggregate, sub-second); a production 30k-merge vocabulary batches
-non-overlapping merges per pass (apply every pair whose two sides are
-untouched by a higher-ranked pair in the same batch) to cut job count
-~10-50× — the documented extension point, not implemented here
-because merge-batch semantics differ subtly from sequential BPE and
-the sequential form is the verifiable contract.
+Batched training (round-7): the sequential loop runs ONE Spark job
+per merge — the right shape for hundreds of merges, but a production
+30k-merge vocabulary would mean 30k driver round-trips.
+``train_from_words_batched`` cuts job count ~``batch_m``×: each round
+counts pairs ONCE, collects a top-``4·batch_m`` candidate pool, and
+greedily admits up to ``batch_m`` SYMBOL-DISJOINT pairs driver-side
+(descending count, pair-string ascending; a pair is admitted only if
+neither symbol — nor its concatenation — appears in any
+already-admitted pair). Disjointness is what makes the batch sound:
+merging ``A B`` only perturbs counts of pairs touching ``A``, ``B``,
+or the new ``AB``, so every other admitted pair's count is exactly
+what sequential BPE would have seen, and the chained application
+commutes. The residual divergence from sequential BPE (shared by
+every batched-BPE implementation) is that a merge can CREATE a pair
+hotter than the round's 2nd pick, which sequential BPE would take
+first — hence ``batch_m=1`` is pinned byte-identical to
+``train_from_words``, and the batched selection rule itself is pinned
+against a pure-python reference in ``tests/test_llm_ops.py``. The
+``bpe_train_merges_batched`` gate member verifies two full rounds
+(count → pool → greedy filter → batch application) against a DuckDB
+twin that replays the greedy selection with a recursive CTE.
 
 Deep merge tables (round-6): naive sequential application chains one
 nested ``replace`` per merge, so iteration k re-derives all k-1 prior
@@ -199,6 +212,99 @@ def train_from_words(
             cur = cur.localCheckpoint(eager=True)
             since_ckpt = 0
     return merges
+
+
+BATCH_M = 4        # merges admitted per round by the gate's batched member
+BATCH_MERGES = 8   # total merges learned by the batched gate member (2 rounds)
+
+
+def _greedy_disjoint(
+    cand: list[tuple[str, int]], m: int, next_rank: int
+) -> list[tuple[int, str, str, int]]:
+    """Greedy symbol-disjoint batch selection over an ordered candidate
+    pool: admit a pair iff neither of its symbols (nor the concatenation
+    of any admitted pair) has been touched this round. Pure driver-side
+    logic over ≤ 4·m rows — shared verbatim by the python test reference
+    so the selection rule cannot drift."""
+    used: set[str] = set()
+    batch: list[tuple[int, str, str, int]] = []
+    for pair, c in cand:
+        if len(batch) >= m:
+            break
+        a, b = pair.split(" ")
+        if a in used or b in used:
+            continue
+        merged = a + b
+        used.update((a, b, merged))
+        batch.append((next_rank + len(batch), pair, merged, c))
+    return batch
+
+
+def train_from_words_batched(
+    words: DataFrame,
+    n_merges: int,
+    batch_m: int = 16,
+    checkpoint_every: int = CHUNK_MERGES,
+    stats: dict | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Batched merge learning: ~``n_merges / batch_m`` pair-count jobs
+    instead of ``n_merges`` (see module docstring for the soundness
+    argument). ``batch_m=1`` is byte-identical to ``train_from_words``.
+    ``stats`` (optional) receives ``{"rounds": k}`` — the number of
+    count-collect round-trips actually executed, asserted by the
+    job-reduction test."""
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1; got {batch_m}")
+    pool = 4 * batch_m  # candidate rows collected per round (driver-sized)
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    since_ckpt = 0
+    rounds = 0
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
+        cand_rows = (
+            _pair_counts(cur)
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(pool)
+            .collect()
+        )
+        rounds += 1
+        if not cand_rows:  # degenerate corpus: every word fully merged
+            break
+        batch = _greedy_disjoint(
+            [(r["pair"], r["c"]) for r in cand_rows], want, len(merges) + 1
+        )
+        merges.extend(batch)
+        s = F.col("s")
+        for _, pair, _, _ in batch:  # disjoint → chained replaces commute
+            s = apply_merge(s, pair)
+        cur = cur.withColumn("s", s)
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
+            cur = cur.localCheckpoint(eager=True)
+            since_ckpt = 0
+    if stats is not None:
+        stats["rounds"] = rounds
+    return merges
+
+
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate member: the merge table learned by TWO batched rounds
+    (``BATCH_MERGES=8`` merges, ``BATCH_M=4`` per round, pool 16).
+    Oracle-checked rank-for-rank against a DuckDB twin that replays the
+    greedy disjoint selection with a recursive CTE and re-counts between
+    rounds — the cross-engine proof of the batched selection rule and
+    of batch application, not just of sequential BPE."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    rows = shared_value(
+        spark,
+        ("bpe_merges_batched", sf_dir, BATCH_MERGES, BATCH_M),
+        lambda: train_from_words_batched(
+            _word_freqs(spark, sf_dir), BATCH_MERGES, batch_m=BATCH_M
+        ),
+    )
+    return spark.createDataFrame(rows, _MERGES_SCHEMA).orderBy("rank")
 
 
 def train_merges(
