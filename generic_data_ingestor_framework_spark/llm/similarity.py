@@ -653,6 +653,232 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's storage half)
+# ---------------------------------------------------------------------------
+
+# Operating point picked off a measured recall sweep (see
+# tests/test_llm_ops.py::test_pq_recall_floor): the corpus embeddings
+# are near-isotropic — the hardest case for PQ — so the codebook is
+# wide (M=16 subspaces × K=32 centroids over 4-dim slices ⇒ 16×5-bit
+# codes = 10 B/vector vs 256 B float, 25× compression) and the ADC
+# shortlist is 8× the final k. Measured recall at this point: 15/15
+# (sf0.01) and 14/15 (sf0.1); narrower codebooks fall off fast
+# (M=4,K=8 → 5/15 and 1/15).
+PQ_M = 16       # subspaces (vector split into M contiguous slices)
+PQ_K = 32       # sub-centroids per subspace (code = M × 5 bits here)
+PQ_ITERS = 2    # Lloyd iterations per sub-codebook
+PQ_RERANK = 8   # phase-1 ADC shortlist per final exact result
+
+_PQ_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+
+
+def _l2sq(a, b):
+    """Squared L2 distance as a sequential fold (bit-deterministic in
+    both engines, like ``_dot``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_rel(df: DataFrame, id_out: str) -> DataFrame:
+    """(id, v) → (id, m, sv): each vector split into ``PQ_M`` contiguous
+    subvectors of ``len(v) // PQ_M`` dims (tail dims beyond M·ds are
+    ignored by the codebooks; the exact rerank always uses full
+    vectors). One posexplode — M× the rows, 1/M the payload each."""
+    ds = (F.size("v") / PQ_M).cast("int")
+    subs = F.array(*[F.slice("v", m * ds + 1, ds) for m in range(PQ_M)])
+    # F.slice's start is 1-based and column-valued starts are allowed;
+    # build all M slices then posexplode so m comes out as a column
+    return df.select(
+        F.col("vec_id").alias(id_out), F.posexplode(subs).alias("m", "sv")
+    )
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, list[float]]]:
+    """Train the PQ sub-codebooks: an independent ``PQ_K``-centroid
+    Lloyd trajectory per subspace, run as ONE distributed k-means over
+    the (m, subvector) relation with composite cell key (m, j) — the
+    M codebooks train simultaneously in the same jobs, assignment by
+    squared-L2 (standard PQ), confined within each subspace by the
+    equi-join on ``m``.
+
+    Same driver-held-centroid shape as ``_kmeans_centroids`` (M·K·ds
+    floats — KBs); same determinism contract (distances rounded 6 dp
+    before the argmin, ties on sub-centroid id ascending, means rounded
+    3 dp) so the DuckDB oracle replays the identical trajectory.
+    Seeds: sub-centroid (m, j) is candidate vector ``N_QUERY + j``'s
+    m-th slice, reusing the IVF seeding contract."""
+    if sf_dir in _PQ_CACHE:
+        return _PQ_CACHE[sf_dir]
+    from pyspark.sql import Window as W
+
+    sub = _sub_rel(
+        _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY), "point_id"
+    ).cache()
+    seed_rows = (
+        sub.filter(F.col("point_id") < N_QUERY + PQ_K)
+        .orderBy("point_id", "m")
+        .collect()
+    )
+    cents: dict[tuple[int, int], list[float]] = {
+        (int(r["m"]), int(r["point_id"]) - N_QUERY): list(r["sv"]) for r in seed_rows
+    }
+    want = {(m, j) for m in range(PQ_M) for j in range(PQ_K)}
+    if set(cents) != want:
+        raise ValueError(
+            f"PQ seeding expects candidate vec_ids contiguous from {N_QUERY}: "
+            f"wanted {PQ_M}×{PQ_K} seeds, got {len(cents)}"
+        )
+    w = W.partitionBy("point_id", "m").orderBy("d2", "j")
+    for _ in range(PQ_ITERS):
+        cdf = spark.createDataFrame(
+            [(m, j, cv) for (m, j), cv in sorted(cents.items())],
+            schema="m int, j int, cv array<double>",
+        )
+        assigned = (
+            sub.join(F.broadcast(cdf), "m")
+            .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("m", F.col("j").alias("cell"), "sv")
+        )
+        new_rows = (
+            assigned.select("m", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.round(F.avg("x"), 3).alias("val"))
+            .collect()  # M × K × ds scalars — driver-held like MLlib
+        )
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in new_rows:
+            by_cell.setdefault((r["m"], r["cell"]), {})[r["pos"]] = r["val"]
+        for key, dims in by_cell.items():  # empty cells keep old centroid
+            cents[key] = [dims[p] for p in range(len(dims))]
+    sub.unpersist()
+    out = [(m, j, cv) for (m, j), cv in sorted(cents.items())]
+    _PQ_CACHE[sf_dir] = out
+    return out
+
+
+def _pq_codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _pq_codebooks(spark, sf_dir), schema="m int, j int, cv array<double>"
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks compress every
+    candidate to ``PQ_M`` sub-centroid codes (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"), queries score
+    candidates by ADC — asymmetric distance computation, here the
+    approximate dot product Σ_m ⟨q_m, c_{m,code_m}⟩ read from a
+    per-query M×K lookup table — and only the top
+    ``TOP_K·PQ_RERANK`` shortlist pays full-precision cosine.
+
+    This is the memory story past ``ann_quantized_rerank``'s int8: a
+    64-dim float vector (256 B) becomes M=4 codes (4 B) + one stored
+    norm — the scan touches 64× less data, and the codebooks are
+    driver/broadcast-sized. Scale shape: codes ⋈ broadcast LUT on
+    (m, code) then a map-side-combinable sum per (query, candidate);
+    composable with the IVF index by probing cells first and scanning
+    codes only inside probed cells.
+
+    Determinism: per-subspace partial dots are rounded at 1e-6 grain
+    and summed as BIGINTs (order-free exact sum — the same
+    integer-scaled pre-sum trick as BM25), so the ADC ranking is
+    engine-exact."""
+    from pyspark.sql import Window as W
+
+    vecs = _vectors(spark, sf_dir)
+    norms = vecs.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cdf = _pq_codebook_df(spark, sf_dir)
+
+    cand_sub = _sub_rel(vecs.filter(F.col("vec_id") >= N_QUERY), "point_id")
+    wc = W.partitionBy("point_id", "m").orderBy("d2", "j")
+    codes = (
+        cand_sub.join(F.broadcast(cdf), "m")
+        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("point_id", "m", F.col("j").alias("code"))
+    )
+
+    q_sub = _sub_rel(vecs.filter(F.col("vec_id") < N_QUERY), "query_id")
+    lut = (
+        q_sub.join(F.broadcast(cdf), "m")
+        .select(
+            "query_id",
+            "m",
+            "j",
+            F.round(_dot(F.col("sv"), F.col("cv")) * 1e6).cast("bigint").alias("pdot_i"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["j"]),
+        )
+        .groupBy("query_id", "point_id")
+        .agg(F.sum("pdot_i").alias("adot_i"))
+    )
+    qn = norms.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cn = norms.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("point_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "point_id")
+    shortlist = (
+        adc.join(F.broadcast(qn), "query_id")
+        .join(cn, "point_id")
+        .withColumn(
+            "approx_sim",
+            F.round(F.col("adot_i") / 1e6 / (F.col("qn") * F.col("cn")), 6),
+        )
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= TOP_K * PQ_RERANK)
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
+    return (
+        shortlist.withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("point_id").alias("neighbor_id"),
+            "approx_sim",
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query PQ recall vs exact search — the rollout check next to
+    ``ann_recall_report``, for the PQ operating point (M·K codebook +
+    ``PQ_RERANK`` shortlist) instead of the IVF probe count."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pq_hits = ann_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(pq_hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .orderBy("query_id")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embed_quantize_int8": embed_quantize_int8,
@@ -665,6 +891,8 @@ QUERIES = {
     "ann_probe_tradeoff": ann_probe_tradeoff,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_semantic_clusters": dedup_semantic_clusters,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_recall": ann_pq_recall,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -780,6 +1008,91 @@ _TRADEOFF_UNION = "\n          UNION ALL\n".join(
     for p in PROBE_GRID
 )
 
+_L2 = """round(list_reduce(list_transform(range(1, len({a}) + 1),
+            i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x), 6)"""
+
+
+def _pq_sub_union(id_expr: str, pred: str) -> str:
+    """UNION ALL of the M subvector slices (DuckDB 1-based inclusive
+    slicing; ds = len(v) // PQ_M, mirroring ``_sub_rel``)."""
+    ds = f"(len(v) // {PQ_M})"
+    return "\n          UNION ALL\n".join(
+        f"          SELECT {id_expr}, {m} AS m, "
+        f"v[({m} * {ds} + 1):({m + 1} * {ds})] AS sv FROM vecs WHERE {pred}"
+        for m in range(PQ_M)
+    )
+
+
+def _pq_ctes() -> str:
+    """The per-subspace Lloyd trajectory of ``_pq_codebooks`` plus the
+    encode → LUT → ADC → shortlist → rerank chain of ``ann_pq_topk``,
+    as chained DuckDB CTEs ending in ``pq`` (rank ≤ TOP_K rows)."""
+    parts = [
+        f"""psub AS MATERIALIZED (
+{_pq_sub_union("vec_id AS point_id", f"vec_id >= {N_QUERY}")}
+        )""",
+        f"""qsub AS MATERIALIZED (
+{_pq_sub_union("vec_id AS query_id", f"vec_id < {N_QUERY}")}
+        )""",
+        f"""pcent0 AS MATERIALIZED (
+          SELECT m, CAST(point_id - {N_QUERY} AS INT) AS j, sv AS cv
+          FROM psub WHERE point_id < {N_QUERY} + {PQ_K})""",
+    ]
+    for k in range(1, PQ_ITERS + 1):
+        prev = f"pcent{k - 1}"
+        parts.append(f"""passn{k} AS MATERIALIZED (
+          SELECT m, cell, sv FROM (
+            SELECT s.m, s.sv, c.j AS cell,
+                   row_number() OVER (PARTITION BY s.point_id, s.m
+                     ORDER BY {_L2.format(a='s.sv', b='c.cv')}, c.j) AS rn
+            FROM psub s JOIN {prev} c ON s.m = c.m) WHERE rn = 1)""")
+        parts.append(f"""pnew{k} AS MATERIALIZED (
+          SELECT m, cell AS j, list(val ORDER BY pos) AS cv FROM (
+            SELECT m, cell, i AS pos, round(avg(sv[i]), 3) AS val
+            FROM (SELECT m, cell, sv, unnest(range(1, len(sv) + 1)) AS i FROM passn{k})
+            GROUP BY m, cell, i)
+          GROUP BY m, cell)""")
+        parts.append(f"""pcent{k} AS MATERIALIZED (
+          SELECT p.m, p.j, coalesce(n.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN pnew{k} n ON n.m = p.m AND n.j = p.j)""")
+    fin = f"pcent{PQ_ITERS}"
+    parts.append(f"""codes AS MATERIALIZED (
+          SELECT point_id, m, cell AS code FROM (
+            SELECT s.point_id, s.m, c.j AS cell,
+                   row_number() OVER (PARTITION BY s.point_id, s.m
+                     ORDER BY {_L2.format(a='s.sv', b='c.cv')}, c.j) AS rn
+            FROM psub s JOIN {fin} c ON s.m = c.m) WHERE rn = 1)""")
+    parts.append(f"""lut AS MATERIALIZED (
+          SELECT q.query_id, c.m, c.j,
+                 CAST(round({_DOT.format(a='q.sv', b='c.cv')} * 1e6) AS BIGINT) AS pdot_i
+          FROM qsub q JOIN {fin} c ON q.m = c.m)""")
+    parts.append(f"""nrms AS MATERIALIZED (
+          SELECT vec_id, v, {_NORM.format(a='v')} AS nrm FROM vecs)""")
+    parts.append("""adc AS MATERIALIZED (
+          SELECT l.query_id, c.point_id, SUM(l.pdot_i) AS adot_i
+          FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+          GROUP BY 1, 2)""")
+    parts.append(f"""short AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT a.query_id, a.point_id,
+                   round(a.adot_i / 1e6 / (nq.nrm * nc.nrm), 6) AS approx_sim,
+                   nq.v AS qv, nc.v AS cv, nq.nrm AS qn, nc.nrm AS cn,
+                   row_number() OVER (PARTITION BY a.query_id
+                     ORDER BY round(a.adot_i / 1e6 / (nq.nrm * nc.nrm), 6) DESC,
+                              a.point_id) AS rn1
+            FROM adc a JOIN nrms nq ON nq.vec_id = a.query_id
+                       JOIN nrms nc ON nc.vec_id = a.point_id)
+          WHERE rn1 <= {TOP_K * PQ_RERANK})""")
+    parts.append(f"""pq AS (
+          SELECT query_id, point_id AS neighbor_id, approx_sim,
+                 round({_DOT.format(a='qv', b='cv')} / (qn * cn), 6) AS cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round({_DOT.format(a='qv', b='cv')} / (qn * cn), 6) DESC,
+                            point_id) AS rnk
+          FROM short)""")
+    return ",\n        ".join(parts)
+
+
 ORACLES = {
     "ann_quantized_rerank": f"""
         WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -863,6 +1176,34 @@ ORACLES = {
         SELECT * FROM (
 {_TRADEOFF_UNION}
         ) ORDER BY n_probes
+    """,
+    "ann_pq_topk": f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_pq_ctes()}
+        SELECT query_id, neighbor_id, approx_sim, cos_sim, CAST(rnk AS INT) AS rank
+        FROM pq WHERE rnk <= {TOP_K}
+    """,
+    "ann_pq_recall": f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_pq_ctes()},
+        exact AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_sim_sql('q.v', 'c.v')} DESC, c.vec_id) AS rnk
+            FROM vecs q, vecs c
+            WHERE q.vec_id < {N_QUERY} AND c.vec_id >= {N_QUERY})
+          WHERE rnk <= {TOP_K})
+        SELECT e.query_id, count(*) AS k,
+               CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM exact e LEFT JOIN (SELECT query_id, neighbor_id FROM pq WHERE rnk <= {TOP_K}) p
+          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id
     """,
     "dedup_semantic_clusters": f"""
         WITH vecs AS (

@@ -1527,3 +1527,41 @@ def test_band_collision_probability_tracks_jaccard(spark, tmp_path):
         engineered = {(2 * i, 2 * i + 1) for i in range(len(levels))}
         fp = [p for p in got - engineered]
         assert len(fp) <= 3, f"bands={bands}: too many J=0 collisions: {fp}"
+
+
+def test_pq_codebook_shape_and_codes(spark):
+    """PQ sub-codebooks cover every (subspace, sub-centroid) slot with
+    ds-dim centroids; every candidate encodes to exactly PQ_M codes in
+    [0, PQ_K)."""
+    books = similarity._pq_codebooks(spark, SF)
+    assert [(m, j) for m, j, _ in books] == [
+        (m, j) for m in range(similarity.PQ_M) for j in range(similarity.PQ_K)
+    ]
+    dims = {len(cv) for _, _, cv in books}
+    assert dims == {64 // similarity.PQ_M}
+
+
+def test_ann_pq_exactness_and_recall_floor(spark):
+    """Reranked scores must be EXACT cosines (identical to brute force
+    for shared pairs), and the ADC shortlist must recover >=13/15 of
+    the true top-k at the default operating point — the measured floor
+    the PQ_M/PQ_K/PQ_RERANK constants were picked against."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.ann_cosine_topk(spark, SF).collect()
+    }
+    got = similarity.ann_pq_topk(spark, SF).collect()
+    assert len(got) == similarity.N_QUERY * similarity.TOP_K
+    hits = 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            hits += 1
+            assert r["cos_sim"] == exact[key], key
+    assert hits >= 13, (hits, len(exact))
+    recall = {
+        r["query_id"]: (r["k"], r["n_hits"])
+        for r in similarity.ann_pq_recall(spark, SF).collect()
+    }
+    assert sum(k for k, _ in recall.values()) == len(exact)
+    assert sum(h for _, h in recall.values()) == hits
