@@ -69,6 +69,8 @@ def _run_to_completion(q, what: str) -> None:
 
 
 MEMORY_SINK_MAX_ROWS = 1_000_000  # parity-harness bound; see _drain_memory_sink
+MEMORY_SINK_MAX_BYTES = 256 * 1024 * 1024  # est. driver-heap bound (rows × sampled row size)
+_SINK_SIZE_SAMPLE = 100  # rows sampled to estimate bytes/row
 
 
 def _drain_memory_sink(spark: SparkSession, q, sink: str, what: str) -> DataFrame:
@@ -96,6 +98,26 @@ def _drain_memory_sink(spark: SparkSession, q, sink: str, what: str) -> DataFram
             f"foreachBatch/file-sink route (see stream_upsert) for "
             f"corpus-scale streams"
         )
+    if n > 0:
+        # row-count alone under-guards WIDE rows (1M rows of long text
+        # ≈ GBs of driver heap): bound by estimated bytes too — mean
+        # serialized size of a bounded sample × row count
+        import json as _json
+
+        sample = t.limit(_SINK_SIZE_SAMPLE).collect()
+        per_row = sum(
+            len(_json.dumps(r.asDict(recursive=True), default=str)) for r in sample
+        ) / len(sample)
+        est_bytes = int(per_row * n)
+        if est_bytes > MEMORY_SINK_MAX_BYTES:
+            spark.catalog.dropTempView(sink)
+            raise RuntimeError(
+                f"{what}: memory sink estimated at {est_bytes} bytes "
+                f"({n} rows × ~{per_row:.0f} B sampled) "
+                f"> MEMORY_SINK_MAX_BYTES={MEMORY_SINK_MAX_BYTES}; use the "
+                f"foreachBatch/file-sink route (see stream_upsert) for "
+                f"corpus-scale streams"
+            )
     local = spark.createDataFrame(t.collect(), t.schema)
     spark.catalog.dropTempView(sink)
     return local
@@ -285,6 +307,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = labeled.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+    # UNPARTITIONED window: safe ONLY because `counts` has one row per
+    # funnel step by construction — pinned here so a grown step list
+    # can't silently turn this into a single-task sort over real data
+    assert len(FUNNEL_STEPS) <= 16, "funnel window input must stay driver-tiny"
     w = W.orderBy("step_idx").rowsBetween(-1, -1)
     prev_n = F.coalesce(F.sum("n_users").over(w), F.col("n_users"))
     return counts.select(

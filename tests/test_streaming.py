@@ -369,3 +369,112 @@ def test_cohort_retention_planted(spark, tmp_path):
     assert out[(a, 1)] == (1, 2, 0.5)
     assert out[(b, 0)] == (1, 1, 1.0)
     assert (b, 1) not in out
+
+
+def test_memory_sink_guard_rejects_wide_rows_by_bytes(spark, monkeypatch):
+    """The guard must bound DRIVER BYTES, not just rows: a result that
+    is few rows but wide (long text columns) has to trip the
+    byte-estimate branch (rows × sampled row size) and still drop the
+    sink view."""
+    import pytest
+
+    from generic_data_ingestor_framework_spark import streaming
+
+    # stream_tumbling_counts yields ~dozens of narrow rows; a 1 KiB
+    # ceiling forces the estimated-bytes branch while the row bound
+    # stays untouched
+    monkeypatch.setattr(streaming, "MEMORY_SINK_MAX_BYTES", 1024)
+    with pytest.raises(RuntimeError, match="bytes.*foreachBatch"):
+        streaming.stream_tumbling_counts(spark, SF)
+    leftover = [t.name for t in spark.catalog.listTables() if "tumbling" in t.name]
+    assert leftover == [], f"sink view leaked: {leftover}"
+
+
+def test_unbounded_stream_watermark_evicts_dedup_state(spark, tmp_path):
+    """GENUINELY UNBOUNDED streaming (ProcessingTime trigger — the query
+    never self-terminates; files are injected while it runs) with
+    ``dropDuplicatesWithinWatermark``: once the watermark passes a
+    key's state expiry the state entry is EVICTED, so the same key
+    re-arriving later is re-emitted. Replace the watermark-bounded
+    dedup with plain ``dropDuplicates`` (state kept forever) and the
+    re-emission disappears — this test fails, which is the point: it
+    pins that the watermark actually drops state, not just dedups."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from generic_data_ingestor_framework_spark.streaming import _unique_sink
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("ts_ms", T.LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch so the
+        # watermark advances BETWEEN the injected files
+        .json(str(src))
+        .select("key", F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["key"])
+        .select("key", "ts")
+    )
+    sink = _unique_sink("wm_evict_sink")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+
+    def put(name, rows):
+        stage = tmp_path / f"{name}.tmp"
+        stage.write_text(
+            "\n".join(json.dumps({"key": k, "ts_ms": ms}) for k, ms in rows)
+        )
+        os.replace(stage, src / name)  # atomic: the source never lists partials
+
+    def wait_rows(n, timeout=90.0):
+        end = time.time() + timeout
+        while time.time() < end:
+            if spark.table(sink).count() >= n:
+                return
+            time.sleep(0.2)
+        raise AssertionError(
+            f"sink never reached {n} rows; status={q.status} "
+            f"progress={q.lastProgress}"
+        )
+
+    base = 1_700_000_000_000  # epoch ms; offsets below in minutes
+    MIN = 60_000
+    try:
+        # batch 1: key a at t0 emits; duplicate 1 min later is dropped
+        # (within watermark) — state for a expires at t0 + 10 min
+        put("f1.json", [("a", base), ("a", base + 1 * MIN)])
+        wait_rows(1)
+        # batch 2: key b two hours later → watermark advances to
+        # t0 + 110 min, far past a's expiry → a's state entry evicted
+        put("f2.json", [("b", base + 120 * MIN)])
+        wait_rows(2)
+        # batch 3: key a again (above the watermark) — with state
+        # evicted it MUST re-emit; with an unbounded dedup it would be
+        # suppressed forever and this wait times out
+        put("f3.json", [("a", base + 121 * MIN)])
+        wait_rows(3)
+        got = sorted(r["key"] for r in spark.table(sink).collect())
+        assert got == ["a", "a", "b"], got
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert removed >= 1, (
+            f"watermark never evicted state (numRowsRemoved={removed}); "
+            f"progress={[p.get('stateOperators') for p in q.recentProgress]}"
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(sink)
