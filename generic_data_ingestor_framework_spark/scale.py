@@ -124,6 +124,31 @@ def count_exchanges(df: DataFrame) -> int:
     return explain_string(df).count("Exchange hashpartitioning")
 
 
+def count_warm_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges a STEADY-STATE run executes: like
+    ``count_exchanges`` but excluding exchanges inside
+    ``InMemoryTableScan``/``InMemoryRelation`` subtrees — the one-time
+    build lineage of session-persisted indexes, which explain prints
+    but a warm run never re-executes. Subtree membership is read off
+    the plan tree's indentation (a child is always indented deeper
+    than its in-memory ancestor)."""
+    import re as _re
+
+    mem_stack: list[int] = []
+    n = 0
+    for line in explain_string(df).splitlines():
+        ind = _re.match(r"^[\s:+\-*!]*", line).end()
+        body = line[ind:]
+        while mem_stack and ind <= mem_stack[-1]:
+            mem_stack.pop()
+        if body.startswith("InMemoryTableScan") or body.startswith("InMemoryRelation"):
+            mem_stack.append(ind)
+            continue
+        if not mem_stack and body.startswith("Exchange hashpartitioning"):
+            n += 1
+    return n
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,

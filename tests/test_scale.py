@@ -200,3 +200,45 @@ def test_skew_report_flags_hot_key(spark):
     # uniform data reports no meaningful skew
     uni = skew_report(spark.range(100).selectExpr("id % 10 AS k"), ["k"])
     assert uni["skew_factor"] == 1.0 and uni["suggested_salt_buckets"] == 1
+
+
+def test_count_warm_exchanges_excludes_cached_build(spark):
+    """An exchange inside a cached subtree is build lineage, not
+    steady-state work: warm count must drop it; total count keeps it."""
+    from generic_data_ingestor_framework_spark.scale import count_warm_exchanges
+
+    base = spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+    plain = base.groupBy("k").agg(F.sum("v").alias("s"))
+    # before any caching there is nothing to exclude
+    assert count_warm_exchanges(plain) == count_exchanges(plain) == 1
+    built = plain.cache()
+    try:
+        out = built.groupBy((F.col("k") % 2).alias("b")).agg(F.sum("s").alias("t"))
+        total, warm = count_exchanges(out), count_warm_exchanges(out)
+        assert total >= 2  # build exchange printed inside InMemoryTableScan
+        assert warm == 1  # only the outer groupBy executes warm
+        # the cache manager substitutes the cached relation for the
+        # identical plan, so its warm count drops to zero outright
+        assert count_warm_exchanges(base.groupBy("k").agg(F.sum("v").alias("s"))) == 0
+    finally:
+        built.unpersist()
+
+
+def test_warm_shuffle_ceilings(spark):
+    """Pin steady-state shuffle counts for the cache-heavy audited
+    queries so index-build lineage can't silently leak into the warm
+    path (PLANS.md 'warm shuffles' column)."""
+    import __spark_entry__ as entry_mod
+    from generic_data_ingestor_framework_spark.scale import count_warm_exchanges
+
+    qs = entry_mod.member_queries()
+    ceilings = {
+        "dedup_ngram_jaccard": 2,
+        "dedup_minhash_lsh_pairs": 2,
+        "nb_lang_predictions": 2,
+        "bm25_topk": 10,
+        "retrieval_rrf_fusion": 24,
+    }
+    for name, cap in ceilings.items():
+        warm = count_warm_exchanges(qs[name](spark, SF))
+        assert warm <= cap, f"{name}: warm exchanges {warm} > ceiling {cap}"
