@@ -238,6 +238,7 @@ COMPOSITES: dict[str, list[str]] = {
     "sampling_family": [
         "sample_hash_mod", "train_val_test_split", "stratified_sample_per_lang",
         "shard_export_assignment", "mix_resample_equalized",
+        "quality_weighted_sample",
     ],
     "privacy_family": ["pseudonymize_users", "redact_pii"],
     # streaming families

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+from generic_data_ingestor_framework_spark.llm.textstats import STOPWORDS
 from generic_data_ingestor_framework_spark.relational import load_table
 
 _HASH_SQL = "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 8)) AS BIGINT)"
@@ -146,6 +147,37 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filter: each document survives with probability
+    proportional to its heuristic quality (the FineWeb/DCLM-style
+    alternative to a hard threshold — low-quality docs are down-weighted,
+    not annihilated, preserving distributional diversity).
+
+    The keep weight is the shared quality formula re-derived in PURE
+    INTEGER basis points — ``⌊min(n,100)·50·(n+n_stop)/n⌋ ∈ [0,10000]``
+    (algebraically ``quality·10⁴``) — so membership is exact hash
+    arithmetic with no float-rounding boundary to disagree on; the hash
+    is salted ('q'·doc_id) to decorrelate from ``sample_hash_mod`` and
+    the split/shard assignments.
+
+    Scale shape: map-only (tokenize → two array sizes → hash compare);
+    no shuffle, no state, membership independent of partitioning —
+    auditable and re-joinable at any corpus size."""
+    from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    weight_bp = F.floor(F.least(n, F.lit(100)) * 50 * (n + n_stop) / n).cast("long")
+    h = portable_hash32(F.concat(F.lit("q"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", weight_bp.alias("weight_bp"), h.alias("h"))
+        .filter(F.col("h") % 10000 < F.col("weight_bp"))
+        .select("doc_id", "source", "weight_bp")
+    )
+
+
 _EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 _PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 _SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
@@ -188,9 +220,11 @@ QUERIES = {
     "train_val_test_split": train_val_test_split,
     "stratified_sample_per_lang": stratified_sample_per_lang,
     "pseudonymize_users": pseudonymize_users,
+    "quality_weighted_sample": quality_weighted_sample,
 }
 
 _TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
+_STOP_IN = "','".join(STOPWORDS)
 
 ORACLES = {
     "shard_export_assignment": f"""
@@ -238,6 +272,17 @@ ORACLES = {
     "sample_hash_mod": f"""
         SELECT doc_id, lang, source FROM documents
         WHERE {_HASH_SQL.format(c='doc_id')} % 10 = 0
+    """,
+    "quality_weighted_sample": f"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CAST(floor(least(len(ts), 100) * 50
+                      * (len(ts) + len(list_filter(ts, x -> x IN ('{_STOP_IN}'))))
+                      / len(ts)) AS BIGINT) AS weight_bp
+          FROM (SELECT doc_id, source, {_TOKS_SQL} AS ts FROM documents)
+        )
+        SELECT doc_id, source, weight_bp FROM w
+        WHERE {_HASH_SQL.format(c="'q' || CAST(doc_id AS VARCHAR)")} % 10000 < weight_bp
     """,
     "train_val_test_split": f"""
         WITH b AS (

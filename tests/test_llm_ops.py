@@ -1565,3 +1565,38 @@ def test_ann_pq_exactness_and_recall_floor(spark):
     }
     assert sum(k for k, _ in recall.values()) == len(exact)
     assert sum(h for _, h in recall.values()) == hits
+
+
+def test_quality_weighted_sample_membership_matches_python(spark):
+    """Quality-weighted membership must equal a python recompute of the
+    integer basis-point weight and the salted hash threshold — and the
+    weight must actually modulate the keep rate (it is not a constant)."""
+    import hashlib
+    import math
+
+    from generic_data_ingestor_framework_spark.llm.sampling import quality_weighted_sample
+    from generic_data_ingestor_framework_spark.llm.textstats import STOPWORDS
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    stop = set(STOPWORDS)
+
+    def weight_bp(text):
+        ts = text.lower().split()
+        n = len(ts)
+        n_stop = sum(1 for t in ts if t in stop)
+        return int(math.floor(min(n, 100) * 50 * (n + n_stop) / n))
+
+    h32 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)  # noqa: E731
+    want = {
+        r["doc_id"]: weight_bp(r["text"])
+        for r in docs
+        if h32("q" + str(r["doc_id"])) % 10000 < weight_bp(r["text"])
+    }
+    got = {
+        r["doc_id"]: r["weight_bp"]
+        for r in quality_weighted_sample(spark, SF).collect()
+    }
+    assert got == want and 0 < len(got) < len(docs)
+    # weights span a real range (both saturated-length and short docs exist)
+    assert len({weight_bp(r["text"]) for r in docs}) > 1
