@@ -76,6 +76,11 @@ HEADLINE = [
     "user_activity_islands",
     "funnel_conversion",
     "cohort_retention",
+    "ann_pq_topk",
+    "lm_bigram_score",
+    "events_rolling_zscore",
+    "graph_triangle_count",
+    "quality_weighted_sample",
 ]
 
 REGRESSION_RATIO = 1.3

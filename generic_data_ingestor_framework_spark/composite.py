@@ -216,12 +216,13 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "text_quality": [
         "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
-        "lm_unigram_score", "corpus_select_budget", "dedup_keep_best_quality",
+        "lm_unigram_score", "lm_bigram_score", "corpus_select_budget",
+        "dedup_keep_best_quality",
     ],
     "doc_fingerprints": [
         "doc_fingerprint", "doc_rolling_hash", "dedup_segments_within_doc",
         "span_duplication_ratio", "pagerank_doc_graph",
-        "remove_duplicated_spans",
+        "remove_duplicated_spans", "graph_triangle_count",
     ],
     "term_stats": [
         "corpus_bigram_topk", "tfidf_top_terms", "bpe_train_merges",
@@ -245,6 +246,7 @@ COMPOSITES: dict[str, list[str]] = {
     "event_windows": [
         "window_tumbling_hourly", "window_sliding_1h_30m", "events_multi_rollup",
         "stream_dedup_keys", "stream_interval_join_exact", "funnel_conversion",
+        "events_rolling_zscore",
     ],
     "sessions_family": [
         "session_window_10m", "session_stats_per_user", "stream_session_windows",

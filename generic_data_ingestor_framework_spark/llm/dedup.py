@@ -811,9 +811,65 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(F.col("v").alias("doc_id"), F.round("p", 6).alias("pagerank"))
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient over the
+    near-duplicate similarity graph (same LSH-pair edge list PageRank
+    and connected components use): a node in many triangles sits inside
+    a tight near-dup CLIQUE (template/boilerplate families), while a
+    high-degree node with no triangles is a hub joining unrelated docs
+    — the distinction cluster-size alone can't make.
+
+    Enumeration uses the canonical oriented form: every edge is kept
+    once as ``a < b`` and triangles are closed as
+    ``(a<b) ⋈ (b<c) ⋈ (a<c)``, so each triangle is produced exactly
+    once — no /6 correction, no duplicate elimination.
+
+    Scale shape: two hash-joins on node keys over the (sparse) edge
+    list, then one aggregate; the corpus text is never touched. At real
+    scale the same plan runs with degree-ordered orientation (direct
+    each edge toward its higher-degree endpoint) to bound the
+    wedge-join's intermediate by Σ min(deg) instead of Σ deg² on skewed
+    graphs; id-orientation keeps the oracle exact here."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = (
+        x.join(y, F.col("x.b") == F.col("y.a"))
+        .join(z, (F.col("x.a") == F.col("z.a")) & (F.col("y.b") == F.col("z.b")))
+        .select(
+            F.col("x.a").alias("ta"), F.col("x.b").alias("tb"), F.col("y.b").alias("tc")
+        )
+    )
+    part = (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionAll(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        part.join(deg, "doc_id")
+        .select(
+            "doc_id",
+            "degree",
+            "n_triangles",
+            F.round(
+                2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "pagerank_doc_graph": pagerank_doc_graph,
+    "graph_triangle_count": graph_triangle_count,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_exact_by_key": dedup_exact_by_key,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -1096,3 +1152,28 @@ ORACLES = {
 ORACLES["pagerank_doc_graph"] = _pagerank_oracle().format(
     lsh=ORACLES["dedup_minhash_lsh_pairs"]
 )
+
+# Triangle oracle: same edge source, same oriented a<b / b<c / a<c closure
+ORACLES["graph_triangle_count"] = f"""
+        WITH pairs AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        tri AS (
+          SELECT x.a AS ta, x.b AS tb, y.b AS tc
+          FROM e x JOIN e y ON x.b = y.a
+          JOIN e z ON z.a = x.a AND z.b = y.b
+        ),
+        part AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT unnest([ta, tb, tc]) AS doc_id FROM tri)
+          GROUP BY doc_id
+        ),
+        deg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, degree, n_triangles,
+               round(2.0 * n_triangles / (degree * (degree - 1)), 6) AS clustering_coeff
+        FROM part JOIN deg USING (doc_id)
+        ORDER BY doc_id
+"""

@@ -735,12 +735,92 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_LAMBDA = 0.7     # bigram interpolation weight
+LM_ONE_MINUS = 0.3  # spelled out: 1 - 0.7 in float would be 0.30000000000000004
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model score: per-document token-level
+    cross-entropy under a Jelinek-Mercer-smoothed corpus bigram LM —
+    ``P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1-λ)·P_uni(w₂)`` with the Laplace
+    unigram from ``lm_unigram_score`` as the backoff. The CCNet-style
+    fluency gate one step up from the unigram proxy: it penalizes
+    improbable word ORDER, not just rare words.
+
+    Scale shape: the per-(doc, bigram) relation is one hash-aggregate
+    (map-side combinable) persisted once per session; bigram and
+    context counts are two more hash-aggregates over it, broadcast back
+    as the model; scoring is broadcast joins + one aggregate on doc_id
+    — the corpus text shuffles only into the shared relation. Scores
+    round to 4 dp (the cross-engine summation-order contract)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist, shared_value
+    from generic_data_ingestor_framework_spark.llm.classify import _doc_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.col("toks"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = shared_persist(
+        spark,
+        ("lm_bigrams", sf_dir),
+        lambda: (
+            d.select("doc_id", tokens_col().alias("toks"))
+            .select("doc_id", F.explode(bigrams).alias("bigram"))
+            .groupBy("doc_id", "bigram")
+            .agg(F.count(F.lit(1)).alias("m"))
+        ),
+    )
+    c12 = bg.groupBy("bigram").agg(F.sum("m").alias("c12"))
+    w1 = F.element_at(F.split(F.col("bigram"), " "), 1)
+    w2 = F.element_at(F.split(F.col("bigram"), " "), 2)
+    c1 = c12.select(w1.alias("w1"), "c12").groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # the SAME session-shared unigram LM + scalars lm_unigram_score uses
+    toks = _doc_tokens(spark, sf_dir)
+    lm = shared_persist(
+        spark,
+        ("lm_unigram", sf_dir),
+        lambda: toks.groupBy("tok").agg(F.sum("n").alias("c")),
+    )
+    sc = shared_value(
+        spark,
+        ("lm_scalars", sf_dir),
+        lambda: lm.agg(
+            F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+        ).collect()[0].asDict(),
+    )
+    denom = float((sc["n_total"] or 0) + sc["vocab"]) or 1.0
+    p = F.lit(LM_LAMBDA) * (F.col("c12") / F.col("c1")) + F.lit(LM_ONE_MINUS) * (
+        (F.col("cu") + 1.0) / F.lit(denom)
+    )
+    return (
+        bg.join(F.broadcast(c12), "bigram")
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(c1), "w1")
+        .join(
+            F.broadcast(lm.select(F.col("tok").alias("w2"), F.col("c").alias("cu"))),
+            "w2",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(-F.sum(F.col("m") * F.log(p)) / F.sum("m"), 4).alias("xent2"),
+        )
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "bm25_topk": bm25_topk,
     "retrieval_qlm_topk": retrieval_qlm_topk,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "lm_unigram_score": lm_unigram_score,
+    "lm_bigram_score": lm_bigram_score,
     "context_length_buckets": context_length_buckets,
     "corpus_mix_weights": corpus_mix_weights,
     "quality_score": quality_score,
@@ -891,6 +971,47 @@ ORACLES = {
                round(-sum(n * ln(CAST(c + 1 AS DOUBLE) / denom)) / sum(n), 4) AS xent
         FROM toks JOIN lm USING (tok), sc
         GROUP BY doc_id
+    """,
+    "lm_bigram_score": f"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, tok, count(*) AS n FROM tok0
+          WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        lm AS MATERIALIZED (SELECT tok, CAST(sum(n) AS BIGINT) AS cu FROM toks GROUP BY tok),
+        sc AS (SELECT CAST(sum(cu) + count(*) AS DOUBLE) AS denom FROM lm),
+        t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        bg0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)),
+                 i -> concat_ws(' ', ts[i], ts[i + 1]))) AS bigram
+          FROM t
+        ),
+        bg AS MATERIALIZED (
+          SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS m
+          FROM bg0 GROUP BY doc_id, bigram
+        ),
+        c12 AS MATERIALIZED (
+          SELECT bigram, CAST(sum(m) AS BIGINT) AS c12 FROM bg GROUP BY bigram
+        ),
+        c1 AS (
+          SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+          FROM c12 GROUP BY 1
+        ),
+        p AS (
+          SELECT bg.doc_id, bg.m,
+                 {LM_LAMBDA} * (c12.c12 / c1.c1)
+                 + {LM_ONE_MINUS} * ((lm.cu + 1.0) / sc.denom) AS p
+          FROM bg
+          JOIN c12 USING (bigram)
+          JOIN c1 ON string_split(bg.bigram, ' ')[1] = c1.w1
+          JOIN lm ON string_split(bg.bigram, ' ')[2] = lm.tok
+          CROSS JOIN sc
+        )
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+               round(-sum(m * ln(p)) / sum(m), 4) AS xent2
+        FROM p GROUP BY doc_id
     """,
     "source_temperature_weights": f"""
         WITH per AS (

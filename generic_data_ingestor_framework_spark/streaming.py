@@ -256,57 +256,115 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_LOOKBACK = 20   # trailing history window (rows)
+ZSCORE_MIN_N = 10      # minimum history before a score is emitted
+ZSCORE_THRESHOLD = 3.0
+
+
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the event stream: each
+    event's ``value`` is scored against the trailing-``ZSCORE_LOOKBACK``
+    history of the SAME user (frame excludes the current row, so an
+    outlier never masks itself); events with fewer than ``ZSCORE_MIN_N``
+    prior values are unscored. Reports per-user scored/anomaly counts
+    and the peak |z| — the monitoring primitive behind metric-drift and
+    fraud alerts.
+
+    Mean/variance come from explicit sum/sum-of-squares over the frame
+    (``var = (Σx² - (Σx)²/n)/(n-1)``) so the arithmetic is the same
+    closed form in both engines.
+
+    Scale shape: ONE shuffle (hash-partition by user) then a sliding
+    ROWS frame inside each partition — no self-join, no per-row
+    re-scan; the rolling state is O(lookback) per user. The same logic
+    runs unbounded via ``applyInPandasWithState`` (keyed running
+    window) if the input is a stream."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    cnt = F.count("value").over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        (cnt >= ZSCORE_MIN_N) & (sd > 0), (F.col("value") - s1 / cnt) / sd
+    )
+    scored = e.select("user_id", z.alias("z")).filter(F.col("z").isNotNull())
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum((F.abs(F.col("z")) > ZSCORE_THRESHOLD).cast("int")).alias(
+                "n_anomalies"
+            ),
+            F.round(F.max(F.abs(F.col("z"))), 2).alias("max_abs_z"),
+        )
+        .orderBy("user_id")
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: how many users reach each step of
-    view → click → purchase IN ORDER (each step strictly after the
-    user's earliest qualifying previous step) — the canonical
-    sequential-pattern query of product analytics, expressed as a
-    chain of earliest-timestamp aggregates instead of per-user event
-    replay.
+    view -> click -> purchase IN ORDER (each step strictly after the
+    user's earliest qualifying previous step) -- the canonical
+    sequential-pattern query of product analytics, expressed as chained
+    conditional window minima instead of per-user event replay.
 
-    Scale shape: one filtered min-aggregate per funnel step, each
-    joined to the previous step's per-user timestamp (all shuffles on
-    user_id, reusable partitioning); no ordered event arrays are ever
-    collected per user. Conversion ratios are 4-dp floor (no
-    cross-engine round ties)."""
-    e = _events(spark, sf_dir)
-    reached = (
-        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-    )
-    step_users = [reached]
-    for step in FUNNEL_STEPS[1:]:
-        prev = step_users[-1].select("user_id", F.col("t").alias("prev_t"))
-        reached = (
-            e.filter(F.col("event_type") == step)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col("prev_t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-        step_users.append(reached)
-    from functools import reduce
-
+    Scale shape: ONE scan of the fact table (step-type IN filter pushed
+    to parquet) and ONE shuffle on user_id. Each step is a conditional
+    ``min(ts WHERE type = step AND ts > prev_step_t)`` over the
+    whole-partition window, so the step chain adds Window operators on
+    the SAME partitioning -- no re-scan, no re-shuffle, funnel length
+    never touches the fact table again (the previous formulation paid a
+    filtered scan + join per step: 6 scans / 6 shuffles in the round-7
+    plan audit). No ordered event arrays are ever collected per user.
+    Conversion ratios are 4-dp floor (no cross-engine round ties)."""
     from pyspark.sql import Window as W
 
-    labeled = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            df.select(
-                F.lit(i + 1).alias("step_idx"),
-                F.lit(step).alias("step"),
-                "user_id",
+    e = _events(spark, sf_dir).filter(F.col("event_type").isin(FUNNEL_STEPS))
+    wu = W.partitionBy("user_id")
+    df = e.select("user_id", "event_type", "ts")
+    prev_t = None
+    for i, step in enumerate(FUNNEL_STEPS):
+        qual = F.col("event_type") == step
+        if prev_t is not None:
+            qual = qual & (F.col("ts") > F.col(prev_t))
+        df = df.withColumn(f"t{i + 1}", F.min(F.when(qual, F.col("ts"))).over(wu))
+        prev_t = f"t{i + 1}"
+    # rows within a user all carry identical t1..tk; collapse on the
+    # partitioning the window just established (no new exchange)
+    per_user = df.groupBy("user_id").agg(
+        *[F.min(f"t{i + 1}").alias(f"t{i + 1}") for i in range(len(FUNNEL_STEPS))]
+    )
+    one = per_user.agg(
+        *[
+            F.sum(F.col(f"t{i + 1}").isNotNull().cast("long")).alias(f"n{i + 1}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    counts = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"n{i + 1}").alias("n_users"),
+                    )
+                    for i, step in enumerate(FUNNEL_STEPS)
+                ]
             )
-            for i, (step, df) in enumerate(zip(FUNNEL_STEPS, step_users))
-        ],
-    )
-    counts = labeled.groupBy("step_idx", "step").agg(
-        F.count(F.lit(1)).alias("n_users")
-    )
+        ).alias("r")
+    ).select("r.*")
     # UNPARTITIONED window: safe ONLY because `counts` has one row per
     # funnel step by construction — pinned here so a grown step list
     # can't silently turn this into a single-task sort over real data
@@ -954,11 +1012,38 @@ QUERIES = {
     "user_activity_islands": user_activity_islands,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "events_rolling_zscore": events_rolling_zscore,
 }
 
 ORACLES = {
     "stream_dedup_keys": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "events_rolling_zscore": f"""
+        WITH f AS (
+          SELECT user_id, value,
+                 count(value)       OVER w AS cnt,
+                 sum(value)         OVER w AS s1,
+                 sum(value * value) OVER w AS s2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+          SELECT user_id,
+                 CASE WHEN cnt >= {ZSCORE_MIN_N}
+                       AND sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)) > 0
+                      THEN (value - s1 / cnt)
+                           / sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0))
+                 END AS z
+          FROM f
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN abs(z) > {ZSCORE_THRESHOLD} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_anomalies,
+               round(max(abs(z)), 2) AS max_abs_z
+        FROM z WHERE z IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
     """,
     "window_tumbling_hourly": """
         SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,

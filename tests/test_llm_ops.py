@@ -1600,3 +1600,69 @@ def test_quality_weighted_sample_membership_matches_python(spark):
     assert got == want and 0 < len(got) < len(docs)
     # weights span a real range (both saturated-length and short docs exist)
     assert len({weight_bp(r["text"]) for r in docs}) > 1
+
+
+def test_lm_bigram_score_matches_python(spark):
+    """Bigram cross-entropy must equal a python recompute of the
+    JM-interpolated model on a handful of docs, and must order fluent
+    (common-bigram) text below shuffled/rare text."""
+    import math
+    from collections import Counter
+
+    from generic_data_ingestor_framework_spark.llm.textstats import (
+        LM_LAMBDA,
+        LM_ONE_MINUS,
+        lm_bigram_score,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    uni, c12, c1 = Counter(), Counter(), Counter()
+    doc_bigrams = {}
+    for r in docs:
+        ts = r["text"].lower().split()
+        uni.update(t for t in ts if t != "")
+        bgs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        doc_bigrams[r["doc_id"]] = bgs
+        c12.update(bgs)
+        for w1, _ in bgs:
+            c1[w1] += 1
+    denom = float(sum(uni.values()) + len(uni))
+    want = {}
+    for doc_id, bgs in doc_bigrams.items():
+        if not bgs:
+            continue
+        lps = [
+            math.log(
+                LM_LAMBDA * (c12[(w1, w2)] / c1[w1])
+                + LM_ONE_MINUS * ((uni[w2] + 1.0) / denom)
+            )
+            for (w1, w2) in bgs
+        ]
+        want[doc_id] = (len(bgs), round(-sum(lps) / len(lps), 4))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent2"])
+        for r in lm_bigram_score(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id][0], doc_id
+        assert abs(got[doc_id][1] - want[doc_id][1]) < 2e-4, doc_id
+
+
+def test_graph_triangle_count_closed_form(spark):
+    """Every reported triangle participation must be consistent: a node's
+    n_triangles ≤ C(degree, 2), coefficient in (0, 1], and the global
+    triangle count from per-node participation is divisible by 3."""
+    from generic_data_ingestor_framework_spark.llm.dedup import graph_triangle_count
+
+    rows = graph_triangle_count(spark, SF).collect()
+    assert rows, "similarity graph at this SF is known to contain triangles"
+    total = 0
+    for r in rows:
+        d, t, c = r["degree"], r["n_triangles"], r["clustering_coeff"]
+        assert 1 <= t <= d * (d - 1) // 2
+        assert 0 < c <= 1
+        assert abs(c - round(2 * t / (d * (d - 1)), 6)) < 1e-12
+        total += t
+    assert total % 3 == 0

@@ -478,3 +478,51 @@ def test_unbounded_stream_watermark_evicts_dedup_state(spark, tmp_path):
     finally:
         q.stop()
         spark.catalog.dropTempView(sink)
+
+
+def test_events_rolling_zscore_matches_python(spark):
+    """Rolling z-scores must equal a python recompute with the
+    trailing frame EXCLUDING the current row (an outlier must not mask
+    itself by inflating its own baseline)."""
+    import math
+    from collections import defaultdict
+
+    from generic_data_ingestor_framework_spark.relational import load_table
+    from generic_data_ingestor_framework_spark.streaming import (
+        ZSCORE_LOOKBACK,
+        ZSCORE_MIN_N,
+        ZSCORE_THRESHOLD,
+        events_rolling_zscore,
+    )
+
+    ev = defaultdict(list)
+    for r in load_table(spark, SF, "events").collect():
+        ev[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    want = {}
+    for uid, rows in ev.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        zs = []
+        for i, (_, _, v) in enumerate(rows):
+            hist = [x[2] for x in rows[max(0, i - ZSCORE_LOOKBACK): i] if x[2] is not None]
+            if v is None or len(hist) < ZSCORE_MIN_N:
+                continue
+            n, s1 = len(hist), sum(hist)
+            var = (sum(x * x for x in hist) - s1 * s1 / n) / (n - 1)
+            sd = math.sqrt(max(var, 0.0))
+            if sd > 0:
+                zs.append((v - s1 / n) / sd)
+        if zs:
+            want[uid] = (
+                len(zs),
+                sum(1 for z in zs if abs(z) > ZSCORE_THRESHOLD),
+                round(max(abs(z) for z in zs), 2),
+            )
+    got = {
+        r["user_id"]: (r["n_scored"], r["n_anomalies"], r["max_abs_z"])
+        for r in events_rolling_zscore(spark, SF).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for uid in want:
+        assert got[uid][0] == want[uid][0], uid
+        assert got[uid][1] == want[uid][1], uid
+        assert abs(got[uid][2] - want[uid][2]) < 2e-2, uid
