@@ -843,6 +843,108 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED twin of ``events_rolling_zscore``: the same trailing
+    z-score contract as a custom stateful streaming operator
+    (``applyInPandasWithState``). Per-user state is the last
+    ``ZSCORE_LOOKBACK`` values (a bounded deque — O(lookback) per key,
+    independent of stream length) plus the running scored/anomaly/max
+    counters; each micro-batch is sorted by (ts, event_id) and scored
+    against the state the batch walked in with, exactly as the batch
+    window frame excludes the current row.
+
+    Null values occupy a history SLOT without contributing to the
+    mean/variance (stored as NaN) — the precise analogue of the batch
+    frame's ``count(value)`` null semantics, so stream and batch output
+    are row-identical on any input, which the parity test and the
+    shared oracle both pin."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_scored", T.LongType()),
+            T.StructField("n_anomalies", T.LongType()),
+            T.StructField("max_abs_z", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hist", T.ArrayType(T.DoubleType(), True)),
+            T.StructField("n_scored", T.LongType()),
+            T.StructField("n_anom", T.LongType()),
+            T.StructField("max_abs_z", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hist, n_scored, n_anom, max_z = state.get
+            hist = list(hist)
+        else:
+            hist, n_scored, n_anom, max_z = [], 0, 0, 0.0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            v = None if v is None or pd.isna(v) else float(v)
+            win = [x for x in hist if not math.isnan(x)]
+            if v is not None and len(win) >= ZSCORE_MIN_N:
+                n, s1 = len(win), sum(win)
+                var = (sum(x * x for x in win) - s1 * s1 / n) / (n - 1)
+                sd = math.sqrt(max(var, 0.0))
+                if sd > 0:
+                    z = (v - s1 / n) / sd
+                    n_scored += 1
+                    if abs(z) > ZSCORE_THRESHOLD:
+                        n_anom += 1
+                    max_z = max(max_z, abs(z))
+            hist.append(math.nan if v is None else v)
+            hist = hist[-ZSCORE_LOOKBACK:]
+        state.update((hist, n_scored, n_anom, max_z))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_scored": [n_scored],
+                "n_anomalies": [n_anom],
+                "max_abs_z": [round(max_z, 2)],
+            }
+        )
+
+    sink = _unique_sink("stream_rolling_zscore_sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            events.groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        t = _drain_memory_sink(spark, q, sink, "stream_rolling_zscore")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # update mode emits one row per state update; keep the final row per
+    # user (max n_scored) and only users that ever scored an event
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_scored"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_scored") > 0))
+        .select("user_id", "n_scored", "n_anomalies", "max_abs_z")
+    )
+
+
 def stream_stateful_user_counts(
     spark: SparkSession, sf_dir: str, timeout_ms: int = 0
 ):
@@ -1013,6 +1115,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "events_rolling_zscore": events_rolling_zscore,
+    "stream_rolling_zscore": stream_rolling_zscore,
 }
 
 ORACLES = {
@@ -1259,3 +1362,6 @@ ORACLES = {
 # batch/stream parity: the streaming session-window member must produce
 # exactly the batch sessionization result
 ORACLES["stream_session_windows"] = ORACLES["session_window_10m"]
+# stream/batch parity: the stateful rolling z-score must emit exactly the
+# batch operator's per-user aggregates
+ORACLES["stream_rolling_zscore"] = ORACLES["events_rolling_zscore"]

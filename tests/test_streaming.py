@@ -526,3 +526,26 @@ def test_events_rolling_zscore_matches_python(spark):
         assert got[uid][0] == want[uid][0], uid
         assert got[uid][1] == want[uid][1], uid
         assert abs(got[uid][2] - want[uid][2]) < 2e-2, uid
+
+
+def test_stream_rolling_zscore_matches_batch(spark):
+    """The stateful streaming z-score must be row-identical to the
+    batch window operator (stream/batch parity for the custom
+    applyInPandasWithState op)."""
+    from generic_data_ingestor_framework_spark.streaming import (
+        events_rolling_zscore,
+        stream_rolling_zscore,
+    )
+
+    batch = {
+        r["user_id"]: (r["n_scored"], r["n_anomalies"], r["max_abs_z"])
+        for r in events_rolling_zscore(spark, SF).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_scored"], r["n_anomalies"], r["max_abs_z"])
+        for r in stream_rolling_zscore(spark, SF).collect()
+    }
+    assert set(stream) == set(batch) and len(stream) > 0
+    for uid, (n, a, mz) in batch.items():
+        assert stream[uid][0] == n and stream[uid][1] == a, uid
+        assert abs(stream[uid][2] - mz) < 2e-2, uid
