@@ -388,33 +388,37 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Weeks are integer ``floor(epoch/604800)`` so bucketing is exact
     arithmetic in both engines (no locale week-start semantics). Scale
-    shape: events collapse to distinct (user, week) first; the cohort
-    label is one min-aggregate joined back on user_id; the matrix is
-    one (cohort, weeks_since) hash-aggregate; cohort sizes broadcast
-    back (weeks-bounded relation). Retention is 4-dp floor."""
+    shape: ONE scan — events collapse to distinct (user, week) first
+    (the heavy cardinality drop), the cohort label is a whole-partition
+    window min (no self-join back), and the cohort size is read off the
+    matrix ITSELF — the ``weeks_since = 0`` row's count, surfaced per
+    cohort by a window max (every user contributes exactly one such
+    row) — so there is no sizes branch, no second lineage, no join
+    (the round-7 plan paid 2 scans / 5 shuffles; this is 1 scan, with
+    every post-collapse exchange over week-bounded cardinalities).
+    Retention is 4-dp floor."""
+    from pyspark.sql import Window as W
+
     e = _events(spark, sf_dir)
     weeks = e.select(
         "user_id",
         F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week"),
     ).distinct()
-    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    matrix = (
-        weeks.join(cohorts, "user_id")
-        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
-        .agg(F.count(F.lit(1)).alias("n_active"))
+    labeled = weeks.withColumn(
+        "cohort_week", F.min("week").over(W.partitionBy("user_id"))
     )
-    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return (
-        matrix.join(F.broadcast(sizes), "cohort_week")
-        .select(
-            "cohort_week",
-            "weeks_since",
-            "n_active",
-            "cohort_size",
-            (F.floor(F.col("n_active") * 10000 / F.col("cohort_size")) / 10000).alias(
-                "retention"
-            ),
-        )
+    matrix = labeled.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    cohort_size = F.max(
+        F.when(F.col("weeks_since") == 0, F.col("n_active"))
+    ).over(W.partitionBy("cohort_week"))
+    return matrix.select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        cohort_size.alias("cohort_size"),
+        (F.floor(F.col("n_active") * 10000 / cohort_size) / 10000).alias("retention"),
     )
 
 
