@@ -81,6 +81,8 @@ HEADLINE = [
     "events_rolling_zscore",
     "graph_triangle_count",
     "quality_weighted_sample",
+    "doc_topgram_mass",
+    "dedup_minhash_accuracy",
 ]
 
 REGRESSION_RATIO = 1.3

@@ -203,7 +203,7 @@ COMPOSITES: dict[str, list[str]] = {
     # proves minhash_coeffs generalizes beyond the historical 8/4
     "dedup_minhash_sig": [
         "dedup_minhash_sig", "dedup_minhash_sig_wide",
-        "dedup_minhash_lsh_pairs_wide",
+        "dedup_minhash_lsh_pairs_wide", "dedup_minhash_accuracy",
     ],
     "embed_stats": [
         "embed_norms", "label_centroid_dims", "embed_quantize_int8",
@@ -216,6 +216,7 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "text_quality": [
         "quality_score", "lang_id_heuristic", "char_entropy", "gopher_quality_flags",
+        "doc_topgram_mass",
         "lm_unigram_score", "lm_bigram_score", "corpus_select_budget",
         "dedup_keep_best_quality",
     ],

@@ -811,6 +811,77 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(F.col("v").alias("doc_id"), F.round("p", 6).alias("pagerank"))
 
 
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator audit for the MinHash pipeline (the dedup analogue of
+    ``ann_recall_report``): for every LSH candidate pair, the
+    signature-estimated Jaccard (matching components / ``N_PERM``)
+    side-by-side with the EXACT Jaccard of the full distinct
+    hashed-shingle sets, plus the absolute error — the measurement that
+    justifies (or indicts) a chosen signature width before a 100 TB
+    dedup run trusts it.
+
+    Scale shape: both inputs are session-persisted relations (bands →
+    pairs, signatures); the exact side prunes the shingle relation to
+    candidate documents FIRST (broadcast semi-join on the pair set), so
+    the set-intersection join is bounded by candidate-pair cardinality,
+    never corpus size. All arithmetic is integer counts + one division,
+    4-dp floored."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sig = _minhash_sig_df(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_PERM)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_PERM)],
+    )
+    m = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(N_PERM)
+    ).alias("m")
+    est = pairs.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b").select(
+        "doc_a", "doc_b", m
+    )
+    hs = (
+        _exploded_shingles(spark, sf_dir)
+        .select("doc_id", portable_hash32(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    hc = hs.join(F.broadcast(cand), "doc_id")
+    sizes = hc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x = hc.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = hc.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    est_j = F.col("m") / F.lit(float(N_PERM))
+    exact_j = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
+        .join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(est_j * 10000) / 10000).alias("est_jaccard"),
+            (F.floor(exact_j * 10000) / 10000).alias("exact_jaccard"),
+            (F.floor(F.abs(est_j - exact_j) * 10000) / 10000).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + local clustering coefficient over the
     near-duplicate similarity graph (same LSH-pair edge list PageRank
@@ -870,6 +941,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "pagerank_doc_graph": pagerank_doc_graph,
     "graph_triangle_count": graph_triangle_count,
+    "dedup_minhash_accuracy": dedup_minhash_accuracy,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_exact_by_key": dedup_exact_by_key,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -1152,6 +1224,49 @@ ORACLES = {
 ORACLES["pagerank_doc_graph"] = _pagerank_oracle().format(
     lsh=ORACLES["dedup_minhash_lsh_pairs"]
 )
+
+# MinHash estimator audit: nests the LSH-pairs oracle, re-derives the
+# signature and shingle CTEs at top level, and compares estimate vs exact
+_MH_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(N_PERM)
+)
+ORACLES["dedup_minhash_accuracy"] = f"""
+        WITH pairs AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+        {_SHINGLES_CTE},
+        {_SIG_CTE},
+        hs AS (SELECT DISTINCT doc_id, h FROM hashed),
+        cand AS (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION SELECT doc_b FROM pairs
+        ),
+        hc AS (SELECT hs.doc_id, hs.h FROM hs JOIN cand USING (doc_id)),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM hc GROUP BY doc_id),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+          FROM pairs p
+          JOIN hc x ON x.doc_id = p.doc_a
+          JOIN hc y ON y.doc_id = p.doc_b AND y.h = x.h
+          GROUP BY p.doc_a, p.doc_b
+        ),
+        m AS (
+          SELECT p.doc_a, p.doc_b, CAST({{mm}} AS BIGINT) AS m
+          FROM pairs p
+          JOIN sig a ON a.doc_id = p.doc_a
+          JOIN sig b ON b.doc_id = p.doc_b
+        )
+        SELECT m.doc_a, m.doc_b,
+               floor(m / {float(N_PERM)} * 10000) / 10000 AS est_jaccard,
+               floor(COALESCE(i, 0) / (sa.sz + sb.sz - COALESCE(i, 0)) * 10000)
+                 / 10000 AS exact_jaccard,
+               floor(abs(m / {float(N_PERM)}
+                     - COALESCE(i, 0) / (sa.sz + sb.sz - COALESCE(i, 0))) * 10000)
+                 / 10000 AS abs_err
+        FROM m
+        LEFT JOIN inter USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = m.doc_a
+        JOIN sizes sb ON sb.doc_id = m.doc_b
+        ORDER BY m.doc_a, m.doc_b
+""".replace("{mm}", _MH_MATCHES)
 
 # Triangle oracle: same edge source, same oriented a<b / b<c / a<c closure
 ORACLES["graph_triangle_count"] = f"""

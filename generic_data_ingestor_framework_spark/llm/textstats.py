@@ -735,6 +735,54 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_topgram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-n-gram mass: the fraction of a document's
+    bigram positions occupied by its single most frequent bigram (ties
+    broken lexicographically). A high mass means the text loops on one
+    phrase — the repetition signal ``dup_token_frac`` (bag level) and
+    the span operators (corpus level) don't isolate. Documents with
+    fewer than 2 tokens have no bigrams and are absent, as in the
+    Gopher rule.
+
+    Scale shape: explode → one (doc, bigram) hash-aggregate (map-side
+    combinable) → per-doc window (sum + rank share one sort on doc_id);
+    the modal bigram is carried as evidence. Fractions are 4-dp floor
+    (no cross-engine round ties)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.col("toks"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        d.select("doc_id", tokens_col().alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    w = W.partitionBy("doc_id")
+    wo = w.orderBy(F.desc("m"), "bigram")
+    return (
+        bg.withColumn("n_bigrams", F.sum("m").over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("m").alias("top_count"),
+            "n_bigrams",
+            (F.floor(F.col("m") / F.col("n_bigrams") * 10000) / 10000).alias(
+                "top_frac"
+            ),
+        )
+    )
+
+
 LM_LAMBDA = 0.7     # bigram interpolation weight
 LM_ONE_MINUS = 0.3  # spelled out: 1 - 0.7 in float would be 0.30000000000000004
 
@@ -821,6 +869,7 @@ QUERIES = {
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "lm_unigram_score": lm_unigram_score,
     "lm_bigram_score": lm_bigram_score,
+    "doc_topgram_mass": doc_topgram_mass,
     "context_length_buckets": context_length_buckets,
     "corpus_mix_weights": corpus_mix_weights,
     "quality_score": quality_score,
@@ -971,6 +1020,28 @@ ORACLES = {
                round(-sum(n * ln(CAST(c + 1 AS DOUBLE) / denom)) / sum(n), 4) AS xent
         FROM toks JOIN lm USING (tok), sc
         GROUP BY doc_id
+    """,
+    "doc_topgram_mass": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        bg0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)),
+                 i -> concat_ws(' ', ts[i], ts[i + 1]))) AS bigram
+          FROM t
+        ),
+        bg AS (
+          SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS m
+          FROM bg0 GROUP BY doc_id, bigram
+        ),
+        r AS (
+          SELECT doc_id, bigram, m,
+                 CAST(sum(m) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY m DESC, bigram) AS rn
+          FROM bg
+        )
+        SELECT doc_id, bigram AS top_bigram, m AS top_count, n_bigrams,
+               floor(m / n_bigrams * 10000) / 10000 AS top_frac
+        FROM r WHERE rn = 1
     """,
     "lm_bigram_score": f"""
         WITH tok0 AS (

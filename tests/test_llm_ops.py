@@ -1666,3 +1666,42 @@ def test_graph_triangle_count_closed_form(spark):
         assert abs(c - round(2 * t / (d * (d - 1)), 6)) < 1e-12
         total += t
     assert total % 3 == 0
+
+
+def test_dedup_minhash_accuracy_bounds_and_python_exact(spark):
+    """Estimate and exact must sit in [0,1], the estimate must be a
+    multiple of 1/N_PERM, and the exact Jaccard must equal a python
+    recompute over the distinct hashed shingle sets."""
+    import hashlib
+
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        N_PERM,
+        dedup_minhash_accuracy,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    rows = dedup_minhash_accuracy(spark, SF).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+
+    def sh_set(text):
+        ts = text.lower().split()
+        grams = {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+        return {int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams}
+
+    import math
+
+    for r in rows:
+        assert 0 <= r["est_jaccard"] <= 1 and 0 <= r["exact_jaccard"] <= 1
+        # est is m/N_PERM floored at 4dp
+        m = round(r["est_jaccard"] * N_PERM)
+        assert abs(r["est_jaccard"] - math.floor(m / N_PERM * 10000) / 10000) < 1e-9
+        a, b = sh_set(docs[r["doc_a"]]), sh_set(docs[r["doc_b"]])
+        exact = len(a & b) / len(a | b)
+        assert abs(r["exact_jaccard"] - math.floor(exact * 10000) / 10000) < 1e-9, (
+            r["doc_a"],
+            r["doc_b"],
+        )
