@@ -83,6 +83,15 @@ QUERIES = [
     "window_tumbling_hourly",
     "session_window_10m",
     "events_asof_join",
+    # r8 additions: bigram LM + repetition mass (token relations), rolling
+    # z-score (per-user sliding frame), estimator audits + triangle closure
+    # (candidate-bounded joins), weighted sampling (map-only)
+    "lm_bigram_score",
+    "doc_topgram_mass",
+    "events_rolling_zscore",
+    "graph_triangle_count",
+    "dedup_minhash_accuracy",
+    "quality_weighted_sample",
 ]
 
 
