@@ -276,10 +276,22 @@ def _lsh_pairs_from(banded: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs at the default 4 bands × 2 rows config."""
-    # the persisted band relation feeds both sides of the self-join
-    banded = _banded_df(spark, sf_dir).select("doc_id", "band_idx", "band_sig")
-    return _lsh_pairs_from(banded)
+    """LSH candidate pairs at the default 4 bands × 2 rows config.
+
+    The PAIR RELATION itself is session-persisted (not just the band
+    relation feeding it): graph consumers reference it several times
+    per plan (PageRank edges, triangle closure x3, the estimator
+    audit's estimate/candidate/intersection branches), and an
+    unpersisted branch re-executes the band self-join + distinct once
+    PER REFERENCE — the round-8 audit measured 45-96 warm exchanges in
+    the graph members before this persist, ~5 after."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def build() -> DataFrame:
+        banded = _banded_df(spark, sf_dir).select("doc_id", "band_idx", "band_sig")
+        return _lsh_pairs_from(banded)
+
+    return shared_persist(spark, ("lsh_pairs", sf_dir), build)
 
 
 def dedup_minhash_lsh_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,17 +854,24 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b").select(
         "doc_a", "doc_b", m
     )
-    hs = (
-        _exploded_shingles(spark, sf_dir)
-        .select("doc_id", portable_hash32(F.col("shingle")).alias("sh"))
-        .distinct()
-    )
-    cand = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    hc = hs.join(F.broadcast(cand), "doc_id")
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def _cand_shingles() -> DataFrame:
+        hs = (
+            _exploded_shingles(spark, sf_dir)
+            .select("doc_id", portable_hash32(F.col("shingle")).alias("sh"))
+            .distinct()
+        )
+        cand = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        return hs.join(F.broadcast(cand), "doc_id")
+
+    # referenced by sizes + both sides of the intersection join: persist
+    # the candidate-pruned relation once (bounded by candidate docs)
+    hc = shared_persist(spark, ("mh_acc_cand_shingles", sf_dir), _cand_shingles)
     sizes = hc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     x = hc.select(F.col("doc_id").alias("doc_a"), "sh")
     y = hc.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -171,6 +171,68 @@ def _step_quality_filter(df: DataFrame, p: dict) -> DataFrame:
     return df.filter(cond)
 
 
+def _step_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Gopher top-n-gram mass gate: drop rows whose single most frequent
+    bigram accounts for more than ``max_top_bigram_frac`` of bigram
+    positions (phrase-looping spam the bag-level dup-token cap misses).
+    Rows with fewer than 2 tokens have no bigrams and pass. Same
+    explode → count → per-id window shape as ``doc_topgram_mass``,
+    joined back by ``id`` (LEFT join + null-pass, so short rows are
+    kept without a second pass over the text)."""
+    from pyspark.sql import Window as W
+
+    col = p.get("column", "text")
+    idc = p["id"]
+    cap = float(p.get("max_top_bigram_frac", 0.2))
+    ts = F.split(F.lower(F.col(col)), r"\s+")
+    n = F.size(F.col("__ts"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(F.col("__ts"), i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        df.select(idc, ts.alias("__ts"))
+        .select(idc, F.explode(bigrams).alias("__bg"))
+        .groupBy(idc, "__bg")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    w = W.partitionBy(idc)
+    frac = (
+        bg.withColumn("__tot", F.sum("__m").over(w))
+        .groupBy(idc)
+        .agg(F.max(F.col("__m") / F.col("__tot")).alias("__top_frac"))
+    )
+    return (
+        df.join(frac, idc, "left")
+        .filter(F.col("__top_frac").isNull() | (F.col("__top_frac") <= cap))
+        .select(*df.columns)
+    )
+
+
+def _step_weighted_sample(df: DataFrame, p: dict) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: each row survives with
+    probability proportional to the shared heuristic quality of
+    ``column`` — integer basis points + salted portable md5 hash of
+    ``id`` (deterministic across engines, partitionings, and reruns;
+    same contract as ``llm.sampling.quality_weighted_sample``). ``salt``
+    decorrelates from other hash-based selections in the same spec."""
+    from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+    from generic_data_ingestor_framework_spark.llm.textstats import STOPWORDS
+
+    col = p.get("column", "text")
+    idc = p["id"]
+    salt = str(p.get("salt", "q"))
+    toks = F.split(F.lower(F.col(col)), r"\s+")
+    n = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    weight_bp = F.floor(F.least(n, F.lit(100)) * 50 * (n + n_stop) / n).cast("long")
+    h = portable_hash32(F.concat(F.lit(salt), F.col(idc).cast("string")))
+    return df.filter(h % 10000 < weight_bp)
+
+
 def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
     """Unigram-LM quality gate: fit a Laplace-smoothed unigram LM over
     THIS dataset's ``column`` and drop rows whose token cross-entropy
@@ -444,6 +506,8 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "union": _step_union,
     "chunk_overlap": _step_chunk_overlap,
     "quality_filter": _step_quality_filter,
+    "repetition_filter": _step_repetition_filter,
+    "weighted_sample": _step_weighted_sample,
     "lm_filter": _step_lm_filter,
     "decontaminate": _step_decontaminate,
     "paragraph_dedup": _step_paragraph_dedup,

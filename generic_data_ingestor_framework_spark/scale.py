@@ -126,27 +126,42 @@ def count_exchanges(df: DataFrame) -> int:
 
 def count_warm_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges a STEADY-STATE run executes: like
-    ``count_exchanges`` but excluding exchanges inside
-    ``InMemoryTableScan``/``InMemoryRelation`` subtrees — the one-time
-    build lineage of session-persisted indexes, which explain prints
-    but a warm run never re-executes. Subtree membership is read off
-    the plan tree's indentation (a child is always indented deeper
-    than its in-memory ancestor)."""
-    import re as _re
+    ``count_exchanges`` but excluding everything under an
+    ``InMemoryTableScan`` — the one-time build lineage of
+    session-persisted indexes, which explain prints but a warm run
+    never re-executes.
 
-    mem_stack: list[int] = []
-    n = 0
-    for line in explain_string(df).splitlines():
-        ind = _re.match(r"^[\s:+\-*!]*", line).end()
-        body = line[ind:]
-        while mem_stack and ind <= mem_stack[-1]:
-            mem_stack.pop()
-        if body.startswith("InMemoryTableScan") or body.startswith("InMemoryRelation"):
-            mem_stack.append(ind)
-            continue
-        if not mem_stack and body.startswith("Exchange hashpartitioning"):
-            n += 1
-    return n
+    Walks the JVM physical-plan tree instead of parsing explain text:
+    once any cached subtree has materialized, nested AQE sub-plans
+    print ``== Final Plan ==`` blocks whose indentation RESETS, which
+    defeats any indentation-based text parse (measured: a 176-vs-8
+    overcount on a cache-heavy plan). Tree rules: descend through AQE
+    wrappers (``executedPlan``) and query stages (``plan``), stop at
+    ``InMemoryTableScanExec``, skip ``ReusedExchangeExec`` (reuse reads
+    an existing shuffle, it doesn't re-execute one), count
+    ``ShuffleExchangeExec`` with hash partitioning."""
+
+    def walk(node) -> int:
+        name = node.getClass().getSimpleName()
+        if name.startswith("InMemoryTableScan"):
+            return 0
+        if name.startswith("ReusedExchange"):
+            return 0
+        n = 0
+        if name.startswith("ShuffleExchange") and str(
+            node.outputPartitioning().toString()
+        ).startswith("hashpartitioning"):
+            n = 1
+        if name.startswith("AdaptiveSparkPlan"):
+            return n + walk(node.executedPlan())
+        if name.endswith("QueryStageExec"):
+            return n + walk(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            n += walk(ch.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
 
 
 def compact_parquet_dir(

@@ -256,6 +256,31 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_range_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per event, the count and value-sum of
+    the SAME user's events in the trailing one hour (frame bounds in
+    EVENT TIME, not row counts — ties share the frame, sparse periods
+    shrink it). The complement to the ROWS frames elsewhere
+    (``window_frames``, ``events_rolling_zscore``) and the SQL-window
+    twin of the sliding stream windows.
+
+    Scale shape: one shuffle on user_id, one sort, one running frame —
+    identical to every per-user window here; the interval arithmetic
+    stays in the frame machinery (no self-join expansion of the
+    event×hour pairs)."""
+    e = _events(spark, sf_dir)
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.expr(f"count(*) {over}").alias("n_1h"),
+        F.expr(f"round(sum(value) {over}, 2)").alias("sum_1h"),
+    )
+
+
 ZSCORE_LOOKBACK = 20   # trailing history window (rows)
 ZSCORE_MIN_N = 10      # minimum history before a score is emitted
 ZSCORE_THRESHOLD = 3.0
@@ -1120,11 +1145,20 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "events_rolling_zscore": events_rolling_zscore,
     "stream_rolling_zscore": stream_rolling_zscore,
+    "events_range_window_1h": events_range_window_1h,
 }
 
 ORACLES = {
     "stream_dedup_keys": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "events_range_window_1h": """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
     "events_rolling_zscore": f"""
         WITH f AS (

@@ -328,3 +328,46 @@ def test_pipeline_select_budget_all_blank_rows(spark):
         df, {"id": "doc_id", "column": "text", "frac": 0.5}
     ).collect()
     assert {r["doc_id"] for r in out} == {0, 1, 2}
+
+
+def test_pipeline_repetition_and_weighted_sample_steps(spark):
+    """repetition_filter drops phrase-looping rows and keeps natural
+    ones; weighted_sample membership equals the member operator's
+    salted-hash contract."""
+    from generic_data_ingestor_framework_spark.llm.sampling import (
+        quality_weighted_sample,
+    )
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    # synthetic frame: one looping doc, one natural doc, one short doc
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),           # top bigram ~half of positions
+            (2, "the quick brown fox jumps over the lazy dog again and again ok"),
+            (3, "hi"),                        # <2 tokens after split? 1 token
+        ],
+        "doc_id bigint, text string",
+    )
+    df.write.mode("overwrite").parquet("/tmp/rep_test_src.parquet")
+    spec = {
+        "source": {"type": "parquet", "path": "/tmp/rep_test_src.parquet"},
+        "steps": [
+            {"op": "repetition_filter", "column": "text", "id": "doc_id",
+             "max_top_bigram_frac": 0.2},
+        ],
+    }
+    out, _ = run_pipeline(spark, spec)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 not in kept      # looping doc dropped
+    assert 2 in kept          # natural doc kept
+    assert 3 in kept          # no bigrams -> passes
+
+    spec2 = {
+        "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+        "steps": [{"op": "weighted_sample", "column": "text", "id": "doc_id"}],
+    }
+    out2, _ = run_pipeline(spark, spec2)
+    got = {r["doc_id"] for r in out2.collect()}
+    want = {r["doc_id"] for r in quality_weighted_sample(spark, sf).collect()}
+    assert got == want and 0 < len(got)

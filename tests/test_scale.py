@@ -238,6 +238,11 @@ def test_warm_shuffle_ceilings(spark):
         "nb_lang_predictions": 2,
         "bm25_topk": 10,
         "retrieval_rrf_fusion": 24,
+        # graph members: the pair relation + candidate shingles are
+        # session-persisted — an unpersisted branch re-executes the band
+        # self-join once PER REFERENCE (round-8 audit: 45/96 warm before)
+        "graph_triangle_count": 7,
+        "dedup_minhash_accuracy": 9,
     }
     for name, cap in ceilings.items():
         warm = count_warm_exchanges(qs[name](spark, SF))
