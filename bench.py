@@ -83,6 +83,8 @@ HEADLINE = [
     "quality_weighted_sample",
     "doc_topgram_mass",
     "dedup_minhash_accuracy",
+    "ann_ivf_pq_topk",
+    "events_range_window_1h",
 ]
 
 REGRESSION_RATIO = 1.3

@@ -208,7 +208,7 @@ COMPOSITES: dict[str, list[str]] = {
     "embed_stats": [
         "embed_norms", "label_centroid_dims", "embed_quantize_int8",
         "dedup_semantic_clusters", "ann_quantized_rerank",
-        "ann_pq_topk", "ann_pq_recall",
+        "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",

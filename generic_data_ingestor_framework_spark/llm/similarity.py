@@ -770,61 +770,69 @@ def _pq_codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: per-subspace codebooks compress every
-    candidate to ``PQ_M`` sub-centroid codes (Jégou et al. 2011,
-    "Product Quantization for Nearest Neighbor Search"), queries score
-    candidates by ADC — asymmetric distance computation, here the
-    approximate dot product Σ_m ⟨q_m, c_{m,code_m}⟩ read from a
-    per-query M×K lookup table — and only the top
-    ``TOP_K·PQ_RERANK`` shortlist pays full-precision cosine.
+def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed index — every candidate's ``(point_id, m, code)``
+    rows — session-persisted: it is the PQ analogue of the IVF
+    assignment (built once, scanned by every query batch), and both
+    the flat-ADC and IVF-gated members read it."""
+    from pyspark.sql import Window as W
 
-    This is the memory story past ``ann_quantized_rerank``'s int8: a
-    64-dim float vector (256 B) becomes M=4 codes (4 B) + one stored
-    norm — the scan touches 64× less data, and the codebooks are
-    driver/broadcast-sized. Scale shape: codes ⋈ broadcast LUT on
-    (m, code) then a map-side-combinable sum per (query, candidate);
-    composable with the IVF index by probing cells first and scanning
-    codes only inside probed cells.
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
-    Determinism: per-subspace partial dots are rounded at 1e-6 grain
-    and summed as BIGINTs (order-free exact sum — the same
-    integer-scaled pre-sum trick as BM25), so the ADC ranking is
-    engine-exact."""
+    def build() -> DataFrame:
+        vecs = _vectors(spark, sf_dir)
+        cdf = _pq_codebook_df(spark, sf_dir)
+        cand_sub = _sub_rel(vecs.filter(F.col("vec_id") >= N_QUERY), "point_id")
+        wc = W.partitionBy("point_id", "m").orderBy("d2", "j")
+        return (
+            cand_sub.join(F.broadcast(cdf), "m")
+            .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("point_id", "m", F.col("j").alias("code"))
+        )
+
+    return shared_persist(spark, ("pq_codes", sf_dir), build)
+
+
+def _pq_lut_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC lookup table (query_id, m, j, integer-scaled
+    partial dot) — queries x M x K rows, broadcast-sized."""
+    vecs = _vectors(spark, sf_dir)
+    cdf = _pq_codebook_df(spark, sf_dir)
+    q_sub = _sub_rel(vecs.filter(F.col("vec_id") < N_QUERY), "query_id")
+    return q_sub.join(F.broadcast(cdf), "m").select(
+        "query_id",
+        "m",
+        "j",
+        F.round(_dot(F.col("sv"), F.col("cv")) * 1e6).cast("bigint").alias("pdot_i"),
+    )
+
+
+def _pq_adc(spark: SparkSession, sf_dir: str, gate: DataFrame | None = None) -> DataFrame:
+    """ADC scores (query_id, point_id, adot_i). ``gate`` — an optional
+    (query_id, point_id) relation — restricts the scan BEFORE the
+    aggregate (the IVF-gated path scores only points in probed cells)."""
+    codes = _pq_codes_df(spark, sf_dir)
+    lut = _pq_lut_df(spark, sf_dir)
+    scored = codes.join(
+        F.broadcast(lut),
+        (codes["m"] == lut["m"]) & (codes["code"] == lut["j"]),
+    )
+    if gate is not None:
+        scored = scored.join(gate, ["query_id", "point_id"])
+    return scored.groupBy("query_id", "point_id").agg(
+        F.sum("pdot_i").alias("adot_i")
+    )
+
+
+def _pq_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
+    """ADC shortlist (TOP_K·PQ_RERANK by approx sim) → exact-cosine
+    rerank → TOP_K. Shared by the flat and IVF-gated PQ members."""
     from pyspark.sql import Window as W
 
     vecs = _vectors(spark, sf_dir)
     norms = vecs.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    cdf = _pq_codebook_df(spark, sf_dir)
-
-    cand_sub = _sub_rel(vecs.filter(F.col("vec_id") >= N_QUERY), "point_id")
-    wc = W.partitionBy("point_id", "m").orderBy("d2", "j")
-    codes = (
-        cand_sub.join(F.broadcast(cdf), "m")
-        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("point_id", "m", F.col("j").alias("code"))
-    )
-
-    q_sub = _sub_rel(vecs.filter(F.col("vec_id") < N_QUERY), "query_id")
-    lut = (
-        q_sub.join(F.broadcast(cdf), "m")
-        .select(
-            "query_id",
-            "m",
-            "j",
-            F.round(_dot(F.col("sv"), F.col("cv")) * 1e6).cast("bigint").alias("pdot_i"),
-        )
-    )
-    adc = (
-        codes.join(
-            F.broadcast(lut),
-            (codes["m"] == lut["m"]) & (codes["code"] == lut["j"]),
-        )
-        .groupBy("query_id", "point_id")
-        .agg(F.sum("pdot_i").alias("adot_i"))
-    )
     qn = norms.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -860,6 +868,64 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks compress every
+    candidate to ``PQ_M`` sub-centroid codes (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"), queries score
+    candidates by ADC — asymmetric distance computation, here the
+    approximate dot product Σ_m ⟨q_m, c_{m,code_m}⟩ read from a
+    per-query M×K lookup table — and only the top
+    ``TOP_K·PQ_RERANK`` shortlist pays full-precision cosine.
+
+    This is the memory story past ``ann_quantized_rerank``'s int8: a
+    64-dim float vector (256 B) becomes M=4 codes (4 B) + one stored
+    norm — the scan touches 64× less data, and the codebooks are
+    driver/broadcast-sized. Scale shape: codes ⋈ broadcast LUT on
+    (m, code) then a map-side-combinable sum per (query, candidate);
+    composable with the IVF index by probing cells first and scanning
+    codes only inside probed cells.
+
+    Determinism: per-subspace partial dots are rounded at 1e-6 grain
+    and summed as BIGINTs (order-free exact sum — the same
+    integer-scaled pre-sum trick as BM25), so the ADC ranking is
+    engine-exact."""
+    return _pq_rerank(spark, sf_dir, _pq_adc(spark, sf_dir))
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN architecture (FAISS
+    ``IVFx,PQy``): the k-means coarse quantizer prunes the search to
+    each query's ``N_PROBES`` nearest cells, and INSIDE those cells
+    candidates are scored by the PQ ADC table instead of full-precision
+    vectors; only the shortlist pays exact cosine.
+
+    Composes the two session-persisted indexes this module already
+    maintains — the IVF assignment (``_ivf_assigned``) and the PQ code
+    relation (``_pq_codes_df``) — via a (query, point) gate joined
+    BEFORE the ADC aggregate, so the scan cost is
+    probed-cells × codes-per-cell, not corpus × M. At 100 TB this is
+    the memory AND compute story: the coarse index bounds candidates,
+    the codes bound bytes per candidate.
+
+    Determinism: identical ADC/rerank arithmetic to ``ann_pq_topk``
+    (integer-scaled partial dots, floored ranks), gated by the same
+    cell assignment the IVF members verify."""
+    cdf = _centroid_df(spark, sf_dir)
+    qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
+    assigned = _ivf_assigned(spark, sf_dir)
+    gate = (
+        probed.select("query_id", "cell")
+        .join(assigned.select("cell", "point_id"), "cell")
+        .select("query_id", "point_id")
+    )
+    return _pq_rerank(spark, sf_dir, _pq_adc(spark, sf_dir, gate=gate))
+
+
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query PQ recall vs exact search — the rollout check next to
     ``ann_recall_report``, for the PQ operating point (M·K codebook +
@@ -892,6 +958,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_recall": ann_pq_recall,
 }
 
@@ -1023,10 +1090,12 @@ def _pq_sub_union(id_expr: str, pred: str) -> str:
     )
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(adc_gate: str = "") -> str:
     """The per-subspace Lloyd trajectory of ``_pq_codebooks`` plus the
     encode → LUT → ADC → shortlist → rerank chain of ``ann_pq_topk``,
-    as chained DuckDB CTEs ending in ``pq`` (rank ≤ TOP_K rows)."""
+    as chained DuckDB CTEs ending in ``pq`` (rank ≤ TOP_K rows).
+    ``adc_gate`` injects an extra JOIN into the ADC scan (the IVF-PQ
+    oracle passes the probed-cell gate, mirroring ``_pq_adc``)."""
     parts = [
         f"""psub AS MATERIALIZED (
 {_pq_sub_union("vec_id AS point_id", f"vec_id >= {N_QUERY}")}
@@ -1068,9 +1137,10 @@ def _pq_ctes() -> str:
           FROM qsub q JOIN {fin} c ON q.m = c.m)""")
     parts.append(f"""nrms AS MATERIALIZED (
           SELECT vec_id, v, {_NORM.format(a='v')} AS nrm FROM vecs)""")
-    parts.append("""adc AS MATERIALIZED (
+    parts.append(f"""adc AS MATERIALIZED (
           SELECT l.query_id, c.point_id, SUM(l.pdot_i) AS adot_i
           FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+          {adc_gate}
           GROUP BY 1, 2)""")
     parts.append(f"""short AS MATERIALIZED (
           SELECT * FROM (
@@ -1182,6 +1252,25 @@ ORACLES = {
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         {_pq_ctes()}
+        SELECT query_id, neighbor_id, approx_sim, cos_sim, CAST(rnk AS INT) AS rank
+        FROM pq WHERE rnk <= {TOP_K}
+    """,
+    "ann_ivf_pq_topk": f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {_ASSIGNED_CTE},
+        probedg AS MATERIALIZED (
+          SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, s.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_sim_sql('q.v', 's.cv')} DESC, s.centroid_id) AS rn
+            FROM vecs q, {_CENT_FINAL} s WHERE q.vec_id < {N_QUERY}) WHERE rn <= {N_PROBES}),
+        gate AS MATERIALIZED (
+          SELECT p.query_id, a.point_id
+          FROM probedg p JOIN assigned a ON p.cell = a.cell),
+        {_pq_ctes("JOIN gate g ON g.query_id = l.query_id AND g.point_id = c.point_id")}
         SELECT query_id, neighbor_id, approx_sim, cos_sim, CAST(rnk AS INT) AS rank
         FROM pq WHERE rnk <= {TOP_K}
     """,

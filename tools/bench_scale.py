@@ -92,6 +92,7 @@ QUERIES = [
     "graph_triangle_count",
     "dedup_minhash_accuracy",
     "quality_weighted_sample",
+    "ann_ivf_pq_topk",
 ]
 
 
