@@ -171,6 +171,9 @@ def _step_quality_filter(df: DataFrame, p: dict) -> DataFrame:
     return df.filter(cond)
 
 
+_REPETITION_RESERVED = frozenset({"__ts", "__bg", "__m", "__tot", "__top_frac"})
+
+
 def _step_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
     """Gopher top-n-gram mass gate: drop rows whose single most frequent
     bigram accounts for more than ``max_top_bigram_frac`` of bigram
@@ -183,7 +186,13 @@ def _step_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
 
     col = p.get("column", "text")
     idc = p["id"]
+    if idc in _REPETITION_RESERVED or col in _REPETITION_RESERVED:
+        raise ValueError(
+            f"column {idc!r}/{col!r} collides with repetition-filter internals"
+        )
     cap = float(p.get("max_top_bigram_frac", 0.2))
+    if not 0 < cap <= 1:
+        raise ValueError(f"max_top_bigram_frac must be in (0, 1]; got {cap}")
     ts = F.split(F.lower(F.col(col)), r"\s+")
     n = F.size(F.col("__ts"))
     bigrams = F.when(

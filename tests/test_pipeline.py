@@ -371,3 +371,21 @@ def test_pipeline_repetition_and_weighted_sample_steps(spark):
     got = {r["doc_id"] for r in out2.collect()}
     want = {r["doc_id"] for r in quality_weighted_sample(spark, sf).collect()}
     assert got == want and 0 < len(got)
+
+
+def test_pipeline_repetition_filter_rejects_reserved_and_bad_cap(spark):
+    """Reserved internal column names and out-of-range caps must fail
+    loudly up front, not as a confusing duplicate-column plan error."""
+    import pytest
+
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    base = {"source": {"type": "parquet", "path": f"{sf}/documents.parquet"}}
+    with pytest.raises(ValueError, match="collides"):
+        run_pipeline(spark, {**base, "steps": [
+            {"op": "repetition_filter", "column": "text", "id": "__tot"}]})
+    with pytest.raises(ValueError, match="max_top_bigram_frac"):
+        run_pipeline(spark, {**base, "steps": [
+            {"op": "repetition_filter", "column": "text", "id": "doc_id",
+             "max_top_bigram_frac": 0.0}]})
