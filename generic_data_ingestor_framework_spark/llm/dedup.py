@@ -823,6 +823,9 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(F.col("v").alias("doc_id"), F.round("p", 6).alias("pagerank"))
 
 
+MH_ACC_SAMPLE_MOD = 4  # audit 1 in N candidate pairs (deterministic hash sample)
+
+
 def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator audit for the MinHash pipeline (the dedup analogue of
     ``ann_recall_report``): for every LSH candidate pair, the
@@ -837,8 +840,21 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate documents FIRST (broadcast semi-join on the pair set), so
     the set-intersection join is bounded by candidate-pair cardinality,
     never corpus size. All arithmetic is integer counts + one division,
-    4-dp floored."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    4-dp floored.
+
+    The audit runs over a deterministic 1-in-``MH_ACC_SAMPLE_MOD``
+    hash-sample of the candidate pairs: estimator calibration is a
+    statistical question, and on a duplication-heavy corpus the pair
+    mass is quadratic in family size (the round-8 sf1 decade-up
+    measured 7.8× before sampling) — the sample rate is the audit's
+    cost knob, and membership is portable hash arithmetic so both
+    engines audit the identical subset."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).filter(
+        portable_hash32(
+            F.concat(F.col("doc_a").cast("string"), F.lit("_"),
+                     F.col("doc_b").cast("string"))
+        ) % MH_ACC_SAMPLE_MOD == 0
+    )
     sig = _minhash_sig_df(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -901,6 +917,9 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRI_DEG_CAP = 64  # max raw degree for a node to enter the triangle census
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + local clustering coefficient over the
     near-duplicate similarity graph (same LSH-pair edge list PageRank
@@ -914,14 +933,36 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(a<b) ⋈ (b<c) ⋈ (a<c)``, so each triangle is produced exactly
     once — no /6 correction, no duplicate elimination.
 
-    Scale shape: two hash-joins on node keys over the (sparse) edge
-    list, then one aggregate; the corpus text is never touched. At real
-    scale the same plan runs with degree-ordered orientation (direct
-    each edge toward its higher-degree endpoint) to bound the
-    wedge-join's intermediate by Σ min(deg) instead of Σ deg² on skewed
-    graphs; id-orientation keeps the oracle exact here."""
+    DEGREE CAP (the graph analogue of the Jaccard DF cap): nodes whose
+    raw degree exceeds ``TRI_DEG_CAP`` are excluded and the census runs
+    on the induced subgraph (degrees recomputed within it). A
+    boilerplate mega-family is a near-CLIQUE, and a k-clique contains
+    k³/6 triangles — enumeration is Ω(#triangles), so no algorithm
+    (including degree-ordered orientation) makes an uncapped census
+    tractable: the round-8 sf1 decade-up measured **40.8×** superlinear
+    on the planted 5%%-hot-sentence clique before this cap. Hub nodes
+    carry no per-triangle information anyway — their neighborhoods are
+    the degenerate everything-matches case the cluster-assign /
+    keep-best pipeline already handles wholesale.
+
+    Scale shape: one degree aggregate, two key joins to induce the
+    capped subgraph, then the wedge join — whose intermediate is now
+    bounded by ``TRI_DEG_CAP · |E|`` regardless of skew; the corpus
+    text is never touched."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e0 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    deg0 = (
+        e0.select(F.col("a").alias("doc_id"))
+        .unionAll(e0.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d0"))
+    )
+    keep = deg0.filter(F.col("d0") <= TRI_DEG_CAP).select("doc_id")
+    e = (
+        e0.join(keep.select(F.col("doc_id").alias("a")), "a")
+        .join(keep.select(F.col("doc_id").alias("b")), "b")
+        .select("a", "b")
+    )
     x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
     tri = (
         x.join(y, F.col("x.b") == F.col("y.a"))
@@ -1250,7 +1291,12 @@ _MH_MATCHES = " + ".join(
     f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(N_PERM)
 )
 ORACLES["dedup_minhash_accuracy"] = f"""
-        WITH pairs AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+        WITH pairs0 AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+        pairs AS (
+          SELECT doc_a, doc_b FROM pairs0
+          WHERE {_HASH_SQL.format(c="CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR)")}
+                % {MH_ACC_SAMPLE_MOD} = 0
+        ),
         {_SHINGLES_CTE},
         {_SIG_CTE},
         hs AS (SELECT DISTINCT doc_id, h FROM hashed),
@@ -1290,7 +1336,18 @@ ORACLES["dedup_minhash_accuracy"] = f"""
 # Triangle oracle: same edge source, same oriented a<b / b<c / a<c closure
 ORACLES["graph_triangle_count"] = f"""
         WITH pairs AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
-        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        deg0 AS (
+          SELECT doc_id, count(*) AS d0 FROM (
+            SELECT a AS doc_id FROM e0 UNION ALL SELECT b FROM e0)
+          GROUP BY doc_id
+        ),
+        keep AS (SELECT doc_id FROM deg0 WHERE d0 <= {TRI_DEG_CAP}),
+        e AS (
+          SELECT a, b FROM e0
+          JOIN keep ka ON ka.doc_id = e0.a
+          JOIN keep kb ON kb.doc_id = e0.b
+        ),
         tri AS (
           SELECT x.a AS ta, x.b AS tb, y.b AS tc
           FROM e x JOIN e y ON x.b = y.a
