@@ -867,8 +867,12 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = sum(
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(N_PERM)
     ).alias("m")
-    est = pairs.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b").select(
-        "doc_a", "doc_b", m
+    # broadcast the PAIR side (bounded by candidate count), never the
+    # corpus-sized signature relation
+    est = (
+        F.broadcast(F.broadcast(pairs).join(a, "doc_a"))
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", m)
     )
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 

@@ -147,6 +147,23 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_weight_bp(text_col: str):
+    """The shared quality formula in PURE INTEGER basis points:
+    ``⌊min(n,100)·50·(n+n_stop)/n⌋ ∈ [0,10000]`` (algebraically
+    ``quality·10⁴``). One definition feeds the sampling member AND the
+    pipeline ``weighted_sample`` step, so they cannot drift."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    return F.floor(F.least(n, F.lit(100)) * 50 * (n + n_stop) / n).cast("long")
+
+
+def salted_hash(id_col: str, salt: str):
+    """Portable md5 hash of ``salt·id`` — decorrelated from every other
+    hash-based selection over the same id column."""
+    return portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft quality filter: each document survives with probability
     proportional to its heuristic quality (the FineWeb/DCLM-style
@@ -163,14 +180,9 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only (tokenize → two array sizes → hash compare);
     no shuffle, no state, membership independent of partitioning —
     auditable and re-joinable at any corpus size."""
-    from generic_data_ingestor_framework_spark.llm.dedup import tokens_col
-
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
-    weight_bp = F.floor(F.least(n, F.lit(100)) * 50 * (n + n_stop) / n).cast("long")
-    h = portable_hash32(F.concat(F.lit("q"), F.col("doc_id").cast("string")))
+    weight_bp = quality_weight_bp("text")
+    h = salted_hash("doc_id", "q")
     return (
         d.select("doc_id", "source", weight_bp.alias("weight_bp"), h.alias("h"))
         .filter(F.col("h") % 10000 < F.col("weight_bp"))

@@ -228,18 +228,15 @@ def _step_weighted_sample(df: DataFrame, p: dict) -> DataFrame:
     ``id`` (deterministic across engines, partitionings, and reruns;
     same contract as ``llm.sampling.quality_weighted_sample``). ``salt``
     decorrelates from other hash-based selections in the same spec."""
-    from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
-    from generic_data_ingestor_framework_spark.llm.textstats import STOPWORDS
+    from generic_data_ingestor_framework_spark.llm.sampling import (
+        quality_weight_bp,
+        salted_hash,
+    )
 
     col = p.get("column", "text")
     idc = p["id"]
     salt = str(p.get("salt", "q"))
-    toks = F.split(F.lower(F.col(col)), r"\s+")
-    n = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
-    weight_bp = F.floor(F.least(n, F.lit(100)) * 50 * (n + n_stop) / n).cast("long")
-    h = portable_hash32(F.concat(F.lit(salt), F.col(idc).cast("string")))
-    return df.filter(h % 10000 < weight_bp)
+    return df.filter(salted_hash(idc, salt) % 10000 < quality_weight_bp(col))
 
 
 def _step_lm_filter(df: DataFrame, p: dict) -> DataFrame:
