@@ -953,20 +953,27 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped subgraph, then the wedge join — whose intermediate is now
     bounded by ``TRI_DEG_CAP · |E|`` regardless of skew; the corpus
     text is never touched."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    e0 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    deg0 = (
-        e0.select(F.col("a").alias("doc_id"))
-        .unionAll(e0.select(F.col("b").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("d0"))
-    )
-    keep = deg0.filter(F.col("d0") <= TRI_DEG_CAP).select("doc_id")
-    e = (
-        e0.join(keep.select(F.col("doc_id").alias("a")), "a")
-        .join(keep.select(F.col("doc_id").alias("b")), "b")
-        .select("a", "b")
-    )
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def _capped_edges() -> DataFrame:
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+        e0 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        deg0 = (
+            e0.select(F.col("a").alias("doc_id"))
+            .unionAll(e0.select(F.col("b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("d0"))
+        )
+        keep = deg0.filter(F.col("d0") <= TRI_DEG_CAP).select("doc_id")
+        return (
+            e0.join(keep.select(F.col("doc_id").alias("a")), "a")
+            .join(keep.select(F.col("doc_id").alias("b")), "b")
+            .select("a", "b")
+        )
+
+    # referenced five times below (three wedge sides + both degree
+    # unions): persist the induced edge list once per session
+    e = shared_persist(spark, ("tri_capped_edges", sf_dir), _capped_edges)
     x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
     tri = (
         x.join(y, F.col("x.b") == F.col("y.a"))
