@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_minhash_accuracy",
     "ann_ivf_pq_topk",
     "events_range_window_1h",
+    "tfidf_cosine_pairs",
+    "lsh_scurve_audit",
 ]
 
 REGRESSION_RATIO = 1.3

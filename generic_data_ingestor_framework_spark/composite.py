@@ -204,6 +204,7 @@ COMPOSITES: dict[str, list[str]] = {
     "dedup_minhash_sig": [
         "dedup_minhash_sig", "dedup_minhash_sig_wide",
         "dedup_minhash_lsh_pairs_wide", "dedup_minhash_accuracy",
+        "lsh_scurve_audit",
     ],
     "embed_stats": [
         "embed_norms", "label_centroid_dims", "embed_quantize_int8",
@@ -226,7 +227,7 @@ COMPOSITES: dict[str, list[str]] = {
         "remove_duplicated_spans", "graph_triangle_count",
     ],
     "term_stats": [
-        "corpus_bigram_topk", "tfidf_top_terms", "bpe_train_merges",
+        "corpus_bigram_topk", "tfidf_top_terms", "tfidf_cosine_pairs", "bpe_train_merges",
         "bpe_vocab_topk", "bpe_encode_docs", "bm25_topk",
         "retrieval_qlm_topk", "retrieval_rrf_fusion",
     ],

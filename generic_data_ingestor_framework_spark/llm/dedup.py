@@ -924,6 +924,120 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_DEG_CAP = 64  # max raw degree for a node to enter the triangle census
 
 
+SCURVE_DOC_MOD = 4  # audit docs with hash('s'·id) % MOD == 0 (all-pairs ground truth)
+
+
+def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve vs theory: on a deterministic document
+    sample, EVERY pair's exact shingle Jaccard is computed (the ground
+    truth LSH can never afford corpus-wide), pairs are bucketed by
+    Jaccard decile, and each bucket reports the measured
+    candidate-capture rate next to the banding theory's
+    ``P = 1-(1-s^r)^b`` at the bucket midpoint — the calibration plot
+    that tells you whether the (bands, rows) knee sits where the
+    threshold needs it BEFORE a 100 TB dedup run commits to a config.
+
+    Bucket ``-1`` is the zero-overlap mass: its pair count is
+    arithmetic (``C(n,2)`` minus enumerated nonzero pairs — never
+    materialized), and its candidate count is the LSH false-positive
+    set (candidates sharing no shingle at all).
+
+    Scale shape: the quadratic ground truth is confined to the sample
+    (``1/MOD²`` of the pair mass — the audit's cost knob); the
+    inverted-index join enumerates only nonzero-overlap pairs; all
+    rates are integer-count ratios."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(
+            portable_hash32(F.concat(F.lit("s"), F.col("doc_id").cast("string")))
+            % SCURVE_DOC_MOD
+            == 0
+        )
+    )
+    hs = (
+        _exploded_shingles(spark, sf_dir)
+        .select("doc_id", portable_hash32(F.col("shingle")).alias("sh"))
+        .distinct()
+        .join(F.broadcast(docs), "doc_id")
+    )
+    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = hs.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = hs.select(F.col("doc_id").alias("doc_b"), "sh")
+    nonzero = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("sz").alias("sza"))), "doc_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("sz").alias("szb"))), "doc_b")
+        .withColumn("u", F.col("sza") + F.col("szb") - F.col("i"))
+    )
+    cands = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .join(F.broadcast(docs.select(F.col("doc_id").alias("doc_a"))), "doc_a")
+        .join(F.broadcast(docs.select(F.col("doc_id").alias("doc_b"))), "doc_b")
+        .withColumn("cand", F.lit(1))
+    )
+    bucket = F.least(F.lit(9), F.floor(10 * F.col("i") / F.col("u"))).cast("int")
+    flagged = nonzero.join(cands, ["doc_a", "doc_b"], "left").select(
+        bucket.alias("bucket"), F.coalesce("cand", F.lit(0)).alias("cand")
+    )
+    per_bucket = flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cand").alias("n_candidates"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("nz"), F.sum("cand").alias("cand_nz")
+    )
+    cand_all = cands.agg(F.count(F.lit(1)).alias("cand_all"))
+    zero_row = (
+        n_docs.crossJoin(totals)
+        .crossJoin(cand_all)
+        .select(
+            F.lit(-1).cast("int").alias("bucket"),
+            (F.col("n") * (F.col("n") - 1) / 2 - F.col("nz"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            (F.col("cand_all") - F.col("cand_nz")).cast("bigint").alias("n_candidates"),
+        )
+    )
+    # pow() is not correctly-rounded identically across engines;
+    # integer exponents via LEFT-ASSOCIATED multiplication are
+    r_rows, n_bands = N_PERM // BANDS, BANDS
+    s_mid = (F.col("bucket") + 0.5) / 10
+    s_r = s_mid
+    for _ in range(r_rows - 1):
+        s_r = s_r * s_mid
+    base = 1 - s_r
+    miss = base
+    for _ in range(n_bands - 1):
+        miss = miss * base
+    theo = F.when(
+        F.col("bucket") >= 0, F.floor((1 - miss) * 10000) / 10000
+    ).otherwise(F.lit(0.0))
+    rate = F.when(
+        F.col("n_pairs") > 0,
+        F.floor(F.col("n_candidates") * 10000 / F.col("n_pairs")) / 10000,
+    ).otherwise(F.lit(0.0))
+    return (
+        per_bucket.unionByName(zero_row)
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_candidates",
+            rate.alias("cand_rate"),
+            theo.alias("theo_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + local clustering coefficient over the
     near-duplicate similarity graph (same LSH-pair edge list PageRank
@@ -1013,6 +1127,7 @@ QUERIES = {
     "pagerank_doc_graph": pagerank_doc_graph,
     "graph_triangle_count": graph_triangle_count,
     "dedup_minhash_accuracy": dedup_minhash_accuracy,
+    "lsh_scurve_audit": lsh_scurve_audit,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_exact_by_key": dedup_exact_by_key,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -1343,6 +1458,70 @@ ORACLES["dedup_minhash_accuracy"] = f"""
         JOIN sizes sb ON sb.doc_id = m.doc_b
         ORDER BY m.doc_a, m.doc_b
 """.replace("{mm}", _MH_MATCHES)
+
+# S-curve oracle: same sample predicate, same enumerated nonzero pairs,
+# same arithmetic zero-mass row, same left-associated banding theory
+_R_ROWS, _N_BANDS = N_PERM // BANDS, BANDS
+_S_MID = "((bucket + 0.5) / 10)"
+_S_R = " * ".join([_S_MID] * _R_ROWS)
+_MISS = " * ".join([f"(1 - {_S_R})"] * _N_BANDS)
+ORACLES["lsh_scurve_audit"] = f"""
+        WITH docs AS MATERIALIZED (
+          SELECT doc_id FROM documents
+          WHERE {_HASH_SQL.format(c="'s' || CAST(doc_id AS VARCHAR)")}
+                % {SCURVE_DOC_MOD} = 0
+        ),
+        {_SHINGLES_CTE},
+        hsd AS MATERIALIZED (
+          SELECT DISTINCT s.doc_id, {_HASH_SQL.format(c='shingle')} AS h
+          FROM sh s JOIN docs USING (doc_id)
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM hsd GROUP BY doc_id),
+        nonzero AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+          FROM hsd a JOIN hsd b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        nz AS (
+          SELECT n.doc_a, n.doc_b, n.i, sa.sz + sb.sz - n.i AS u
+          FROM nonzero n
+          JOIN sizes sa ON sa.doc_id = n.doc_a
+          JOIN sizes sb ON sb.doc_id = n.doc_b
+        ),
+        cand AS MATERIALIZED (
+          SELECT p.doc_a, p.doc_b FROM ({ORACLES["dedup_minhash_lsh_pairs"]}) p
+          JOIN docs da ON da.doc_id = p.doc_a
+          JOIN docs db ON db.doc_id = p.doc_b
+        ),
+        flagged AS MATERIALIZED (
+          SELECT least(9, CAST(floor(10 * i / u) AS INT)) AS bucket,
+                 CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS cand
+          FROM nz LEFT JOIN cand c USING (doc_a, doc_b)
+        ),
+        per AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(cand) AS BIGINT) AS n_candidates
+          FROM flagged GROUP BY bucket
+        ),
+        zero AS (
+          SELECT CAST(-1 AS INT) AS bucket,
+                 CAST((SELECT count(*) FROM docs)
+                      * ((SELECT count(*) FROM docs) - 1) / 2
+                      - (SELECT count(*) FROM flagged) AS BIGINT) AS n_pairs,
+                 CAST((SELECT count(*) FROM cand)
+                      - (SELECT COALESCE(sum(cand), 0) FROM flagged)
+                      AS BIGINT) AS n_candidates
+        ),
+        allb AS (SELECT * FROM per UNION ALL SELECT * FROM zero)
+        SELECT bucket, n_pairs, n_candidates,
+               CASE WHEN n_pairs > 0
+                    THEN floor(n_candidates * 10000 / n_pairs) / 10000
+                    ELSE 0.0 END AS cand_rate,
+               CASE WHEN bucket >= 0
+                    THEN floor((1 - {_MISS}) * 10000) / 10000
+                    ELSE 0.0 END AS theo_rate
+        FROM allb ORDER BY bucket
+"""
 
 # Triangle oracle: same edge source, same oriented a<b / b<c / a<c closure
 ORACLES["graph_triangle_count"] = f"""

@@ -735,6 +735,88 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_SCALE = 1000       # integer weight grain (exact cross-engine sums)
+TFIDF_DF_CAP = 100       # max document frequency for a term to join on
+TFIDF_SIM_TAU = 0.5      # cosine threshold for a reported pair
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs whose
+    tf·idf vectors (over the DF-capped term space) have cosine ≥
+    ``TFIDF_SIM_TAU`` — the lexical-weighted complement to the set
+    (Jaccard), dense-embedding (cosine), and signature (MinHash) dedup
+    passes: it matches docs that reuse the same DISTINCTIVE vocabulary
+    even when n-gram overlap is low.
+
+    The similarity space is explicitly the capped one: terms with
+    ``df > TFIDF_DF_CAP`` carry near-zero idf AND would make join
+    buckets quadratic at corpus scale (the same key class the Jaccard
+    DF cap drops); ``df = 1`` terms cannot produce a pair and are
+    pruned before the join. Norms are computed over the same kept-term
+    space, so reported cosines are exact for that space.
+
+    Determinism: weights are integer-scaled (``round(tf·ln(N/df)·1000)``
+    as BIGINT) so dot products and squared norms are exact integer
+    sums in any order — the cosine is one division over
+    order-independent operands, identical cross-engine (the BM25
+    pre-sum trick).
+
+    Scale shape: one (doc, term) hash-aggregate, one df window on the
+    term shuffle, inverted-index self-join bounded by the DF cap, one
+    pair aggregate."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+        .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_CAP))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * TFIDF_SCALE
+            )
+            .cast("bigint")
+            .alias("wi"),
+        )
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nrm")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wi").alias("wa")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wi").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= TFIDF_SIM_TAU)
+        .select(
+            "doc_a", "doc_b", "n_shared_terms", F.round(cos, 6).alias("tfidf_cos")
+        )
+    )
+
+
 def doc_topgram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top-n-gram mass: the fraction of a document's
     bigram positions occupied by its single most frequent bigram (ties
@@ -870,6 +952,7 @@ QUERIES = {
     "lm_unigram_score": lm_unigram_score,
     "lm_bigram_score": lm_bigram_score,
     "doc_topgram_mass": doc_topgram_mass,
+    "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "context_length_buckets": context_length_buckets,
     "corpus_mix_weights": corpus_mix_weights,
     "quality_score": quality_score,
@@ -1020,6 +1103,43 @@ ORACLES = {
                round(-sum(n * ln(CAST(c + 1 AS DOUBLE) / denom)) / sum(n), 4) AS xent
         FROM toks JOIN lm USING (tok), sc
         GROUP BY doc_id
+    """,
+    "tfidf_cosine_pairs": f"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok0
+          WHERE term <> '' GROUP BY doc_id, term
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        kept AS MATERIALIZED (
+          SELECT doc_id, term,
+                 CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * {TFIDF_SCALE})
+                      AS BIGINT) AS wi
+          FROM (SELECT doc_id, term, tf,
+                       count(*) OVER (PARTITION BY term) AS df
+                FROM tf), nd
+          WHERE df >= 2 AND df <= {TFIDF_DF_CAP}
+        ),
+        norms AS (
+          SELECT doc_id, sqrt(CAST(sum(wi * wi) AS DOUBLE)) AS nrm
+          FROM kept GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.wi * b.wi) AS BIGINT) AS dot,
+                 CAST(count(*) AS BIGINT) AS n_shared_terms
+          FROM kept a JOIN kept b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_shared_terms,
+               round(dot / (na.nrm * nb.nrm), 6) AS tfidf_cos
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE dot / (na.nrm * nb.nrm) >= {TFIDF_SIM_TAU}
     """,
     "doc_topgram_mass": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),

@@ -1705,3 +1705,35 @@ def test_dedup_minhash_accuracy_bounds_and_python_exact(spark):
             r["doc_a"],
             r["doc_b"],
         )
+
+
+def test_lsh_scurve_audit_shape(spark):
+    """The S-curve audit must be internally consistent: candidates never
+    exceed pairs, the zero-overlap mass equals C(n,2) minus enumerated
+    pairs, and capture rate is (weakly) higher in the top bucket than in
+    bucket 0 — the knee the banding config exists to produce."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        SCURVE_DOC_MOD,
+        lsh_scurve_audit,
+        portable_hash32,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["bucket"]: r for r in lsh_scurve_audit(spark, SF).collect()}
+    assert -1 in rows
+    for r in rows.values():
+        assert 0 <= r["n_candidates"] <= r["n_pairs"]
+        assert 0.0 <= r["cand_rate"] <= 1.0 and 0.0 <= r["theo_rate"] <= 1.0
+    n = (
+        load_table(spark, SF, "documents")
+        .filter(
+            portable_hash32(F.concat(F.lit("s"), F.col("doc_id").cast("string")))
+            % SCURVE_DOC_MOD
+            == 0
+        )
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows.values()) == n * (n - 1) // 2
+    top = max(b for b in rows if b >= 0)
+    assert rows[top]["cand_rate"] >= rows.get(0, rows[top])["cand_rate"]

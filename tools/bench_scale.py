@@ -93,6 +93,8 @@ QUERIES = [
     "dedup_minhash_accuracy",
     "quality_weighted_sample",
     "ann_ivf_pq_topk",
+    "tfidf_cosine_pairs",
+    "lsh_scurve_audit",
 ]
 
 
