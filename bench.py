@@ -87,6 +87,7 @@ HEADLINE = [
     "events_range_window_1h",
     "tfidf_cosine_pairs",
     "lsh_scurve_audit",
+    "classifier_agreement_kappa",
 ]
 
 REGRESSION_RATIO = 1.3

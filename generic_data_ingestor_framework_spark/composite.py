@@ -231,7 +231,8 @@ COMPOSITES: dict[str, list[str]] = {
         "bpe_vocab_topk", "bpe_encode_docs", "bm25_topk",
         "retrieval_qlm_topk", "retrieval_rrf_fusion",
     ],
-    "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion"],
+    "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion",
+                  "classifier_agreement_kappa"],
     "multimodal_family": [
         "multimodal_binary_meta", "multimodal_decode_features",
         "multimodal_frame_sample", "multimodal_resize_buckets",

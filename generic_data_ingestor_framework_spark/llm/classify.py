@@ -223,7 +223,58 @@ def nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-classifier agreement: the heuristic language-ID and the
+    Naive Bayes predictions compared per document — observed agreement,
+    chance agreement from the marginals, and Cohen's kappa. The model-
+    governance check a pipeline runs before swapping one labeler for
+    another: high raw agreement with low kappa means both are mostly
+    predicting the majority class.
+
+    Kappa is computed from INTEGER counts only —
+    ``(A·n − Σ_c r_c·s_c) / (n² − Σ_c r_c·s_c)`` with A = agreements,
+    r/s the per-class marginals — one division at the edge (4-dp
+    floor), so both engines produce the identical value.
+
+    Scale shape: one per-doc join, one contingency aggregate (classes²
+    rows), marginal rollups on that tiny relation; the corpus is
+    touched once per classifier."""
+    from generic_data_ingestor_framework_spark.llm.textstats import lang_id_heuristic
+
+    nb = nb_lang_predictions(spark, sf_dir).select("doc_id", "pred_lang")
+    h = lang_id_heuristic(spark, sf_dir).select("doc_id", "lang_guess")
+    cont = (
+        nb.join(h, "doc_id")
+        .groupBy(F.col("pred_lang").alias("a"), F.col("lang_guess").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ra = cont.groupBy("a").agg(F.sum("n").alias("ra"))
+    rb = cont.groupBy("b").agg(F.sum("n").alias("rb"))
+    pe_sum = (
+        ra.join(rb, ra["a"] == rb["b"])
+        .agg(F.coalesce(F.sum(F.col("ra") * F.col("rb")), F.lit(0)).alias("s"))
+    )
+    tot = cont.agg(
+        F.sum("n").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))), F.lit(0)
+        ).alias("n_agree"),
+    )
+    n, agree, sm = F.col("n_docs"), F.col("n_agree"), F.col("s")
+    kappa = F.when(
+        n * n - sm > 0, F.floor((agree * n - sm) * 10000 / (n * n - sm)) / 10000
+    ).otherwise(F.lit(0.0))
+    return tot.crossJoin(pe_sum).select(
+        "n_docs",
+        "n_agree",
+        (F.floor(agree * 10000 / n) / 10000).alias("po"),
+        (F.floor(sm * 10000 / (n * n)) / 10000).alias("pe"),
+        kappa.alias("kappa"),
+    )
+
+
 QUERIES = {
+    "classifier_agreement_kappa": classifier_agreement_kappa,
     "nb_lang_predictions": nb_lang_predictions,
     "nb_lang_confusion": nb_lang_confusion,
     "nb_holdout_confusion": nb_holdout_confusion,
@@ -306,3 +357,34 @@ ORACLES = {
         FROM preds GROUP BY lang, pred_lang ORDER BY lang, pred_lang
     """,
 }
+
+
+# Agreement oracle: nests the NB-prediction and heuristic-language-ID
+# oracles verbatim, then pure integer-count kappa arithmetic
+from generic_data_ingestor_framework_spark.llm import textstats as _ts  # noqa: E402
+
+ORACLES["classifier_agreement_kappa"] = f"""
+        WITH nbp AS ({ORACLES["nb_lang_predictions"]}),
+        hg AS ({_ts.ORACLES["lang_id_heuristic"]}),
+        cont AS (
+          SELECT nbp.pred_lang AS a, hg.lang_guess AS b,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM nbp JOIN hg USING (doc_id) GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cont GROUP BY a),
+        rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS rb FROM cont GROUP BY b),
+        pe AS (SELECT CAST(COALESCE(sum(ra.ra * rb.rb), 0) AS BIGINT) AS s
+               FROM ra JOIN rb ON ra.a = rb.b),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                       CAST(COALESCE(sum(CASE WHEN a = b THEN n END), 0)
+                            AS BIGINT) AS n_agree
+                FROM cont)
+        SELECT n_docs, n_agree,
+               floor(n_agree * 10000 / n_docs) / 10000 AS po,
+               floor(s * 10000 / (n_docs * n_docs)) / 10000 AS pe,
+               CASE WHEN n_docs * n_docs - s > 0
+                    THEN floor((n_agree * n_docs - s) * 10000
+                               / (n_docs * n_docs - s)) / 10000
+                    ELSE 0.0 END AS kappa
+        FROM tot, pe
+"""
