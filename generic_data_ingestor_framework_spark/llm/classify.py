@@ -243,10 +243,13 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nb = nb_lang_predictions(spark, sf_dir).select("doc_id", "pred_lang")
     h = lang_id_heuristic(spark, sf_dir).select("doc_id", "lang_guess")
+    # classes² rows, but its lineage is both classifier pipelines; the
+    # three rollups below must read materialized rows, not re-score
     cont = (
         nb.join(h, "doc_id")
         .groupBy(F.col("pred_lang").alias("a"), F.col("lang_guess").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     ra = cont.groupBy("a").agg(F.sum("n").alias("ra"))
     rb = cont.groupBy("b").agg(F.sum("n").alias("rb"))

@@ -955,11 +955,17 @@ def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
-    hs = (
-        _exploded_shingles(spark, sf_dir)
-        .select("doc_id", portable_hash32(F.col("shingle")).alias("sh"))
-        .distinct()
-        .join(F.broadcast(docs), "doc_id")
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    hs = shared_persist(
+        spark,
+        ("scurve_hs", sf_dir),
+        lambda: (
+            _exploded_shingles(spark, sf_dir)
+            .select("doc_id", portable_hash32(F.col("shingle")).alias("sh"))
+            .distinct()
+            .join(F.broadcast(docs), "doc_id")
+        ),
     )
     sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = hs.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -977,23 +983,31 @@ def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.col("sz").alias("szb"))), "doc_b")
         .withColumn("u", F.col("sza") + F.col("szb") - F.col("i"))
     )
-    cands = (
-        dedup_minhash_lsh_pairs(spark, sf_dir)
-        .join(F.broadcast(docs.select(F.col("doc_id").alias("doc_a"))), "doc_a")
-        .join(F.broadcast(docs.select(F.col("doc_id").alias("doc_b"))), "doc_b")
-        .withColumn("cand", F.lit(1))
+    cands = shared_persist(
+        spark,
+        ("scurve_cands", sf_dir),
+        lambda: (
+            dedup_minhash_lsh_pairs(spark, sf_dir)
+            .join(F.broadcast(docs.select(F.col("doc_id").alias("doc_a"))), "doc_a")
+            .join(F.broadcast(docs.select(F.col("doc_id").alias("doc_b"))), "doc_b")
+            .withColumn("cand", F.lit(1))
+        ),
     )
     bucket = F.least(F.lit(9), F.floor(10 * F.col("i") / F.col("u"))).cast("int")
     flagged = nonzero.join(cands, ["doc_a", "doc_b"], "left").select(
         bucket.alias("bucket"), F.coalesce("cand", F.lit(0)).alias("cand")
     )
+    # bucket-count relation is ≤11 rows but its lineage is the whole
+    # audit: truncate it so the totals/zero-row derivations below read
+    # the materialized rows instead of re-running the pipeline
     per_bucket = flagged.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("cand").alias("n_candidates"),
-    )
+    ).localCheckpoint(eager=True)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
-    totals = flagged.agg(
-        F.count(F.lit(1)).alias("nz"), F.sum("cand").alias("cand_nz")
+    totals = per_bucket.agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("nz"),
+        F.coalesce(F.sum("n_candidates"), F.lit(0)).alias("cand_nz"),
     )
     cand_all = cands.agg(F.count(F.lit(1)).alias("cand_all"))
     zero_row = (

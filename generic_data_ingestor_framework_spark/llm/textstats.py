@@ -766,26 +766,32 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair aggregate."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
-        F.col("term") != ""
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    kept = (
-        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
-        .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_CAP))
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * TFIDF_SCALE
-            )
-            .cast("bigint")
-            .alias("wi"),
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    def _kept() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
+            F.col("term") != ""
         )
-    )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+        return (
+            tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+            .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_CAP))
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "doc_id",
+                "term",
+                F.round(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * TFIDF_SCALE
+                )
+                .cast("bigint")
+                .alias("wi"),
+            )
+        )
+
+    # the weighted inverted index: referenced by norms + both join sides
+    kept = shared_persist(spark, ("tfidf_kept", sf_dir), _kept)
     norms = kept.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nrm")
     )
