@@ -1,19 +1,28 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints TWO JSON lines — a verbose diagnostics line first, then the
-compact canonical record LAST (the driver keeps only a bounded tail of
-stdout, so the parseable record must be the final, small line):
-  {"metric": "headline_queries_detail", "spread": {...},
-   "cold_total": ..., "cold_queries": {...}, "sf": ...}
-  {"metric": "headline_queries_total", "value": total_sec,
-   "unit": "sec", "queries": {name: median_sec_of_STEADY_RUNS, ...},
-   "sf": ..., "ingest_rps": ...,
-   "vs_prev": {"baseline": file, "total_ratio": r,
-               "regressions": {name: ratio > 1.3}}}
+Output contract (the driver records only a bounded ~2000-char TAIL of
+stdout and parses the LAST JSON line it finds there):
 
-``vs_prev`` compares against the newest BENCH_r*.json in the repo
-root over the queries both rounds ran, so round-over-round
-regressions are visible without manual diffing.
+  line 1  {"metric": "headline_queries_detail", "spread": ..., "cold_*": ...}
+  line 2  {"metric": "headline_vs_prev", ...}          probe-normalized diff
+  line 3  {"metric": "headline_queries_full", "queries": {...}, ...}
+  line 4  {"metric": "headline_queries_total", "value": N, "unit": "sec",
+           "sf": ..., "ingest_rps": ..., "probe_s": ..., "n_queries": K,
+           "detail": "BENCH_FULL.json"}                 <- canonical, ~250 B
+
+Round 8's canonical line carried all per-query medians and outgrew the
+tail window once the headline hit 52 queries (BENCH_r08.json parsed:
+null).  Round 9 fix: the FINAL line is a micro-record that always fits;
+the full per-query record goes (a) on the line directly above — compact
+separators, "queries" last, so the tail window still holds nearly all
+of it — and (b) into ``BENCH_FULL.json`` at the repo root, which is
+committed and therefore recoverable regardless of tail size.
+
+``probe_s`` is the median of a pinned trivial query run FIRST — a
+machine-state fingerprint.  ``vs_prev`` scales each ratio by
+cur_probe/prev_probe before flagging, so uniform machine drift (round
+8 burned judge time on 11 phantom ~1.4-1.7x flags whose code was
+byte-identical) no longer reads as a regression.
 
 Queries are materialized with a noop write (full computation, no
 driver-side result transfer) after a session warm-up, so timings
@@ -34,60 +43,81 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from generic_data_ingestor_framework_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # all 22 TPC-H shapes (regressions localize per shape)
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_priority_exists",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_cnt_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_supplier_part_chain",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_customers",
+    # relational / window / streaming-window families
     "join_left_agg",
     "agg_having_distinct",
     "window_rank",
     "top_k_per_group",
     "window_tumbling_hourly",
     "session_window_10m",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "token_stats",
-    "json_funcs",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "ann_ivf_topk",
-    "tfidf_top_terms",
     "events_asof_join",
-    "nb_lang_confusion",
-    "nb_holdout_confusion",
-    "cms_heavy_hitters",
-    "decontaminate_against_benchmark",
-    "pack_context_windows",
-    "chunk_documents_overlap",
-    "paragraph_dedup_corpus",
-    "lm_unigram_score",
-    "span_duplication_ratio",
-    "bpe_vocab_topk",
-    "source_reputation",
-    "retrieval_rrf_fusion",
-    "corpus_select_budget",
-    "remove_duplicated_spans",
-    "ann_quantized_rerank",
-    "dedup_keep_best_quality",
-    "shard_export_assignment",
+    "events_range_window_1h",
+    "events_rolling_zscore",
     "user_activity_islands",
     "funnel_conversion",
     "cohort_retention",
-    "ann_pq_topk",
-    "lm_bigram_score",
-    "events_rolling_zscore",
-    "graph_triangle_count",
-    "quality_weighted_sample",
-    "doc_topgram_mass",
+    "json_funcs",
+    # dedup / similarity / graph
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_keep_best_quality",
     "dedup_minhash_accuracy",
-    "ann_ivf_pq_topk",
-    "events_range_window_1h",
-    "tfidf_cosine_pairs",
     "lsh_scurve_audit",
+    "paragraph_dedup_corpus",
+    "graph_triangle_count",
+    "tfidf_cosine_pairs",
+    # ANN
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "ann_quantized_rerank",
+    # text / LM / retrieval / classify
+    "token_stats",
+    "tfidf_top_terms",
+    "lm_unigram_score",
+    "lm_bigram_score",
+    "doc_topgram_mass",
+    "cms_heavy_hitters",
+    "bpe_vocab_topk",
+    "nb_lang_confusion",
+    "nb_holdout_confusion",
     "classifier_agreement_kappa",
+    "retrieval_rrf_fusion",
+    "source_reputation",
+    # curation / sampling
+    "decontaminate_against_benchmark",
+    "pack_context_windows",
+    "chunk_documents_overlap",
+    "span_duplication_ratio",
+    "remove_duplicated_spans",
+    "corpus_select_budget",
+    "quality_weighted_sample",
+    "shard_export_assignment",
 ]
 
 REGRESSION_RATIO = 1.3
@@ -95,61 +125,106 @@ STEADY_RUNS = 5  # report per-query medians; 5 runs so one JIT/GC-warming
                  # run right after the cold pass cannot drag the median
                  # (run-to-run machine variance is large on sub-second
                  # queries — see COVERAGE.md Benchmarks)
+PROBE_RUNS = 5
+FULL_RECORD = "BENCH_FULL.json"  # committed full per-query record
 
 
-def _vs_prev(times: dict[str, float], total: float) -> dict | None:
-    """Diff against the most recent PARSEABLE recorded round (walking
-    back past rounds whose record lost its medians, e.g. BENCH_r05.json
-    where the driver's tail window truncated the line head)."""
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def _probe(spark) -> float:
+    """Pinned machine-state fingerprint: a fixed CPU-bound job whose
+    plan never changes across rounds (xxhash64 over a 32-partition
+    range — no IO, no shuffle).  Run FIRST, median of PROBE_RUNS, so
+    ``vs_prev`` can normalize out machine drift."""
+    runs = []
+    for _ in range(PROBE_RUNS):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("sum(xxhash64(id) % 1000003) AS h", "avg(id) AS a")
+            .write.format("noop").mode("overwrite").save()
+        )
+        runs.append(time.time() - t0)
+    return round(_median(runs), 4)
+
+
+def _load_prev(sf: float) -> tuple[dict, str] | None:
+    """Newest usable prior record AT THE SAME SF: prefer the committed
+    BENCH_FULL.json (always complete), else walk BENCH_r*.json
+    newest-first, recovering per-query medians from the driver's raw
+    tail when parsed is null.  A baseline at a different scale factor
+    is never comparable — skip it."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    for baseline_file in reversed(prior):
-        result = _vs_one(times, baseline_file)
-        if result is not None:
-            return result
+    candidates = [os.path.join(here, FULL_RECORD)]
+    candidates += sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
+    for path in candidates:
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = prev.get("parsed", prev) or {}
+        if "queries" not in parsed and isinstance(prev.get("tail"), str):
+            parsed = _recover_from_tail(prev["tail"])
+        prev_sf = parsed.get("sf", prev.get("sf"))
+        if parsed.get("queries") and prev_sf == sf:
+            return parsed, os.path.basename(path)
     return None
 
 
-def _vs_one(times: dict[str, float], baseline_file: str) -> dict | None:
-    try:
-        with open(baseline_file) as fh:
-            prev = json.load(fh)
-    except (OSError, json.JSONDecodeError):
+def _recover_from_tail(tail: str) -> dict:
+    """Best-effort parse of a truncated driver tail: prefer the last
+    complete `{"metric": ...}` line; else a head-truncated line."""
+    tail = tail.strip()
+    lines = [ln for ln in tail.splitlines() if '"metric"' in ln]
+    candidate = None
+    if lines:
+        m2 = re.search(r'\{"metric":.*\}', lines[-1])
+        candidate = m2.group(0) if m2 else None
+    if candidate is None and tail.startswith('"value"'):
+        candidate = '{"metric": null,' + tail  # head cut off mid-line
+    if candidate:
+        try:
+            return json.loads(candidate)
+        except json.JSONDecodeError:
+            pass
+    return {}
+
+
+def _vs_prev(times: dict[str, float], probe_s: float, sf: float) -> dict | None:
+    loaded = _load_prev(sf)
+    if loaded is None:
         return None
-    # the driver wraps the bench line in {"parsed": {...}, ...}; when
-    # console noise pushed the JSON line out of the driver's tail window
-    # "parsed" is null — recover the line from the raw "tail" string
-    parsed = prev.get("parsed", prev) or {}
-    if "queries" not in parsed and isinstance(prev.get("tail"), str):
-        tail = prev["tail"].strip()
-        # prefer the LAST `{"metric": ...}` line (the canonical compact
-        # record); fall back to any metric line, then to a head-truncated
-        # line starting mid-object at "value"
-        lines = [ln for ln in tail.splitlines() if '"metric"' in ln]
-        candidate = None
-        if lines:
-            m2 = re.search(r'\{"metric":.*\}', lines[-1])
-            candidate = m2.group(0) if m2 else None
-        if candidate is None and tail.startswith('"value"'):
-            candidate = '{"metric": null,' + tail  # head cut off mid-line
-        if candidate:
-            try:
-                parsed = json.loads(candidate)
-            except json.JSONDecodeError:
-                parsed = {}
+    parsed, baseline = loaded
     prev_q = parsed.get("queries", {})
     common = [n for n in times if n in prev_q and prev_q[n] > 0]
     if not common:
         return None
-    ratios = {n: round(times[n] / prev_q[n], 3) for n in common}
+    prev_probe = parsed.get("probe_s")
+    # machine-drift normalizer: how much slower is THIS box right now
+    # than when the baseline ran, measured on a byte-identical plan
+    drift = (probe_s / prev_probe) if prev_probe else 1.0
+    raw = {n: times[n] / prev_q[n] for n in common}
+    norm = {n: r / drift for n, r in raw.items()}
     prev_total = sum(prev_q[n] for n in common)
     cur_total = sum(times[n] for n in common)
     return {
-        "baseline": os.path.basename(baseline_file),
+        "baseline": baseline,
+        "probe_drift": round(drift, 3),
         "total_ratio": round(cur_total / prev_total, 3) if prev_total else None,
-        "regressions": {n: r for n, r in sorted(ratios.items()) if r > REGRESSION_RATIO},
+        "total_ratio_norm": (
+            round(cur_total / prev_total / drift, 3) if prev_total else None
+        ),
+        # flag on the NORMALIZED ratio; report raw alongside
+        "regressions": {
+            n: {"norm": round(norm[n], 3), "raw": round(raw[n], 3)}
+            for n in sorted(norm)
+            if norm[n] > REGRESSION_RATIO
+        },
         "common_queries": len(common),
     }
 
@@ -165,6 +240,7 @@ def main() -> None:
 
     # warm up: JVM + parquet footer caches
     spark.range(1000).count()
+    probe_s = _probe(spark)
 
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
@@ -183,8 +259,11 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
-        times[name] = sorted(runs)[len(runs) // 2]
+        times[name] = _median(runs)
         spread[name] = [min(runs), max(runs)]
+
+    # vs_prev must read the PRIOR BENCH_FULL.json before we overwrite it
+    vs_prev = _vs_prev(times, probe_s, sf)
 
     # release query-phase persisted intermediates so ingest throughput
     # is measured without sf0.1 relations occupying storage memory
@@ -194,41 +273,46 @@ def main() -> None:
     ingest_rps = _bench_ingest(spark)
 
     total = round(sum(times.values()), 3)
-    # Two lines, verbose first, canonical LAST. The driver records only a
-    # bounded TAIL of stdout; round 5's single ~4 KB line outgrew that
-    # window and lost its head (including every median), leaving the
-    # official record unparseable (BENCH_r05.json parsed: null). The
-    # bulky diagnostics (per-query min/max spread, cold first-run times)
-    # go on their own leading line; the final line is the compact
-    # canonical record — metric/value/queries/vs_prev — small enough
-    # (~1.5 KB at 30 queries) to always sit fully inside the tail window.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_detail",
-                "spread": spread,
-                "cold_total": round(sum(cold.values()), 3),
-                # per-query first-run times: a regression visible in cold
-                # but not in `queries` is plan-compilation cost, not
-                # execution cost
-                "cold_queries": cold,
-                "sf": sf,
-            }
+    full = {
+        "metric": "headline_queries_full",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "ingest_rps": ingest_rps,
+        "probe_s": probe_s,
+        "n_queries": len(times),
+        # "queries" LAST so a tail-truncated copy of this line still
+        # holds the maximum number of per-query medians
+        "queries": times,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, FULL_RECORD), "w") as fh:
+        json.dump(
+            {**full, "vs_prev": vs_prev, "cold_queries": cold, "spread": spread},
+            fh,
+            indent=1,
         )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "ingest_rps": ingest_rps,
-                "vs_prev": _vs_prev(times, total),
-            }
-        )
-    )
+
+    print(json.dumps({
+        "metric": "headline_queries_detail",
+        "spread": spread,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "sf": sf,
+    }))
+    print(json.dumps({"metric": "headline_vs_prev", **(vs_prev or {})}))
+    print(json.dumps(full, separators=(",", ":")))
+    # canonical micro-record: ~250 bytes, ALWAYS inside the tail window
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "ingest_rps": ingest_rps,
+        "probe_s": probe_s,
+        "n_queries": len(times),
+        "detail": FULL_RECORD,
+    }))
 
 
 def _bench_ingest(spark, n_files: int = 16, rows_per_file: int = 4000) -> float:

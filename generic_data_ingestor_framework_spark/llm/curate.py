@@ -457,24 +457,31 @@ def pos_grams_from_tokens(tokens_df: DataFrame, id_col: str, ts_col: str, k: int
 def span_coverage(pg: DataFrame, id_col: str, k: int, min_occ: int = 2) -> DataFrame:
     """``(id, pos, gram)`` → ``(id, cov array<int>)``: token offsets
     covered by any gram occurring ≥ ``min_occ`` times corpus-wide.
-    ``collect_set`` dedups overlapping coverage itself — a pre-distinct
-    would add a second corpus-scale shuffle for nothing (measured: the
-    first r6 sf1 run's worst ratio was exactly that)."""
+
+    The doc-side aggregate collects only the START offset of each
+    duplicated posting (one int) and expands to the k-wide covered
+    range map-side AFTER the shuffle — the r8 shape exploded
+    ``sequence(pos, pos+k-1)`` BEFORE the shuffle, moving k×13 ints
+    per posting through the exchange and the hash-aggregate for the
+    identical result (sf1: the worst family ratio in BENCH_SF1, 4.61).
+    Per-doc state is bounded by doc length at any corpus size."""
     dup = (
         pg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") >= min_occ)
         .select("gram")
     )
-    return (
+    starts = (
         pg.join(dup, "gram")
-        .select(
-            id_col,
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("cov"),
-        )
         .groupBy(id_col)
-        .agg(F.collect_set("cov").alias("cov"))
+        .agg(F.collect_list("pos").alias("starts"))
     )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform("starts", lambda s: F.sequence(s, s + k - 1))
+        )
+    )
+    return starts.select(id_col, cov.alias("cov"))
 
 
 def cut_covered_tokens(tokens_df: DataFrame, cov_df: DataFrame, id_col: str, ts_col: str):
@@ -503,14 +510,22 @@ def _pos_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_gram_relation`` (distinct grams, for membership tests), this
     keeps every occurrence with its 0-based token offset so span
     REMOVAL can map duplicated grams back to covered token ranges.
-    Persisted once per session."""
+    Persisted once per session, PRE-PARTITIONED on ``gram``: both
+    consumers (the occurrence count and the duplicated-gram join in
+    ``span_coverage``) key on gram, so paying one hash exchange at
+    build time makes every warm agg/join over the corpus-scale
+    relation zero-exchange and co-partitioned (the hot planted-gram
+    skew never re-shuffles)."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
     toks = _docs_with_tokens(spark, sf_dir).select("doc_id", "ts")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return shared_persist(
         spark,
         ("span_pos_grams", sf_dir),
-        lambda: pos_grams_from_tokens(toks, "doc_id", "ts", SPAN_K),
+        lambda: pos_grams_from_tokens(toks, "doc_id", "ts", SPAN_K).repartition(
+            npart, "gram"
+        ),
     )
 
 

@@ -533,6 +533,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     how: str = "inner",
     tolerance: str | None = None,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Generic as-of join — the time-series primitive Spark has no
     native operator for: each left row picks, per ``by`` key, the right
@@ -547,7 +548,13 @@ def asof_join(
     that survives 100 TB where a range join would blow up on dense
     keys. At equal timestamps the right row wins (>= semantics,
     matching DuckDB/pandas ASOF). The right side must be unique per
-    (by, ts) for a deterministic result — pre-dedup if it isn't.
+    (by, ts) for a deterministic result — pre-dedup if it isn't, OR
+    pass ``right_tiebreak``: a right column whose MAX value wins among
+    equal-``(by, ts)`` right rows. The tiebreak folds the dedup into
+    the fill window's sort order, so it costs ZERO extra shuffles —
+    a ``row_number`` pre-dedup would pay a second corpus-wide
+    shuffle+sort on ``(by, ts)`` (measured: the r8 sf1 harness had
+    this operator at ratio 3.29 with exactly that extra sort).
     ``how="left"`` keeps unmatched left rows with null carried columns.
     """
     from pyspark.sql import Window as W
@@ -558,10 +565,14 @@ def asof_join(
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    tie_type = (
+        right.schema[right_tiebreak].dataType if right_tiebreak else None
+    )
     l_tag = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        *([F.lit(None).cast(tie_type).alias("__tie")] if right_tiebreak else []),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in {*by}],
     )
@@ -569,6 +580,7 @@ def asof_join(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        *([F.col(right_tiebreak).alias("__tie")] if right_tiebreak else []),
         *right_cols,
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
@@ -576,9 +588,16 @@ def asof_join(
             if c not in {*by}
         ],
     )
+    # right rows (__side=0) sort before left rows at equal ts; among
+    # equal-(key, ts) right rows the max tiebreak sorts LAST, so
+    # last(ignorenulls) picks it — left rows carry a null tiebreak
+    # (nulls_first keeps them ordered by __side alone)
+    order = ["__ts", "__side"] + (
+        [F.asc_nulls_first("__tie")] if right_tiebreak else []
+    )
     w = (
         W.partitionBy(*by)
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = [
@@ -625,18 +644,14 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over events: each purchase picks the user's most
     recent click at-or-before its timestamp (see ``asof_join`` for the
     plan shape). The DuckDB oracle uses its native ASOF JOIN, pinning
-    the semantics to the industry definition. Clicks are pre-deduped
-    to one per (user, ts) (max event_id) so the at-equal-timestamp
-    winner is deterministic in both engines."""
-    from pyspark.sql import Window as W
-
+    the semantics to the industry definition, over clicks pre-deduped
+    to one per (user, ts) by max event_id; the engine gets the same
+    winner via ``right_tiebreak`` INSIDE the fill window — one shuffle
+    + one sort total, no dedup pre-pass (r9: was 2 sorts, sf1 ratio
+    3.29)."""
     e = _events(spark, sf_dir)
-    clk_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .withColumn("rn", F.row_number().over(clk_w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
@@ -649,6 +664,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["click_id"],
         how="inner",
+        right_tiebreak="click_id",
     ).select("user_id", "purchase_id", "purchase_ts", "click_id")
 
 

@@ -50,3 +50,47 @@ def test_asof_join_matches_naive(spark, left, right):
         ).collect()
     }
     assert got == naive_asof(left, rkeys)
+
+
+# right side NOT unique per (key, ts): rid breaks ties, max rid must win
+dup_right_rows = st.lists(st.tuples(keys, times), min_size=0, max_size=16)
+
+
+def naive_asof_tiebreak(left, right):
+    out = set()
+    for i, (k, lt) in enumerate(left):
+        cands = [(rt, rid) for rid, (rk, rt) in enumerate(right) if rk == k and rt <= lt]
+        if cands:
+            best_ts = max(rt for rt, _ in cands)
+            best_rid = max(rid for rt, rid in cands if rt == best_ts)
+            out.add((k, i, lt, best_rid))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(left=left_rows, right=dup_right_rows)
+def test_asof_join_tiebreak_matches_naive(spark, left, right):
+    """``right_tiebreak`` must equal the row_number-pre-dedup result
+    (max tiebreak among equal-(key, ts) right rows wins) for ANY
+    duplicated right side — the zero-extra-shuffle dedup contract."""
+    ldf = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(left)], "k int, lid int, lts int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, rid) for rid, (k, t) in enumerate(right)] or [(None, None, None)],
+        "k int, rts int, rval int",
+    )
+    if not right:
+        rdf = rdf.filter("k IS NOT NULL")
+    got = {
+        (r["k"], r["lid"], r["lts"], r["rval"])
+        for r in asof_join(
+            ldf, rdf, by=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["rval"], right_tiebreak="rval",
+        ).collect()
+    }
+    assert got == naive_asof_tiebreak(left, right)
