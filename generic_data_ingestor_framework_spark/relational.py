@@ -498,12 +498,24 @@ def normalize_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lineage_source_file(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 lineage: `_source_file` = basename of the input file
-    (`src/core/application.py:92-94`), via input_file_name()."""
+    """A9 lineage: `_source_file` = basename of the input DATASET
+    (`src/core/application.py:92-94`), via input_file_name().
+
+    Contract: lineage is DATASET-level here — when the table is a
+    directory of part files (any Spark-written corpus, e.g. the sf1
+    decade-up set), rows map to the ``<table>.parquet`` directory, not
+    the physical ``part-*.parquet`` shard (shard layout is an engine
+    artifact, not provenance; re-bucketing must not change lineage).
+    Per-FILE lineage for whole-file ingest stays in ``ingest.py`` (A9
+    proper), where one input file is one provenance unit."""
     d = load_table(spark, sf_dir, "documents")
+    parts = F.split(F.input_file_name(), "/")
+    parent = F.element_at(parts, -2)
+    base = F.element_at(parts, -1)
     return (
         d.withColumn(
-            "_source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            "_source_file",
+            F.when(parent.endswith(".parquet"), parent).otherwise(base),
         )
         .groupBy("_source_file")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -896,8 +908,23 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        # per-term quantize to integer 1e-4 units BEFORE summing: both
+        # engines floor the identical IEEE double, and a BIGINT sum is
+        # order-independent — sf1 exposed last-cent divergence when the
+        # double sums accumulated in different orders (r9 fix)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                            + 0.5
+                        )
+                    )
+                    / 100.0
+                )
+                / 100
+            ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -1215,18 +1242,24 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        # floor-truncate, not round: profit sums regularly land on exact
-        # .xx5 ties where HALF_UP vs half-even disagree cross-engine;
-        # floor of an identical double is identical everywhere (q2 idiom)
-        .agg((F.floor(F.sum(amount) * 100) / 100).alias("sum_profit"))
+        # per-term quantize to integer 1e-4 units, BIGINT sum, 2-dp
+        # floor at the end: floor of an identical IEEE double is
+        # identical cross-engine and the integer sum is order-exact
+        # (sf1 exposed last-cent drift in the double-sum version — r9)
+        .agg(
+            (F.floor(F.sum(F.floor(amount * 10000 + 0.5)) / 100.0) / 100).alias(
+                "sum_profit"
+            )
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 _Q9_ORACLE = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       floor(sum(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * 0.6 * l_quantity) * 100) / 100 AS sum_profit
+       floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.6 * l_quantity) * 10000 + 0.5)
+             AS BIGINT)) AS DOUBLE) / 100.0) / 100 AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1809,7 +1842,8 @@ ORACLES: dict[str, str] = {
     "q7_nation_trade_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                     + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / 100 AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey

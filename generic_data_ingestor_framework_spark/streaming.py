@@ -712,16 +712,34 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Real streaming execution (availableNow → memory sink)
 # ---------------------------------------------------------------------------
 
+def _read_table_stream(spark: SparkSession, sf_dir: str, table: str, schema) -> DataFrame:
+    """File-source stream over ``{sf_dir}/{table}.parquet``, robust to
+    BOTH physical layouts: a single parquet FILE (driver-generated
+    testdata) streams via a glob filter on the parent directory (the
+    file source requires a directory path), while a DIRECTORY of part
+    files (any Spark-written corpus, e.g. the sf1 decade-up set)
+    streams from the table path itself — the r8 glob-only reader
+    matched zero part files inside directory tables, so every
+    streaming member silently drained empty at sf1 (caught by the r9
+    CORRECTNESS_SF1 value-check). Local-FS ``isdir`` probe; an object
+    store would use the Hadoop FileSystem API here."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (``ts`` is native
     ``timestamp[us]`` — read directly as TimestampType, no unit
     conversion and no session-conf mutation)."""
-    # the file stream source wants a directory; glob-filter to the table
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return _read_table_stream(spark, sf_dir, "events", EVENTS_RAW_SCHEMA)
 
 
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
