@@ -1008,6 +1008,151 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (both layouts)."""
+    return _read_table_stream(spark, sf_dir, "documents", DOCS_RAW_SCHEMA)
+
+
+def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate dedup — the unbounded completion of
+    ``llm.dedup.dedup_incremental_near``: documents arrive as a file
+    stream, and a document is dropped when ANY of its MinHash band
+    signatures is already claimed, by the accumulated corpus history
+    OR by an earlier streamed document — so a near-dup is dropped
+    exactly once across micro-batches.
+
+    Plan: the stream computes each doc's 8-permutation MinHash
+    signature PER ROW (``array_min`` over the shingle array — the
+    same affine permutations over the same 32-bit shingle hash as the
+    batch ``_minhash_sig_df`` aggregate, so signatures are identical),
+    explodes to band rows, stream-static LEFT-joins the session-
+    persisted corpus band index, then claims bands in
+    ``applyInPandasWithState`` keyed on (band_idx, band_sig): state is
+    ONE boolean per distinct band signature (the compact index —
+    history size never grows with stream length beyond distinct
+    bands). Verdict rows drain to the memory sink; a doc is admitted
+    iff none of its bands were claimed before it.
+
+    Parity contract (the oracle is the batch member's SQL, exact):
+    within a micro-batch, claims happen in doc_id order; availableNow
+    over a parquet table lists all files in one batch, so the drain
+    equals the batch result exactly. A live multi-trigger stream keeps
+    the same dropped-exactly-once guarantee, with arrival order
+    deciding the winner — the same contract ``stream_dedup_keys``
+    documents for exact dedup."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        BANDS,
+        MOD,
+        N_PERM,
+        _banded_df,
+        minhash_coeffs,
+        portable_hash32,
+        shingles_from_tokens,
+        tokens_col,
+    )
+
+    a, b = minhash_coeffs(N_PERM)
+    rpb = N_PERM // BANDS
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 2
+    # staged projections: each HOF input is a materialized column, so
+    # Catalyst cannot re-inline the tokenizer/hash into every lambda
+    staged = (
+        read_docs_stream(spark, sf_dir)
+        .filter(bucket == 1)
+        .select("doc_id", tokens_col().alias("toks"))
+        .withColumn("sh", shingles_from_tokens(F.col("toks")))
+        .filter(F.size("sh") > 0)  # unsigned docs: absent in batch twin too
+        .withColumn("hs", F.transform("sh", lambda s: portable_hash32(s)))
+    )
+    sig = staged.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", lambda h: (F.lit(a[j]) * h + F.lit(b[j])) % MOD)
+            ).alias(f"mh{j}")
+            for j in range(N_PERM)
+        ],
+    )
+    band_cols = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"mh{rpb * i + r}") for r in range(rpb)])
+            for i in range(BANDS)
+        ]
+    )
+    stream_bands = sig.select("doc_id", F.posexplode(band_cols).alias("band_idx", "band_sig"))
+    corpus = (
+        _banded_df(spark, sf_dir)
+        .filter(F.col("bucket") == 0)
+        .select("band_idx", "band_sig")
+        .distinct()
+        .withColumn("corpus_hit", F.lit(True))
+    )
+    joined = stream_bands.join(corpus, ["band_idx", "band_sig"], "left")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rejected", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("claimed", T.BooleanType())])
+
+    def claim(key, pdfs, state: GroupState):
+        claimed = bool(state.get[0]) if state.exists else False
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        if rows["corpus_hit"].notna().any():
+            claimed = True  # the history owns this band outright
+        rej = []
+        for _ in range(len(rows)):
+            rej.append(claimed)
+            claimed = True  # first unclaimed arrival takes the band
+        state.update((claimed,))
+        yield pd.DataFrame({"doc_id": rows["doc_id"].values, "rejected": rej})
+
+    sink = _unique_sink("stream_dedup_near_sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            joined.groupBy("band_idx", "band_sig")
+            .applyInPandasWithState(
+                claim, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        verdicts = _drain_memory_sink(spark, q, sink, "stream_dedup_near")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    admitted = (
+        verdicts.groupBy("doc_id")
+        .agg(F.max(F.col("rejected").cast("int")).alias("any_rej"))
+        .filter(F.col("any_rej") == 0)
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang").join(admitted, "doc_id", "semi")
+
+
 def stream_stateful_user_counts(
     spark: SparkSession, sf_dir: str, timeout_ms: int = 0
 ):
@@ -1180,6 +1325,7 @@ QUERIES = {
     "events_rolling_zscore": events_rolling_zscore,
     "stream_rolling_zscore": stream_rolling_zscore,
     "events_range_window_1h": events_range_window_1h,
+    "stream_dedup_near": stream_dedup_near,
 }
 
 ORACLES = {
@@ -1437,3 +1583,11 @@ ORACLES["stream_session_windows"] = ORACLES["session_window_10m"]
 # stream/batch parity: the stateful rolling z-score must emit exactly the
 # batch operator's per-user aggregates
 ORACLES["stream_rolling_zscore"] = ORACLES["events_rolling_zscore"]
+
+# stream/batch parity: the stateful near-dup stream must admit exactly
+# the batch incremental near-dedup's set (same DuckDB oracle)
+from generic_data_ingestor_framework_spark.llm.dedup import (  # noqa: E402
+    ORACLES as _DEDUP_ORACLES,
+)
+
+ORACLES["stream_dedup_near"] = _DEDUP_ORACLES["dedup_incremental_near"]

@@ -549,3 +549,20 @@ def test_stream_rolling_zscore_matches_batch(spark):
     for uid, (n, a, mz) in batch.items():
         assert stream[uid][0] == n and stream[uid][1] == a, uid
         assert abs(stream[uid][2] - mz) < 2e-2, uid
+
+
+def test_stream_dedup_near_matches_batch(spark):
+    """The stateful streaming near-dup dedup must admit exactly the
+    batch ``dedup_incremental_near`` set (stream/batch parity for the
+    band-claim applyInPandasWithState op), and admit at least one doc
+    while rejecting at least one (the fixture has near-dups planted
+    across the bucket split)."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        dedup_incremental_near,
+    )
+    from generic_data_ingestor_framework_spark.streaming import stream_dedup_near
+
+    batch = {(r["doc_id"], r["lang"]) for r in dedup_incremental_near(spark, SF).collect()}
+    stream = {(r["doc_id"], r["lang"]) for r in stream_dedup_near(spark, SF).collect()}
+    assert stream == batch
+    assert len(stream) > 0
