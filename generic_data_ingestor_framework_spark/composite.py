@@ -120,31 +120,69 @@ def _duck_canon(c: str, kind: str) -> str:
     return f"CAST({q} AS VARCHAR)"
 
 
-def block_digest(df: DataFrame, tag: str) -> DataFrame:
-    """One-row digest of a member result: (fam, n, checksum)."""
+# Tiny-cardinality AUDIT members (≤ ~16 rows at any SF): their family
+# composites embed the member's FULL canonical rows in a ``sample``
+# column, so a red gate row names the diverging bucket instead of just
+# flipping a checksum (r8 verdict: composite granularity made audit
+# regressions expensive to localize).
+SAMPLED_MEMBERS = {"lsh_scurve_audit", "ann_pq_recall"}
+_SAMPLE_CAP = 1600  # chars; sampled members are ≤ ~16 short rows
+
+
+def block_digest(df: DataFrame, tag: str, with_sample: bool = False, sampled: bool = False) -> DataFrame:
+    """One-row digest of a member result: (fam, n, checksum[, sample]).
+
+    ``with_sample`` adds the column (schema-uniform across the
+    composite's union); ``sampled`` fills it with the sorted canonical
+    rows joined by ';' (order-insensitive, capped) instead of ''."""
     cols = sorted(df.columns)
     dtypes = dict(df.dtypes)
     cc = F.concat_ws(
         _SEP, *[F.coalesce(_spark_canon(c, kind_of(dtypes[c])), F.lit(_NULL)) for c in cols]
     )
     h = F.conv(F.substring(F.md5(cc), 1, 8), 16, 10).cast("long")
-    return (
-        df.select(h.alias("_h"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("checksum"),
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("checksum"),
+    ]
+    out_cols = [F.lit(tag).alias("fam"), F.col("n"), F.col("checksum")]
+    if with_sample and sampled:
+        aggs.append(
+            F.substring(
+                F.concat_ws(";", F.sort_array(F.collect_list("_cc"))), 1, _SAMPLE_CAP
+            ).alias("sample")
         )
-        .select(F.lit(tag).alias("fam"), "n", "checksum")
+        out_cols.append(F.col("sample"))
+    elif with_sample:
+        out_cols.append(F.lit("").alias("sample"))
+    return (
+        df.select(cc.alias("_cc"), h.alias("_h"))
+        .agg(*aggs)
+        .select(*out_cols)
     )
 
 
-def _oracle_block(member: str, sql: str, manifest: list[tuple[str, str]]) -> str:
+def _oracle_block(
+    member: str,
+    sql: str,
+    manifest: list[tuple[str, str]],
+    with_sample: bool = False,
+) -> str:
     parts = ", ".join(
         f"COALESCE({_duck_canon(c, k)}, chr(2))" for c, k in sorted(manifest)
     )
+    sample = ""
+    if with_sample and member in SAMPLED_MEMBERS:
+        sample = (
+            f",\n       SUBSTR(COALESCE(string_agg(cc, ';' ORDER BY cc), ''), 1, {_SAMPLE_CAP})"
+            " AS sample"
+        )
+    elif with_sample:
+        sample = ",\n       '' AS sample"
     return (
         f"SELECT '{member}' AS fam, COUNT(*) AS n,\n"
-        f"       CAST(COALESCE(SUM(CAST('0x' || SUBSTR(md5(cc),1,8) AS BIGINT)), 0) AS BIGINT) AS checksum\n"
+        f"       CAST(COALESCE(SUM(CAST('0x' || SUBSTR(md5(cc),1,8) AS BIGINT)), 0) AS BIGINT) AS checksum"
+        f"{sample}\n"
         f"FROM (SELECT concat_ws(chr(1), {parts}) AS cc FROM ({sql}) _m) _h"
     )
 
@@ -327,8 +365,18 @@ REGISTER_ORDER = [
 
 
 def make_composite(name: str, members: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    with_sample = any(m in SAMPLED_MEMBERS for m in members)
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        parts = [block_digest(MEMBER_QUERIES[m](spark, sf_dir), m) for m in members]
+        parts = [
+            block_digest(
+                MEMBER_QUERIES[m](spark, sf_dir),
+                m,
+                with_sample=with_sample,
+                sampled=m in SAMPLED_MEMBERS,
+            )
+            for m in members
+        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionAll(p)
@@ -359,8 +407,10 @@ def registered_oracles() -> dict[str, str]:
             missing = [m for m in members if m not in MEMBER_ORACLES]
             if missing:  # composites must stay fully oracle-backed
                 raise KeyError(f"composite {name} members lack oracles: {missing}")
+            with_sample = any(m in SAMPLED_MEMBERS for m in members)
             out[name] = "\nUNION ALL\n".join(
-                _oracle_block(m, MEMBER_ORACLES[m], MANIFEST[m]) for m in members
+                _oracle_block(m, MEMBER_ORACLES[m], MANIFEST[m], with_sample=with_sample)
+                for m in members
             )
         elif name in MEMBER_ORACLES:
             out[name] = MEMBER_ORACLES[name]

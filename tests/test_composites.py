@@ -67,3 +67,16 @@ def test_composite_checksums_match_duckdb(spark):
     drows = {tuple(r) for r in con.execute(composite.registered_oracles()[name]).fetchall()}
     assert srows == drows
     assert len(srows) == len(composite.COMPOSITES[name])
+
+
+def test_sampled_audit_members_embed_rows(spark):
+    """Composites containing SAMPLED_MEMBERS carry a ``sample`` column
+    whose sampled rows join with ';' (self-describing red rows); other
+    members in the same composite carry ''."""
+    from generic_data_ingestor_framework_spark import composite
+
+    qs = composite.registered_queries()
+    rows = {r["fam"]: r for r in qs["dedup_minhash_sig"](spark, SF_DIR).collect()}
+    audit = rows["lsh_scurve_audit"]
+    assert audit["sample"].count(";") == audit["n"] - 1 and audit["n"] > 1
+    assert rows["dedup_minhash_sig"]["sample"] == ""
