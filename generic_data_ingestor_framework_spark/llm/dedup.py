@@ -1189,6 +1189,60 @@ def _banded_union_sql(n_perm: int, bands: int) -> str:
 
 _SIG_CTE = _sig_cte(N_PERM)
 
+
+def _cc_labels_cte(rounds: int) -> tuple[str, str]:
+    """Connected components as an UNROLLED min-label-propagation +
+    pointer-jumping CTE chain (the engine's own algorithm,
+    ``connected_components``) — replaces the r8 ``WITH RECURSIVE
+    reach(src, dst)`` transitive closure, which materializes |C|² rows
+    per component and made the oracle effectively non-terminating on
+    the sf1 planted near-clique (~2,500 docs → 6M+ reach rows joined
+    against a 6M-edge list every iteration). Each unrolled round is
+    LINEAR in |edges|: a neighbor-min aggregate then one pointer jump
+    (lbl := lbl(lbl)), so label distance roughly doubles per round.
+    ``rounds`` must cover the component diameter after jumping;
+    equality with the engine's exact fixpoint is what the oracle check
+    itself validates at every SF, so an insufficient depth shows up as
+    a red row, never silently."""
+    parts = ["l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents)"]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+          SELECT node, min(lbl) AS lbl FROM (
+            SELECT node, lbl FROM {prev}
+            UNION ALL
+            SELECT e.a AS node, l.lbl FROM edges e JOIN {prev} l ON l.node = e.b
+          ) GROUP BY node
+        )"""
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT c.node, m.lbl FROM p{i} c JOIN p{i} m ON c.lbl = m.node)"
+        )
+        prev = f"l{i}"
+    return ",\n        ".join(parts), prev
+
+
+_CC_EDGES_CTE = """banded AS MATERIALIZED (
+          SELECT doc_id, 0 AS band_idx, concat_ws('_', mh0, mh1) AS band_sig FROM sig
+          UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+          UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+          UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        ),
+        edges AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        )"""
+
+_CC_LABELS_CTE, _CC_FINAL = _cc_labels_cte(rounds=8)
+
+
 def _pagerank_oracle() -> str:
     """The power-iteration trajectory unrolled into CTEs; reuses the
     LSH-pairs oracle verbatim as the edge source so the two members can
@@ -1276,60 +1330,20 @@ ORACLES = {
           FROM nk) WHERE rn = 1
     """,
     "dedup_keep_corpus": f"""
-        WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
-        banded AS (
-          SELECT doc_id, 0 AS band_idx, concat_ws('_', mh0, mh1) AS band_sig FROM sig
-          UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
-          UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
-          UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig
-        ),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-           AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs
-        ),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        ),
-        keepers AS (
-          SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(dst)
-        )
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        {_CC_EDGES_CTE},
+        {_CC_LABELS_CTE}
         SELECT d.doc_id, d.lang, d.source, d.n_chars
-        FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+        FROM documents d JOIN {_CC_FINAL} l
+          ON d.doc_id = l.node AND l.node = l.lbl
     """,
     "dedup_cluster_assign": f"""
-        WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
-        banded AS (
-          SELECT doc_id, 0 AS band_idx, concat_ws('_', mh0, mh1) AS band_sig FROM sig
-          UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
-          UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
-          UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig
-        ),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-           AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs
-        ),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        )
-        SELECT src AS doc_id, min(dst) AS cluster_id,
-               (src = min(dst)) AS is_keeper
-        FROM reach GROUP BY src
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        {_CC_EDGES_CTE},
+        {_CC_LABELS_CTE}
+        SELECT node AS doc_id, lbl AS cluster_id,
+               (node = lbl) AS is_keeper
+        FROM {_CC_FINAL}
     """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
