@@ -288,7 +288,7 @@ COMPOSITES: dict[str, list[str]] = {
         "window_tumbling_hourly", "window_sliding_1h_30m", "events_multi_rollup",
         "stream_dedup_keys", "stream_interval_join_exact", "funnel_conversion",
         "events_rolling_zscore", "stream_rolling_zscore",
-        "events_range_window_1h", "stream_dedup_near",
+        "events_range_window_1h", "stream_dedup_near", "events_asof_tolerance_30m",
     ],
     "sessions_family": [
         "session_window_10m", "session_stats_per_user", "stream_session_windows",

@@ -668,6 +668,36 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "purchase_id", "purchase_ts", "click_id")
 
 
+def events_asof_tolerance_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH LOOKBACK TOLERANCE (pandas ``merge_asof
+    (tolerance=...)`` semantics): each purchase matches the user's most
+    recent click at-or-before its timestamp ONLY if that click is
+    within 30 minutes — staler matches null out and inner semantics
+    drop them. Exercises ``asof_join``'s tolerance path end-to-end
+    against DuckDB's native ASOF JOIN + an interval predicate (the
+    nearest-preceding match is the same row in both engines, so
+    filtering it by age is equivalent to nulling stale fills). Same
+    single-shuffle single-sort plan as ``events_asof_join``."""
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        how="inner",
+        tolerance="30 MINUTES",
+        right_tiebreak="click_id",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id")
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The interval join as a REAL stream-stream join: both sides are
     file streams with watermarks; matched pairs are emitted in append
@@ -1326,6 +1356,7 @@ QUERIES = {
     "stream_rolling_zscore": stream_rolling_zscore,
     "events_range_window_1h": events_range_window_1h,
     "stream_dedup_near": stream_dedup_near,
+    "events_asof_tolerance_30m": events_asof_tolerance_30m,
 }
 
 ORACLES = {
@@ -1591,3 +1622,23 @@ from generic_data_ingestor_framework_spark.llm.dedup import (  # noqa: E402
 )
 
 ORACLES["stream_dedup_near"] = _DEDUP_ORACLES["dedup_incremental_near"]
+
+# tolerance variant: DuckDB's nearest-preceding ASOF match aged by an
+# interval predicate == the engine's stale-fill null-out + inner filter
+ORACLES["events_asof_tolerance_30m"] = """
+    WITH clk AS (
+      SELECT user_id, ts, event_id AS click_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+    ),
+    prch AS (
+      SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts, c.click_id
+    FROM prch p ASOF JOIN clk c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    WHERE p.ts - c.ts <= INTERVAL 30 MINUTE
+"""
