@@ -619,6 +619,124 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(batch, corpus).select("doc_id", "lang")
 
 
+def bands_per_row(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(id, band_key)`` MinHash band signatures computed PER ROW —
+    ``array_min`` over the shingle array applies the same affine
+    permutations to the same 32-bit shingle hash as the
+    ``_minhash_sig_df`` AGGREGATE, so signatures are identical (the
+    min over a set equals the min over its exploded rows). Because no
+    aggregate is involved, this projection works on static frames AND
+    unbounded streams; docs too short to carry a shingle produce no
+    rows (matching the aggregate, which has no group for them).
+    ``band_key`` = ``{band_idx}:{band_sig}`` — one join/state column."""
+    a, b = minhash_coeffs(N_PERM)
+    rpb = N_PERM // BANDS
+    staged = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+        .withColumn("__sh", shingles_from_tokens(F.col("__toks")))
+        .filter(F.size("__sh") > 0)
+        .withColumn("__hs", F.transform("__sh", lambda s: portable_hash32(s)))
+    )
+    sig = staged.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform("__hs", lambda h: (F.lit(a[j]) * h + F.lit(b[j])) % MOD)
+            ).alias(f"mh{j}")
+            for j in range(N_PERM)
+        ],
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                F.concat_ws("_", *[F.col(f"mh{rpb * i + r}") for r in range(rpb)]),
+            )
+            for i in range(BANDS)
+        ]
+    )
+    return sig.select(id_col, F.explode(band_keys).alias("band_key"))
+
+
+def save_band_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's near-dup history as a hash-BUCKETED table of
+    DISTINCT band keys — the cross-RUN completion of
+    ``dedup_incremental_near`` (whose history lives for one session).
+    The index stores only band keys (≤4 short strings per document,
+    deduplicated), so a trillion-document history stays a compact
+    relation; bucketing on ``band_key`` makes every future
+    ``dedup_against_band_index`` probe shuffle-free on the history
+    side — only the (small) new batch moves. ``mode="append"`` adds a
+    run's admitted documents to the history (see
+    ``update_band_index``)."""
+    bands = bands_per_row(docs, id_col, text_col).select("band_key").distinct()
+    writer = bands.write.mode(mode).bucketBy(n_buckets, "band_key")
+    writer.saveAsTable(table)
+
+
+def update_band_index(
+    spark: SparkSession,
+    admitted: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Append a run's ADMITTED documents' band keys to the history
+    index (same bucketing — appended files land in matching buckets,
+    so the probe join stays shuffle-free on the history side)."""
+    save_band_index(
+        spark, admitted, table, id_col, text_col, n_buckets, mode="append"
+    )
+
+
+def dedup_against_band_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-RUN near-duplicate dedup: the admitted subset of
+    ``new_docs`` against a SAVED band index (``save_band_index``) —
+    the every-crawl loop: load yesterday's index, drop near-dups of
+    history AND of earlier (min-id) batch docs, append the survivors'
+    bands back (``update_band_index``), repeat tomorrow.
+
+    Same contract as ``dedup_incremental_near``: rejected when any
+    band key exists in the history (semi join — the bucketed index
+    side reads in place, no shuffle) or was claimed by a smaller-id
+    batch doc (window over the batch's own band rows — batch-sized);
+    docs with no shingles carry no signature and are not admitted."""
+    from pyspark.sql import Window as W
+
+    idx = spark.table(table)
+    nb = bands_per_row(new_docs.select(id_col, text_col), id_col, text_col)
+    hit = nb.join(idx, "band_key", "semi").select(id_col).distinct()
+    w = W.partitionBy("band_key").orderBy(id_col)
+    loser = (
+        nb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+        .distinct()
+    )
+    signed = nb.select(id_col).distinct()
+    return (
+        new_docs.join(signed, id_col, "semi")
+        .join(hit, id_col, "anti")
+        .join(loser, id_col, "anti")
+    )
+
+
 def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run NEAR-duplicate dedup: ``dedup_incremental`` catches
     exact re-crawls, but production pipelines must also refuse content

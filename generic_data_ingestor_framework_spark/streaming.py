@@ -1068,7 +1068,7 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch ``_minhash_sig_df`` aggregate, so signatures are identical),
     explodes to band rows, stream-static LEFT-joins the session-
     persisted corpus band index, then claims bands in
-    ``applyInPandasWithState`` keyed on (band_idx, band_sig): state is
+    ``applyInPandasWithState`` keyed on ``band_key``: state is
     ONE boolean per distinct band signature (the compact index —
     history size never grows with stream length beyond distinct
     bands). Verdict rows drain to the memory sink; a doc is admitted
@@ -1085,53 +1085,25 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from generic_data_ingestor_framework_spark.llm.dedup import (
-        BANDS,
-        MOD,
-        N_PERM,
         _banded_df,
-        minhash_coeffs,
+        bands_per_row,
         portable_hash32,
-        shingles_from_tokens,
-        tokens_col,
     )
 
-    a, b = minhash_coeffs(N_PERM)
-    rpb = N_PERM // BANDS
     bucket = portable_hash32(F.col("doc_id").cast("string")) % 2
-    # staged projections: each HOF input is a materialized column, so
-    # Catalyst cannot re-inline the tokenizer/hash into every lambda
-    staged = (
-        read_docs_stream(spark, sf_dir)
-        .filter(bucket == 1)
-        .select("doc_id", tokens_col().alias("toks"))
-        .withColumn("sh", shingles_from_tokens(F.col("toks")))
-        .filter(F.size("sh") > 0)  # unsigned docs: absent in batch twin too
-        .withColumn("hs", F.transform("sh", lambda s: portable_hash32(s)))
+    # per-row banding (no aggregate — legal on an unbounded stream),
+    # signature-identical to the batch aggregate: see bands_per_row
+    stream_bands = bands_per_row(
+        read_docs_stream(spark, sf_dir).filter(bucket == 1), "doc_id", "text"
     )
-    sig = staged.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h: (F.lit(a[j]) * h + F.lit(b[j])) % MOD)
-            ).alias(f"mh{j}")
-            for j in range(N_PERM)
-        ],
-    )
-    band_cols = F.array(
-        *[
-            F.concat_ws("_", *[F.col(f"mh{rpb * i + r}") for r in range(rpb)])
-            for i in range(BANDS)
-        ]
-    )
-    stream_bands = sig.select("doc_id", F.posexplode(band_cols).alias("band_idx", "band_sig"))
     corpus = (
         _banded_df(spark, sf_dir)
         .filter(F.col("bucket") == 0)
-        .select("band_idx", "band_sig")
+        .select(F.concat_ws(":", "band_idx", "band_sig").alias("band_key"))
         .distinct()
         .withColumn("corpus_hit", F.lit(True))
     )
-    joined = stream_bands.join(corpus, ["band_idx", "band_sig"], "left")
+    joined = stream_bands.join(corpus, ["band_key"], "left")
 
     out_schema = T.StructType(
         [
@@ -1160,7 +1132,7 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q = (
-            joined.groupBy("band_idx", "band_sig")
+            joined.groupBy("band_key")
             .applyInPandasWithState(
                 claim, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
             )

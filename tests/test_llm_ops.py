@@ -1737,3 +1737,52 @@ def test_lsh_scurve_audit_shape(spark):
     assert sum(r["n_pairs"] for r in rows.values()) == n * (n - 1) // 2
     top = max(b for b in rows if b >= 0)
     assert rows[top]["cand_rate"] >= rows.get(0, rows[top])["cand_rate"]
+
+
+def test_band_index_cross_run_dedup(spark, tmp_path):
+    """The SAVED band index (cross-run near-dup history) must make
+    dedup_against_band_index reproduce dedup_incremental_near exactly;
+    the bucketed history side must read WITHOUT a shuffle; and after
+    update_band_index with the admitted docs, re-running the same
+    batch admits nothing (idempotent re-crawl)."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        dedup_against_band_index,
+        dedup_incremental_near,
+        portable_hash32,
+        save_band_index,
+        update_band_index,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+    from generic_data_ingestor_framework_spark.scale import count_exchanges
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 2
+    corpus = d.filter(bucket == 0)
+    batch = d.filter(bucket == 1)
+    table = "band_index_t1"
+    try:
+        save_band_index(spark, corpus, table)
+        admitted = dedup_against_band_index(spark, batch, table)
+        got = {(r["doc_id"], r["lang"]) for r in admitted.select("doc_id", "lang").collect()}
+        want = {
+            (r["doc_id"], r["lang"])
+            for r in dedup_incremental_near(spark, sf).collect()
+        }
+        assert got == want and len(got) > 0
+
+        # history side of the semi probe is bucketed: exactly ONE
+        # exchange in the probe plan (the batch side), never two
+        from generic_data_ingestor_framework_spark.llm.dedup import bands_per_row
+
+        probe = bands_per_row(batch.select("doc_id", "text")).join(
+            spark.table(table), "band_key", "semi"
+        )
+        assert count_exchanges(probe) <= 1
+
+        # crawl loop: append admitted docs' bands, re-run same batch
+        update_band_index(spark, admitted.select("doc_id", "text"), table)
+        again = dedup_against_band_index(spark, batch, table)
+        assert again.count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
