@@ -380,6 +380,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_BANDS = 6          # LSH bands for embedding near-dup candidates
 EMB_PLANES_PER_BAND = 4  # hyperplanes per band (16 buckets/band)
 EMB_DUP_THRESHOLD = 0.4  # exact-cosine cutoff after candidate pruning
+# Degenerate-cell cap: a band bucket holding more vectors than this is
+# a hash cell the 4-plane family cannot discriminate (the synthetic
+# corpus concentrates ~20% of vectors in one cell) — its within-bucket
+# candidates are overwhelmingly sub-threshold false positives, and its
+# pair mass grows QUADRATICALLY with the corpus (measured r9: 1.3M
+# candidate pairs at sf0.1 → 134M at sf1 for 10× data). Buckets over
+# the cap are excluded from candidate generation — the TRI_DEG_CAP /
+# DF_CAP mechanism; near-dup pairs inside a mega-bucket keep their
+# EMB_BANDS-1 other chances. Sized so no test-scale bucket ≤ sf0.1
+# crosses it (max observed 434) — results at the gate SFs are
+# bit-identical, only the decade-up corpus is capped.
+EMB_BUCKET_CAP = 512
 
 
 def _band_bucket(v_col, band: int):
@@ -416,9 +428,15 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape mirrors ``dedup_minhash_lsh_pairs``: vectors land in
     ``EMB_BANDS`` independent hyperplane-LSH buckets, candidates are
     pairs sharing ANY band bucket (an equi-join on (band, bucket) —
-    never an all-pairs cross join), and only candidates pay the exact
-    cosine, which must clear ``EMB_DUP_THRESHOLD``. Deterministic
-    arithmetic planes keep the DuckDB oracle in lockstep."""
+    never an all-pairs cross join) with buckets over
+    ``EMB_BUCKET_CAP`` excluded (degenerate cells — see the constant),
+    and only candidates pay the exact cosine, which must clear
+    ``EMB_DUP_THRESHOLD``. The cosine is computed MAP-SIDE right after
+    the bucket join and the pair dedup runs on (id, id, cos) only —
+    the r8 shape shuffled both full vector payloads through
+    ``dropDuplicates`` (measured: the dominant cost at sf1).
+    Deterministic arithmetic planes keep the DuckDB oracle in
+    lockstep."""
     vecs = _vectors(spark, sf_dir).select(
         "vec_id", "v", _norm(F.col("v")).alias("vn")
     )
@@ -426,8 +444,19 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = vecs.select(
         "vec_id", "v", "vn", F.posexplode(buckets).alias("band", "bucket")
     )
+    # ≤ EMB_BANDS × 2^planes rows (96 at the default config): broadcast
+    ok = F.broadcast(
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= EMB_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    banded = banded.join(ok, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn")), 6
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -437,20 +466,10 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.vn").alias("na"),
-            F.col("b.vn").alias("nb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn(
-            "cos_sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
-        .select("id_a", "id_b", "cos_sim")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1315,22 +1334,29 @@ ORACLES = {
         WITH vecs AS MATERIALIZED (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
-        banded AS MATERIALIZED (
+        banded_all AS MATERIALIZED (
 {_EMB_BANDED_CTE}
+        ),
+        ok AS MATERIALIZED (
+          SELECT band, bucket FROM banded_all
+          GROUP BY band, bucket HAVING count(*) <= {EMB_BUCKET_CAP}
+        ),
+        banded AS MATERIALIZED (
+          SELECT b.* FROM banded_all b JOIN ok USING (band, bucket)
         ),
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
-        SELECT id_a, id_b,
-               round({_DOT.format(a='x.v', b='y.v')}
-                 / ({_NORM.format(a='x.v')} * {_NORM.format(a='y.v')}), 6) AS cos_sim
-        FROM cand
-        JOIN vecs x ON x.vec_id = id_a
-        JOIN vecs y ON y.vec_id = id_b
-        WHERE round({_DOT.format(a='x.v', b='y.v')}
-                 / ({_NORM.format(a='x.v')} * {_NORM.format(a='y.v')}), 6) >= {EMB_DUP_THRESHOLD}
+        SELECT id_a, id_b, cos_sim FROM (
+          SELECT id_a, id_b,
+                 round({_DOT.format(a='x.v', b='y.v')}
+                   / ({_NORM.format(a='x.v')} * {_NORM.format(a='y.v')}), 6) AS cos_sim
+          FROM cand
+          JOIN vecs x ON x.vec_id = id_a
+          JOIN vecs y ON y.vec_id = id_b
+        ) WHERE cos_sim >= {EMB_DUP_THRESHOLD}
     """,
     "ann_cosine_topk": f"""
         WITH vecs AS (
