@@ -736,24 +736,38 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TFIDF_SCALE = 1000       # integer weight grain (exact cross-engine sums)
-TFIDF_DF_CAP = 100       # max document frequency for a term to join on
+TFIDF_DF_CAP = 100       # df-cap floor (SF-aware: max(100, n_docs/5), see below)
+TFIDF_DF_HARD = 20000    # absolute df ceiling (bounds per-term pair mass)
 TFIDF_SIM_TAU = 0.5      # cosine threshold for a reported pair
+TFIDF_TOP_K = 500        # report the K most similar pairs (bounded output)
 
 
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF cosine similarity join: document pairs whose
-    tf·idf vectors (over the DF-capped term space) have cosine ≥
-    ``TFIDF_SIM_TAU`` — the lexical-weighted complement to the set
+    """Sparse TF-IDF cosine similarity join: the ``TFIDF_TOP_K`` most
+    similar document pairs (tf·idf cosine ≥ ``TFIDF_SIM_TAU``, ranked
+    by rounded cosine with full (doc_a, doc_b) tie-break) over the
+    DF-capped term space — the lexical-weighted complement to the set
     (Jaccard), dense-embedding (cosine), and signature (MinHash) dedup
     passes: it matches docs that reuse the same DISTINCTIVE vocabulary
     even when n-gram overlap is low.
 
-    The similarity space is explicitly the capped one: terms with
-    ``df > TFIDF_DF_CAP`` carry near-zero idf AND would make join
-    buckets quadratic at corpus scale (the same key class the Jaccard
-    DF cap drops); ``df = 1`` terms cannot produce a pair and are
-    pruned before the join. Norms are computed over the same kept-term
-    space, so reported cosines are exact for that space.
+    The similarity space is explicitly the capped one, and the cap is
+    SF-AWARE: a term joins when ``2 ≤ df ≤ min(max(TFIDF_DF_CAP,
+    n_docs/5), TFIDF_DF_HARD)``. "Distinctive" is a corpus-share
+    property — a FIXED absolute cap goes vacuous as the corpus grows
+    (at sf0.1 every df≥2 term already exceeded 100 docs and the old
+    member returned 0 rows), while df ≤ 20% of docs keeps the same
+    idf semantics at every scale. The ``TFIDF_DF_HARD`` ceiling
+    bounds the worst-case per-term pair mass (df² ≤ 4·10⁸ join rows
+    per term) independently of corpus size; at sf0.01 the formula
+    reduces to the historical cap exactly (max(100, 500/5) = 100).
+    ``df = 1`` terms cannot produce a pair and are pruned before the
+    join. Norms are computed over the same kept-term space, so
+    reported cosines are exact for that space. The top-K output
+    contract bounds the result (a duplication-heavy corpus has
+    quadratically many qualifying pairs — 5.4M at the sf1 decade-up)
+    and runs as a per-partition partial top-K (TakeOrderedAndProject),
+    not a global sort.
 
     Determinism: weights are integer-scaled (``round(tf·ln(N/df)·1000)``
     as BIGINT) so dot products and squared norms are exact integer
@@ -775,10 +789,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
         nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+        df_cap = F.least(
+            F.greatest(F.lit(TFIDF_DF_CAP).cast("bigint"), F.expr("n_docs DIV 5")),
+            F.lit(TFIDF_DF_HARD).cast("bigint"),
+        )
         return (
             tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
-            .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_CAP))
             .crossJoin(F.broadcast(nd))
+            .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
             .select(
                 "doc_id",
                 "term",
@@ -820,6 +838,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b", "n_shared_terms", F.round(cos, 6).alias("tfidf_cos")
         )
+        .orderBy(F.desc("tfidf_cos"), "doc_a", "doc_b")
+        .limit(TFIDF_TOP_K)
     )
 
 
@@ -1126,7 +1146,8 @@ ORACLES = {
           FROM (SELECT doc_id, term, tf,
                        count(*) OVER (PARTITION BY term) AS df
                 FROM tf), nd
-          WHERE df >= 2 AND df <= {TFIDF_DF_CAP}
+          WHERE df >= 2
+            AND df <= least(greatest({TFIDF_DF_CAP}, n_docs // 5), {TFIDF_DF_HARD})
         ),
         norms AS (
           SELECT doc_id, sqrt(CAST(sum(wi * wi) AS DOUBLE)) AS nrm
@@ -1146,6 +1167,8 @@ ORACLES = {
         JOIN norms na ON na.doc_id = doc_a
         JOIN norms nb ON nb.doc_id = doc_b
         WHERE dot / (na.nrm * nb.nrm) >= {TFIDF_SIM_TAU}
+        ORDER BY tfidf_cos DESC, doc_a, doc_b
+        LIMIT {TFIDF_TOP_K}
     """,
     "doc_topgram_mass": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),

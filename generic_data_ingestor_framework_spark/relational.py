@@ -803,23 +803,44 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q20_MEAN_MULT = 2  # a (supplier, part) volume is "heavy" at >2x the mean
+
+
 def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested semi-join chain
     (part-name filter → heavy (supplier, part) volumes → supplier).
 
+    "Heavy" is MEAN-RELATIVE: a (supplier, part) pair qualifies when
+    its shipped quantity exceeds ``Q20_MEAN_MULT``× the mean pair
+    quantity over the filtered part set — TPC-H's own Q20 threshold is
+    relative (0.5× the shipped quantity), and a fixed absolute cut
+    (the old ``> 100``) goes vacuous as pairs get sparser with scale
+    (1 qualifying pair at sf0.1, 0 suppliers). Quantities are
+    quantized to BIGINT 1e-2 units so the threshold comparison is
+    exact integer arithmetic in both engines.
+
     Every IN becomes a semi join; the part list and nation list are
-    broadcast, and the fact scan is reduced by the part semi join
-    before the HAVING aggregation.
+    broadcast, the fact scan is reduced by the part semi join before
+    the HAVING aggregation, and the mean is a 1-row broadcast joined
+    back in-plan.
     """
     t = _t(spark, sf_dir)
     parts = t("part").filter(F.col("p_name").like("small%")).select("p_partkey")
     li = t("lineitem").join(
         F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "semi"
     )
+    pairs = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")).alias("qty_i")
+    )
+    mean = pairs.agg(
+        F.sum("qty_i").alias("total_i"), F.count(F.lit(1)).alias("n_pairs")
+    )
     heavy = (
-        li.groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 100)
+        pairs.crossJoin(F.broadcast(mean))
+        .filter(
+            F.col("qty_i") * F.col("n_pairs")
+            > F.lit(Q20_MEAN_MULT) * F.col("total_i")
+        )
         .select("l_suppkey")
     )
     nations = t("nation").filter(F.col("n_name").like("NATION_1%")).select("n_nationkey")
@@ -1276,6 +1297,20 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scalar subquery in HAVING). Value is proxied as shipped revenue
     from NATION_1 suppliers (no partsupp table).
 
+    The threshold is MEAN-RELATIVE — a part qualifies when its value
+    exceeds ``Q11_MEAN_MULT``× the mean per-part value — the same
+    SF-scaling the TPC-H spec builds into Q11 (its fraction is
+    0.0001/SF): a fixed global-share fraction selects a vanishing set
+    as the part count grows (0 rows at sf0.1+ with the old 0.001
+    share), while a mean multiple selects a stable population share at
+    every corpus size.
+
+    Determinism: values are quantized per-lineitem to BIGINT 1e-4
+    units before summing (double sums are order-sensitive and diverge
+    cross-engine at sf1+), so the threshold comparison is pure integer
+    arithmetic — ``value_i · n_parts > MULT · total_i`` — with no
+    float boundary an engine can land on differently.
+
     Scale shape: the same pre-aggregated relation feeds BOTH the
     per-part rows and the global threshold — the total is a 1-row
     broadcast joined back in-plan (no driver round trip, no second
@@ -1290,33 +1325,49 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    val_i = F.sum(
+        F.floor(F.col("l_extendedprice") * 10000 + 0.5).cast("bigint")
+    ).alias("value_i")
     per_part = (
         t("lineitem")
         .join(F.broadcast(n1_supp), F.col("l_suppkey") == F.col("s_suppkey"), "semi")
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("value"))
+        .agg(val_i)
     )
-    total = per_part.agg(F.sum("value").alias("total_value"))
+    total = per_part.agg(
+        F.sum("value_i").alias("total_i"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("total_value") * 0.001)
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        .filter(
+            F.col("value_i") * F.col("n_parts")
+            > F.lit(Q11_MEAN_MULT) * F.col("total_i")
+        )
+        .select(
+            "l_partkey",
+            (F.floor(F.col("value_i") / 100.0) / 100.0).alias("value"),
+        )
         .orderBy(F.desc("value"), "l_partkey")
     )
 
 
-_Q11_ORACLE = """
-SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
-FROM lineitem
-WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
-                    JOIN nation ON s_nationkey = n_nationkey
-                    WHERE n_name = 'NATION_1')
-GROUP BY l_partkey
-HAVING sum(l_extendedprice) > (
-    SELECT sum(l_extendedprice) * 0.001 FROM lineitem
-    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
-                        JOIN nation ON s_nationkey = n_nationkey
-                        WHERE n_name = 'NATION_1'))
+Q11_MEAN_MULT = 2  # a part is "important" at >2x the mean per-part value
+
+_Q11_ORACLE = f"""
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS value_i
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_1')
+  GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(value_i) AS BIGINT) AS total_i,
+               CAST(count(*) AS BIGINT) AS n_parts FROM pp)
+SELECT l_partkey, floor(value_i / 100.0) / 100.0 AS value
+FROM pp, tot
+WHERE value_i * n_parts > {Q11_MEAN_MULT} * total_i
 ORDER BY value DESC, l_partkey
 """
 
@@ -1808,14 +1859,21 @@ ORACLES: dict[str, str] = {
             SELECT avg(l_quantity) FROM lineitem i WHERE i.l_partkey = lineitem.l_partkey
           )
     """,
-    "q20_supplier_part_chain": """
+    "q20_supplier_part_chain": f"""
+        WITH pairs AS (
+          SELECT l_suppkey, l_partkey,
+                 sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_i
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          GROUP BY l_suppkey, l_partkey
+        ),
+        mean AS (SELECT CAST(sum(qty_i) AS BIGINT) AS total_i,
+                        CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
         SELECT s_name, round(s_acctbal, 2) AS s_acctbal
         FROM supplier
         WHERE s_suppkey IN (
-          SELECT l_suppkey FROM lineitem
-          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-          GROUP BY l_suppkey, l_partkey
-          HAVING sum(l_quantity) > 100
+          SELECT l_suppkey FROM pairs, mean
+          WHERE qty_i * n_pairs > {Q20_MEAN_MULT} * total_i
         )
         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         ORDER BY s_name
@@ -1857,7 +1915,7 @@ ORACLES: dict[str, str] = {
     """,
     "q8_market_share": _Q8_ORACLE,
     "q9_product_profit": _Q9_ORACLE,
-    "q11_important_stock": _Q11_ORACLE,
+    "q11_important_stock": _Q11_ORACLE,  # SF-aware mean-relative threshold
     "q12_late_shipment_priority": _Q12_ORACLE,
     "q15_top_supplier": _Q15_ORACLE,
     "q18_large_volume_customers": _Q18_ORACLE,
