@@ -737,6 +737,66 @@ def dedup_against_band_index(
     )
 
 
+def _reset_managed_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse location. A previous
+    PROCESS can leave the directory behind while the current session's
+    metastore has no such table — ``saveAsTable`` then refuses even
+    overwrite mode (LOCATION_ALREADY_EXISTS). Storage-agnostic via the
+    Hadoop FileSystem API (local path in tests, object store at
+    scale)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def band_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-run crawl loop driven END-TO-END through the
+    PERSISTED band index — the gate member for ``save_band_index`` /
+    ``dedup_against_band_index`` / ``update_band_index``
+    (batch-equality pytests prove each step; this member drives the
+    full save → probe → append → probe cycle through the bucketed
+    TABLE, so a regression in the persisted path — bucket layout,
+    append mode, semi-join claim order — flips the driver gate, not
+    just a unit test).
+
+    The corpus splits into three hash runs: run 0 seeds the index
+    (``save_band_index``, overwrite → idempotent re-runs), run 1
+    probes it and its admitted docs are WRITTEN to a table and
+    appended to the index (reading the admitted set back from its
+    table is the production shape — each crawl's output is durable —
+    and pins the probe result against the index append that follows
+    it in the same plan), run 2 probes the grown index. Output: the
+    admitted (doc_id, lang) of both runs, tagged ``run`` 1/2.
+
+    Scale shape: the index side of every probe is the bucketed
+    band-key table (never shuffles); only batch-sized relations move.
+    At 100 TB the only change is the table location (a real
+    warehouse path instead of the local metastore)."""
+    d = load_table(spark, sf_dir, "documents")
+    run = portable_hash32(F.col("doc_id").cast("string")) % 3
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir).strip("_")
+    idx_tbl = f"band_crawl_idx_{tag}"
+    adm_tbl = f"band_crawl_adm1_{tag}"
+    run0 = d.filter(run == 0).select("doc_id", "text")
+    run1 = d.filter(run == 1).select("doc_id", "lang", "text")
+    run2 = d.filter(run == 2).select("doc_id", "lang", "text")
+    _reset_managed_table(spark, idx_tbl)
+    _reset_managed_table(spark, adm_tbl)
+    save_band_index(spark, run0, idx_tbl)
+    adm1 = dedup_against_band_index(spark, run1, idx_tbl)
+    adm1.write.mode("overwrite").saveAsTable(adm_tbl)
+    adm1_saved = spark.table(adm_tbl)
+    update_band_index(spark, adm1_saved, idx_tbl)
+    adm2 = dedup_against_band_index(spark, run2, idx_tbl)
+    return adm1_saved.select("doc_id", "lang", F.lit(1).alias("run")).unionAll(
+        adm2.select("doc_id", "lang", F.lit(2).alias("run"))
+    )
+
+
 def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run NEAR-duplicate dedup: ``dedup_incremental`` catches
     exact re-crawls, but production pipelines must also refuse content
@@ -1271,6 +1331,7 @@ QUERIES = {
     "dedup_keep_corpus": dedup_keep_corpus,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
+    "band_index_crawl": band_index_crawl,
 }
 
 def _sig_cte(n_perm: int) -> str:
@@ -1562,6 +1623,63 @@ ORACLES["pagerank_doc_graph"] = _pagerank_oracle().format(
 _MH_MATCHES = " + ".join(
     f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(N_PERM)
 )
+# Band-index crawl oracle: the two-pass save→probe→append→probe loop
+# replayed in SQL — run 0 seeds the distinct-band history, run 1's
+# admissions (no band in history, band not claimed by a smaller-id
+# run-1 doc) extend it, run 2 probes the grown history.
+ORACLES["band_index_crawl"] = f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        banded AS MATERIALIZED (
+          SELECT doc_id,
+                 {_HASH_SQL.format(c="CAST(doc_id AS VARCHAR)")} % 3 AS run,
+                 band_idx, band_sig
+          FROM (
+            {_banded_union_sql(N_PERM, BANDS)}
+          )
+        ),
+        hist0 AS (SELECT DISTINCT band_idx, band_sig FROM banded WHERE run = 0),
+        b1 AS (SELECT doc_id, band_idx, band_sig FROM banded WHERE run = 1),
+        rej1 AS (
+          SELECT DISTINCT doc_id FROM b1
+          WHERE EXISTS (SELECT 1 FROM hist0 h
+                        WHERE h.band_idx = b1.band_idx AND h.band_sig = b1.band_sig)
+          UNION
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY band_idx, band_sig
+                                              ORDER BY doc_id) AS rn
+            FROM b1) WHERE rn > 1
+        ),
+        adm1 AS (
+          SELECT DISTINCT doc_id FROM b1
+          WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
+        ),
+        hist1 AS (
+          SELECT band_idx, band_sig FROM hist0
+          UNION
+          SELECT band_idx, band_sig FROM b1 JOIN adm1 USING (doc_id)
+        ),
+        b2 AS (SELECT doc_id, band_idx, band_sig FROM banded WHERE run = 2),
+        rej2 AS (
+          SELECT DISTINCT doc_id FROM b2
+          WHERE EXISTS (SELECT 1 FROM hist1 h
+                        WHERE h.band_idx = b2.band_idx AND h.band_sig = b2.band_sig)
+          UNION
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY band_idx, band_sig
+                                              ORDER BY doc_id) AS rn
+            FROM b2) WHERE rn > 1
+        ),
+        adm2 AS (
+          SELECT DISTINCT doc_id FROM b2
+          WHERE doc_id NOT IN (SELECT doc_id FROM rej2)
+        )
+        SELECT d.doc_id, d.lang, CAST(1 AS INT) AS run
+        FROM documents d JOIN adm1 USING (doc_id)
+        UNION ALL
+        SELECT d.doc_id, d.lang, CAST(2 AS INT) AS run
+        FROM documents d JOIN adm2 USING (doc_id)
+"""
+
 ORACLES["dedup_minhash_accuracy"] = f"""
         WITH pairs0 AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
         pairs AS (
