@@ -121,6 +121,7 @@ HEADLINE = [
 ]
 
 REGRESSION_RATIO = 1.3
+RAW_RATIO_CEIL = 2.0  # flag regardless of drift — normalization must not hide big ones
 STEADY_RUNS = 5  # report per-query medians; 5 runs so one JIT/GC-warming
                  # run right after the cold pass cannot drag the median
                  # (run-to-run machine variance is large on sub-second
@@ -219,11 +220,16 @@ def _vs_prev(times: dict[str, float], probe_s: float, sf: float) -> dict | None:
         "total_ratio_norm": (
             round(cur_total / prev_total / drift, 3) if prev_total else None
         ),
-        # flag on the NORMALIZED ratio; report raw alongside
+        # flag on the NORMALIZED ratio; report raw alongside. A raw
+        # ratio past RAW_RATIO_CEIL flags UNCONDITIONALLY: the probe is
+        # CPU-only, so an IO/shuffle-bound regression landing on a
+        # CPU-slow day would otherwise normalize itself under the
+        # threshold — drift may reclassify moderate ratios, never hide
+        # large ones.
         "regressions": {
             n: {"norm": round(norm[n], 3), "raw": round(raw[n], 3)}
             for n in sorted(norm)
-            if norm[n] > REGRESSION_RATIO
+            if norm[n] > REGRESSION_RATIO or raw[n] > RAW_RATIO_CEIL
         },
         "common_queries": len(common),
     }

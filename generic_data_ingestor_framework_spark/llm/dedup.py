@@ -1001,7 +1001,39 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(F.col("v").alias("doc_id"), F.round("p", 6).alias("pagerank"))
 
 
-MH_ACC_SAMPLE_MOD = 4  # audit 1 in N candidate pairs (deterministic hash sample)
+MH_ACC_MOD_TIERS = ((20_000, 4), (200_000, 16))  # (< n_docs bound, mod); else ↓
+MH_ACC_MOD_CEIL = 64        # past the last tier
+
+
+def _acc_sample_mod(spark: SparkSession, sf_dir: str) -> int:
+    """SF-aware audit sample modulus: candidate-pair mass grows
+    quadratically with duplicate-family size, so a fixed 1-in-4 sample
+    re-inflates at each corpus decade (sf1 measured 4.4× for 10× data
+    at mod 4). The modulus steps ×4 per decade past 20k docs —
+    estimator calibration needs a stable SAMPLE SIZE, not a stable
+    sample RATE. The tier function is integer-threshold CASE logic so
+    the DuckDB oracle (``_MH_ACC_MOD_SQL``) reproduces it exactly (the
+    ``lsh_scurve_audit``/SemDeDup adaptive-k precedent)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    n = shared_value(
+        spark,
+        ("n_docs", sf_dir),
+        lambda: load_table(spark, sf_dir, "documents").count(),
+    )
+    for bound, mod in MH_ACC_MOD_TIERS:
+        if n < bound:
+            return mod
+    return MH_ACC_MOD_CEIL
+
+
+_MH_ACC_MOD_SQL = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN count(*) < {bound} THEN {mod}" for bound, mod in MH_ACC_MOD_TIERS
+    )
+    + f" ELSE {MH_ACC_MOD_CEIL} END FROM documents)"
+)
 
 
 def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,18 +1052,19 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus size. All arithmetic is integer counts + one division,
     4-dp floored.
 
-    The audit runs over a deterministic 1-in-``MH_ACC_SAMPLE_MOD``
-    hash-sample of the candidate pairs: estimator calibration is a
-    statistical question, and on a duplication-heavy corpus the pair
-    mass is quadratic in family size (the round-8 sf1 decade-up
-    measured 7.8× before sampling) — the sample rate is the audit's
-    cost knob, and membership is portable hash arithmetic so both
-    engines audit the identical subset."""
+    The audit runs over a deterministic hash-sample of the candidate
+    pairs whose modulus STEPS WITH CORPUS SIZE (``_acc_sample_mod``):
+    estimator calibration is a statistical question, and on a
+    duplication-heavy corpus the pair mass is quadratic in family size
+    (the round-8 sf1 decade-up measured 7.8× before sampling, 4.4×
+    at a fixed 1-in-4) — membership is portable hash arithmetic and
+    the modulus an integer tier function, so both engines audit the
+    identical subset at every scale."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).filter(
         portable_hash32(
             F.concat(F.col("doc_a").cast("string"), F.lit("_"),
                      F.col("doc_b").cast("string"))
-        ) % MH_ACC_SAMPLE_MOD == 0
+        ) % _acc_sample_mod(spark, sf_dir) == 0
     )
     sig = _minhash_sig_df(spark, sf_dir)
     a = sig.select(
@@ -1685,7 +1718,7 @@ ORACLES["dedup_minhash_accuracy"] = f"""
         pairs AS (
           SELECT doc_a, doc_b FROM pairs0
           WHERE {_HASH_SQL.format(c="CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR)")}
-                % {MH_ACC_SAMPLE_MOD} = 0
+                % {_MH_ACC_MOD_SQL} = 0
         ),
         {_SHINGLES_CTE},
         {_SIG_CTE},

@@ -559,6 +559,8 @@ def asof_join(
     """
     from pyspark.sql import Window as W
 
+    from pyspark.sql.types import StructField, StructType
+
     right_cols = right_cols or [
         c for c in right.columns if c not in {*by, right_ts}
     ]
@@ -568,12 +570,22 @@ def asof_join(
     tie_type = (
         right.schema[right_tiebreak].dataType if right_tiebreak else None
     )
+    # the carried right row travels as ONE struct (matched right ts +
+    # every carried column) so the fill is ATOMIC: per-column
+    # last(ignorenulls) would stitch values from DIFFERENT right rows
+    # whenever the winning row has NULL in one carried column while an
+    # older row has it non-null — the as-of contract (pandas/DuckDB) is
+    # "carry the matched row's values, its NULLs included"
+    rrow_type = StructType(
+        [StructField("__rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l_tag = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *([F.lit(None).cast(tie_type).alias("__tie")] if right_tiebreak else []),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(rrow_type).alias("__rrow"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in {*by}],
     )
     r_tag = right.select(
@@ -581,7 +593,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *([F.col(right_tiebreak).alias("__tie")] if right_tiebreak else []),
-        *right_cols,
+        F.struct(F.col(right_ts).alias("__rts"), *right_cols).alias("__rrow"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
             for c in left.columns
@@ -600,35 +612,20 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = [
-        F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols
-    ]
-    # carry the matched right timestamp too so a lookback tolerance
-    # (pandas merge_asof parity) can age out stale matches
-    carried.append(
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__asof_rts")
-    )
     out = (
         l_tag.unionByName(r_tag)
-        .select("*", *carried)
+        .select("*", F.last("__rrow", ignorenulls=True).over(w).alias("__asof"))
         .filter(F.col("__side") == 1)
     )
     if tolerance is not None:
-        stale = F.col("__asof_rts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            *[c for c in out.columns if not c.startswith("__asof_")],
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(f"__asof_{c}")).alias(f"__asof_{c}")
-                for c in right_cols
-            ],
+        stale = (
+            F.col("__asof.__rts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.withColumn(
+            "__asof", F.when(stale, F.lit(None).cast(rrow_type)).otherwise(F.col("__asof"))
         )
     if how == "inner":
-        matched = F.lit(False)
-        for c in right_cols:
-            matched = matched | F.col(f"__asof_{c}").isNotNull()
-        out = out.filter(matched)
+        out = out.filter(F.col("__asof").isNotNull())
     return out.select(
         *by,
         *[
@@ -636,7 +633,7 @@ def asof_join(
             for c in left.columns
             if c not in {*by}
         ],
-        *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
+        *[F.col("__asof")[c].alias(c) for c in right_cols],
     )
 
 
@@ -1054,6 +1051,56 @@ def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_table_stream(spark, sf_dir, "documents", DOCS_RAW_SCHEMA)
 
 
+def dedup_near_verdict_stream(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    corpus_band_keys: DataFrame,
+) -> DataFrame:
+    """The streaming verdict relation behind ``stream_dedup_near``:
+    per-row MinHash banding on the document stream, stream-static left
+    join against the corpus band-key set, band claims in
+    ``applyInPandasWithState`` keyed on ``band_key`` — one
+    ``(doc_id, rejected)`` row per (doc, band) claim attempt. Run with
+    a checkpointed fault-tolerant sink (e.g. ``foreachBatch`` →
+    parquet) the claimed-band state SURVIVES RESTARTS: a doc whose
+    band was admitted in a previous run is rejected after the restart,
+    and already-processed files are never re-emitted (exactly-once
+    across restarts; pinned by
+    ``test_stream_dedup_near_restart_exactly_once``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from generic_data_ingestor_framework_spark.llm.dedup import bands_per_row
+
+    stream_bands = bands_per_row(stream_docs, "doc_id", "text")
+    corpus = corpus_band_keys.withColumn("corpus_hit", F.lit(True))
+    joined = stream_bands.join(corpus, ["band_key"], "left")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rejected", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("claimed", T.BooleanType())])
+
+    def claim(key, pdfs, state: GroupState):
+        claimed = bool(state.get[0]) if state.exists else False
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        if rows["corpus_hit"].notna().any():
+            claimed = True  # the history owns this band outright
+        rej = []
+        for _ in range(len(rows)):
+            rej.append(claimed)
+            claimed = True  # first unclaimed arrival takes the band
+        state.update((claimed,))
+        yield pd.DataFrame({"doc_id": rows["doc_id"].values, "rejected": rej})
+
+    return joined.groupBy("band_key").applyInPandasWithState(
+        claim, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-duplicate dedup — the unbounded completion of
     ``llm.dedup.dedup_incremental_near``: documents arrive as a file
@@ -1081,49 +1128,21 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same dropped-exactly-once guarantee, with arrival order
     deciding the winner — the same contract ``stream_dedup_keys``
     documents for exact dedup."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     from generic_data_ingestor_framework_spark.llm.dedup import (
         _banded_df,
-        bands_per_row,
         portable_hash32,
     )
 
     bucket = portable_hash32(F.col("doc_id").cast("string")) % 2
     # per-row banding (no aggregate — legal on an unbounded stream),
     # signature-identical to the batch aggregate: see bands_per_row
-    stream_bands = bands_per_row(
-        read_docs_stream(spark, sf_dir).filter(bucket == 1), "doc_id", "text"
-    )
+    stream_docs = read_docs_stream(spark, sf_dir).filter(bucket == 1)
     corpus = (
         _banded_df(spark, sf_dir)
         .filter(F.col("bucket") == 0)
         .select(F.concat_ws(":", "band_idx", "band_sig").alias("band_key"))
         .distinct()
-        .withColumn("corpus_hit", F.lit(True))
     )
-    joined = stream_bands.join(corpus, ["band_key"], "left")
-
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("rejected", T.BooleanType()),
-        ]
-    )
-    state_schema = T.StructType([T.StructField("claimed", T.BooleanType())])
-
-    def claim(key, pdfs, state: GroupState):
-        claimed = bool(state.get[0]) if state.exists else False
-        rows = pd.concat(list(pdfs)).sort_values("doc_id")
-        if rows["corpus_hit"].notna().any():
-            claimed = True  # the history owns this band outright
-        rej = []
-        for _ in range(len(rows)):
-            rej.append(claimed)
-            claimed = True  # first unclaimed arrival takes the band
-        state.update((claimed,))
-        yield pd.DataFrame({"doc_id": rows["doc_id"].values, "rejected": rej})
 
     sink = _unique_sink("stream_dedup_near_sink")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1132,10 +1151,7 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q = (
-            joined.groupBy("band_key")
-            .applyInPandasWithState(
-                claim, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-            )
+            dedup_near_verdict_stream(spark, stream_docs, corpus)
             .writeStream.format("memory")
             .queryName(sink)
             .outputMode("update")
@@ -1143,6 +1159,19 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         verdicts = _drain_memory_sink(spark, q, sink, "stream_dedup_near")
+        # Parity pin: the exact min-doc_id oracle equality REQUIRES the
+        # whole table in ONE micro-batch (within-band winners follow
+        # arrival order across triggers). availableNow over a parquet
+        # table lists all files in one trigger ONLY while no
+        # maxFilesPerTrigger-style option reaches the shared reader —
+        # assert it rather than silently diverge if that ever changes.
+        fed = [p for p in q.recentProgress if (p.numInputRows or 0) > 0]
+        if len(fed) > 1:
+            raise AssertionError(
+                f"stream_dedup_near parity contract violated: input arrived "
+                f"in {len(fed)} micro-batches (expected 1) — a file-batching "
+                f"option on the reader breaks min-doc_id oracle equality"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     admitted = (

@@ -94,3 +94,53 @@ def test_asof_join_tiebreak_matches_naive(spark, left, right):
         ).collect()
     }
     assert got == naive_asof_tiebreak(left, right)
+
+
+def naive_asof_tiebreak_payload(left, right):
+    """Winner = max rid among equal-(key, max ts) rows; the carried
+    payload is THAT row's (possibly NULL) payload — never stitched
+    from an older row."""
+    out = set()
+    for i, (k, lt) in enumerate(left):
+        cands = [(rt, rid) for rid, (rk, rt) in enumerate(right) if rk == k and rt <= lt]
+        if not cands:
+            continue
+        best_ts = max(rt for rt, _ in cands)
+        best_rid = max(rid for rt, rid in cands if rt == best_ts)
+        payload = best_rid if best_rid % 2 == 0 else None  # odd rids carry NULL
+        out.add((k, i, lt, best_rid, payload))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(left=left_rows, right=dup_right_rows)
+def test_asof_join_tiebreak_carries_winner_nulls(spark, left, right):
+    """Nullable carried columns must come ATOMICALLY from the winning
+    right row: if the max-tiebreak row has NULL in a carried column
+    while an older/lower-tiebreak row has it non-null, the output must
+    carry the NULL (per-column forward-fill would stitch rows)."""
+    ldf = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(left)], "k int, lid int, lts int"
+    )
+    rdf = spark.createDataFrame(
+        [
+            (k, t, rid, rid if rid % 2 == 0 else None)
+            for rid, (k, t) in enumerate(right)
+        ]
+        or [(None, None, None, None)],
+        "k int, rts int, rval int, payload int",
+    )
+    if not right:
+        rdf = rdf.filter("k IS NOT NULL")
+    got = {
+        (r["k"], r["lid"], r["lts"], r["rval"], r["payload"])
+        for r in asof_join(
+            ldf, rdf, by=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["rval", "payload"], right_tiebreak="rval",
+        ).collect()
+    }
+    assert got == naive_asof_tiebreak_payload(left, right)

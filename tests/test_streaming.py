@@ -566,3 +566,87 @@ def test_stream_dedup_near_matches_batch(spark):
     stream = {(r["doc_id"], r["lang"]) for r in stream_dedup_near(spark, SF).collect()}
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_stream_dedup_near_restart_exactly_once(spark, tmp_path):
+    """The band-claim state must survive a checkpoint restart: a doc
+    near-duplicating a PREVIOUS run's admitted doc is rejected after
+    the restart, already-processed files are never re-emitted, and a
+    restart with no new input is a pure no-op."""
+    from generic_data_ingestor_framework_spark.streaming import (
+        DOCS_RAW_SCHEMA,
+        dedup_near_verdict_stream,
+    )
+
+    src = tmp_path / "near_docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "near_ckpt")
+    dup_text = "alpha beta gamma delta epsilon zeta"
+    rows1 = [
+        (1, "en", "s", 10, dup_text),
+        (2, "en", "s", 10, dup_text),               # near-dup of 1 (same batch)
+        (3, "en", "s", 10, "one two three four five six"),
+    ]
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+
+    def write_docs(rows, sub):
+        df = spark.createDataFrame(rows).toDF(*cols)
+        for f in DOCS_RAW_SCHEMA.fields:
+            df = df.withColumn(f.name, df[f.name].cast(f.dataType))
+        df.select(*[f.name for f in DOCS_RAW_SCHEMA.fields]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / sub))
+
+    write_docs(rows1, "b1")
+
+    empty_corpus = spark.createDataFrame([], "band_key string")
+    out = tmp_path / "near_verdicts"
+
+    def drain(run_tag):
+        # foreachBatch -> parquet: a fault-tolerant sink (the memory
+        # sink refuses checkpoint recovery), one subdir per run so each
+        # drain's emissions are observable separately
+        stream = (
+            spark.readStream.schema(DOCS_RAW_SCHEMA).option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        dst = str(out / run_tag)
+
+        def write_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(dst)
+
+        q = (
+            dedup_near_verdict_stream(spark, stream, empty_corpus)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import os
+
+        if not os.path.isdir(dst):
+            return {}
+        return {
+            r["doc_id"]: r["rejected"] for r in spark.read.parquet(dst).collect()
+        }
+
+    v1 = drain("near_restart_s1")
+    assert v1 == {1: False, 2: True, 3: False}
+
+    # restart with NO new files: nothing re-emitted
+    v2 = drain("near_restart_s2")
+    assert v2 == {}
+
+    # new file after restart: 4 near-dups run-1's admitted doc 1 -> the
+    # restored state must reject it; 5 is fresh -> admitted. Doc 1/2/3
+    # must NOT reappear (their file is checkpointed as done).
+    rows2 = [
+        (4, "en", "s", 10, dup_text),
+        (5, "en", "s", 10, "seven eight nine ten eleven twelve"),
+    ]
+    write_docs(rows2, "b2")
+
+    v3 = drain("near_restart_s3")
+    assert v3 == {4: True, 5: False}
