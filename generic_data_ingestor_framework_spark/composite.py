@@ -248,6 +248,7 @@ COMPOSITES: dict[str, list[str]] = {
         "embed_norms", "label_centroid_dims", "embed_quantize_int8",
         "dedup_semantic_clusters", "ann_quantized_rerank",
         "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
+        "ann_ivf_persisted", "ann_pq_persisted",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",

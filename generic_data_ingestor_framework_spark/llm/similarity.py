@@ -286,9 +286,18 @@ def _ivf_assigned(
     )
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
+def _ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int,
+    cdf: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
     """IVF probe with a parameterized probe count (``ann_ivf_topk`` is
     this at the tuned default; ``ann_probe_tradeoff`` sweeps it).
+    ``cdf``/``assigned`` override the session-built centroid table and
+    cell assignment with LOADED relations (the persisted-index path —
+    ``ann_ivf_persisted``).
 
     The scale path: candidate pruning happens via an equi-join on
     ``centroid_id`` (a shuffle on a small key), so the expensive dot
@@ -297,13 +306,13 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
     boundary."""
     from pyspark.sql import Window as W
 
-    cdf = _centroid_df(spark, sf_dir)
+    cdf = cdf if cdf is not None else _centroid_df(spark, sf_dir)
     qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
     )
-    assigned = _ivf_assigned(spark, sf_dir)
+    assigned = assigned if assigned is not None else _ivf_assigned(spark, sf_dir)
     probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     return (
@@ -814,11 +823,14 @@ def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_persist(spark, ("pq_codes", sf_dir), build)
 
 
-def _pq_lut_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_lut_df(
+    spark: SparkSession, sf_dir: str, cdf: DataFrame | None = None
+) -> DataFrame:
     """Per-query ADC lookup table (query_id, m, j, integer-scaled
-    partial dot) — queries x M x K rows, broadcast-sized."""
+    partial dot) — queries x M x K rows, broadcast-sized. ``cdf``
+    overrides the session-trained codebook with a loaded one."""
     vecs = _vectors(spark, sf_dir)
-    cdf = _pq_codebook_df(spark, sf_dir)
+    cdf = cdf if cdf is not None else _pq_codebook_df(spark, sf_dir)
     q_sub = _sub_rel(vecs.filter(F.col("vec_id") < N_QUERY), "query_id")
     return q_sub.join(F.broadcast(cdf), "m").select(
         "query_id",
@@ -828,12 +840,20 @@ def _pq_lut_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc(spark: SparkSession, sf_dir: str, gate: DataFrame | None = None) -> DataFrame:
+def _pq_adc(
+    spark: SparkSession,
+    sf_dir: str,
+    gate: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    cdf: DataFrame | None = None,
+) -> DataFrame:
     """ADC scores (query_id, point_id, adot_i). ``gate`` — an optional
     (query_id, point_id) relation — restricts the scan BEFORE the
-    aggregate (the IVF-gated path scores only points in probed cells)."""
-    codes = _pq_codes_df(spark, sf_dir)
-    lut = _pq_lut_df(spark, sf_dir)
+    aggregate (the IVF-gated path scores only points in probed cells).
+    ``codes``/``cdf`` override the session-built compressed index and
+    codebook with LOADED relations (``ann_pq_persisted``)."""
+    codes = codes if codes is not None else _pq_codes_df(spark, sf_dir)
+    lut = _pq_lut_df(spark, sf_dir, cdf=cdf)
     scored = codes.join(
         F.broadcast(lut),
         (codes["m"] == lut["m"]) & (codes["code"] == lut["j"]),
@@ -964,6 +984,112 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-run persistent ANN index (the band-index pattern for vectors)
+# ---------------------------------------------------------------------------
+
+ANN_INDEX_VERSION = 1
+
+
+def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir).strip("_")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{wh}/ann_index_{tag}"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def save_ann_index(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
+    """Persist the trained ANN index — IVF centroids + cell assignment
+    and PQ codebooks + codes — as PATH-ADDRESSED parquet relations, so
+    a new process (or a 100 TB query job that must never retrain)
+    loads them without any metastore: the probe-side joins all
+    broadcast the small side (probed cells / ADC LUT), so unlike the
+    band index there is no bucketed shuffle to preserve, and plain
+    parquet is the most portable cross-run vehicle. A ``index_meta``
+    relation records the format version and candidate count so
+    ``load_ann_index`` rebuilds on a stale or foreign index instead of
+    silently probing it. Writes are overwrite-mode (idempotent
+    crawls); completion is marked by writing ``index_meta`` LAST."""
+    root = root or _ann_index_root(spark, sf_dir)
+    n_cand = _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count()
+    _centroid_df(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{root}/ivf_centroids"
+    )
+    _ivf_assigned(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{root}/ivf_assigned"
+    )
+    _pq_codebook_df(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{root}/pq_codebook"
+    )
+    _pq_codes_df(spark, sf_dir).write.mode("overwrite").parquet(f"{root}/pq_codes")
+    spark.createDataFrame(
+        [(ANN_INDEX_VERSION, n_cand)], "version int, n_candidates bigint"
+    ).write.mode("overwrite").parquet(f"{root}/index_meta")
+    return root
+
+
+def load_ann_index(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> dict[str, DataFrame]:
+    """Load the persisted ANN index, (re)building it first when absent,
+    version-mismatched, or trained on a different candidate count —
+    the every-job entry point: train once, probe forever."""
+    root = root or _ann_index_root(spark, sf_dir)
+    fs, meta_path = _fs_and_path(spark, f"{root}/index_meta")
+    stale = True
+    if fs.exists(meta_path):
+        meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+        n_cand = _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count()
+        stale = (
+            meta["version"] != ANN_INDEX_VERSION or meta["n_candidates"] != n_cand
+        )
+    if stale:
+        save_ann_index(spark, sf_dir, root)
+    return {
+        "ivf_centroids": spark.read.parquet(f"{root}/ivf_centroids"),
+        "ivf_assigned": spark.read.parquet(f"{root}/ivf_assigned"),
+        "pq_codebook": spark.read.parquet(f"{root}/pq_codebook"),
+        "pq_codes": spark.read.parquet(f"{root}/pq_codes"),
+    }
+
+
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served FROM THE PERSISTED INDEX: identical results to
+    ``ann_ivf_topk`` (same oracle), but the centroids and cell
+    assignment come from ``load_ann_index`` — the path a recurring
+    query job takes so the k-means training cost is paid once per
+    corpus, not once per session (r9 cold bench: 6.09 s rebuild vs
+    sub-second probe). First call on a fresh corpus trains and saves;
+    every later call — in ANY process — loads."""
+    idx = load_ann_index(spark, sf_dir)
+    return _ivf_topk(
+        spark,
+        sf_dir,
+        N_PROBES,
+        cdf=idx["ivf_centroids"],
+        assigned=idx["ivf_assigned"],
+    )
+
+
+def ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k served FROM THE PERSISTED INDEX (same contract as
+    ``ann_ivf_persisted``): codebooks and compressed codes load from
+    parquet; only the query-side LUT — queries × M × K, broadcast-
+    sized — is computed at query time. Identical results to
+    ``ann_pq_topk`` (same oracle)."""
+    idx = load_ann_index(spark, sf_dir)
+    return _pq_rerank(
+        spark,
+        sf_dir,
+        _pq_adc(spark, sf_dir, codes=idx["pq_codes"], cdf=idx["pq_codebook"]),
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embed_quantize_int8": embed_quantize_int8,
@@ -979,6 +1105,8 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_recall": ann_pq_recall,
+    "ann_ivf_persisted": ann_ivf_persisted,
+    "ann_pq_persisted": ann_pq_persisted,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -1437,3 +1565,11 @@ ORACLES = {
         FROM bucketed GROUP BY bucket ORDER BY bucket
     """,
 }
+
+
+# The persisted-index members serve IDENTICAL results to their
+# session-built twins (same rounded centroids/codes round-tripped
+# through parquet), so they share oracles — the gate then proves the
+# save/load path end-to-end, not a weaker shape check.
+ORACLES["ann_ivf_persisted"] = ORACLES["ann_ivf_topk"]
+ORACLES["ann_pq_persisted"] = ORACLES["ann_pq_topk"]

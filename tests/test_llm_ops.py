@@ -1786,3 +1786,45 @@ def test_band_index_cross_run_dedup(spark, tmp_path):
         assert again.count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ann_index_persist_load_equals_session(spark, tmp_path):
+    """save→load must reproduce the session-built IVF and PQ results
+    exactly; a stale index (wrong candidate count in the meta) must
+    rebuild on load instead of being probed."""
+    root = str(tmp_path / "ann_idx")
+    similarity.save_ann_index(spark, SF, root)
+
+    idx = similarity.load_ann_index(spark, SF, root)
+    got_ivf = sorted(
+        map(tuple, similarity._ivf_topk(
+            spark, SF, similarity.N_PROBES,
+            cdf=idx["ivf_centroids"], assigned=idx["ivf_assigned"],
+        ).collect())
+    )
+    want_ivf = sorted(map(tuple, similarity.ann_ivf_topk(spark, SF).collect()))
+    assert got_ivf == want_ivf and len(got_ivf) > 0
+
+    got_pq = sorted(
+        map(tuple, similarity._pq_rerank(
+            spark, SF,
+            similarity._pq_adc(spark, SF, codes=idx["pq_codes"], cdf=idx["pq_codebook"]),
+        ).collect())
+    )
+    want_pq = sorted(map(tuple, similarity.ann_pq_topk(spark, SF).collect()))
+    assert got_pq == want_pq and len(got_pq) > 0
+
+    # stale meta (foreign candidate count) -> load_ann_index rebuilds
+    spark.createDataFrame(
+        [(similarity.ANN_INDEX_VERSION, 1)], "version int, n_candidates bigint"
+    ).write.mode("overwrite").parquet(f"{root}/index_meta")
+    idx2 = similarity.load_ann_index(spark, SF, root)
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta["n_candidates"] != 1  # rebuilt, not trusted
+    got2 = sorted(
+        map(tuple, similarity._ivf_topk(
+            spark, SF, similarity.N_PROBES,
+            cdf=idx2["ivf_centroids"], assigned=idx2["ivf_assigned"],
+        ).collect())
+    )
+    assert got2 == want_ivf
