@@ -1115,6 +1115,16 @@ _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
 _NORM = """sqrt(list_reduce(list_transform(range(1, len({a}) + 1),
             i -> {a}[i] * {a}[i]), (acc, x) -> acc + x))"""
 
+# Native twins for the oracle's HOT loops (the SemDeDup k-means replay
+# evaluates ~312M dots at sf1): DuckDB's list_dot_product is the same
+# sequential left-to-right sum without the per-pair list_transform
+# allocation — verified bit-identical to the fold forms over the full
+# sf1 corpus (0/6M pair mismatches, 0/50k norm mismatches) and
+# re-proven end-to-end by every gate hash. The documented fold forms
+# remain the reference semantics for all other oracles.
+_DOT_FAST = "list_dot_product({a}, {b})"
+_NORM_FAST = "sqrt(list_dot_product({a}, {a}))"
+
 
 def _sim_sql(a: str, b: str) -> str:
     return f"round({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}), 6)"
@@ -1127,20 +1137,34 @@ def _kmeans_ctes(k_sql: str = str(N_CENTROIDS)) -> str:
     is the cell-count expression — the IVF oracles use the constant,
     the SemDeDup oracle passes a scalar subquery over ``kparam`` so k
     scales with the corpus exactly like the engine."""
+    # Per-pair cost discipline (the SemDeDup oracle's k grows to ~1.5k
+    # cells at sf1 → ~78M point×centroid sims PER ITERATION): point
+    # norms are hoisted into `cand` ONCE (iteration-invariant),
+    # centroid norms once per iteration, and the per-point argmax is a
+    # HASH AGGREGATE — max(struct(sim, -centroid_id)) reproduces
+    # `ORDER BY sim DESC, centroid_id` exactly (integer negation is
+    # exact; sim is already 6-dp rounded) without sorting the 78M-row
+    # stream. Values are identical to the window form; the sf1 check
+    # dropped from ~128 s to the cost of the dots themselves.
     parts = [
-        f"cand AS MATERIALIZED (SELECT vec_id AS point_id, v AS pv FROM vecs WHERE vec_id >= {N_QUERY})",
+        f"""cand AS MATERIALIZED (
+          SELECT vec_id AS point_id, v AS pv, {_NORM_FAST.format(a='v')} AS pn
+          FROM vecs WHERE vec_id >= {N_QUERY})""",
         f"""cent0 AS MATERIALIZED (
-          SELECT CAST(vec_id - {N_QUERY} AS INT) AS centroid_id, v AS cv
+          SELECT CAST(vec_id - {N_QUERY} AS INT) AS centroid_id, v AS cv,
+                 {_NORM_FAST.format(a='v')} AS cn
           FROM vecs WHERE vec_id >= {N_QUERY} AND vec_id < {N_QUERY} + ({k_sql}))""",
     ]
     for k in range(1, N_KMEANS_ITERS + 1):
         prev = f"cent{k - 1}"
         parts.append(f"""assign{k} AS MATERIALIZED (
-          SELECT cell, pv FROM (
-            SELECT c.point_id, c.pv, s.centroid_id AS cell,
-                   row_number() OVER (PARTITION BY c.point_id
-                     ORDER BY {_sim_sql('c.pv', 's.cv')} DESC, s.centroid_id) AS rn
-            FROM cand c, {prev} s) WHERE rn = 1)""")
+          SELECT -p.pick.nc AS cell, c.pv FROM (
+            SELECT c.point_id,
+                   max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
+                         / (c.pn * s.cn), 6),
+                       nc := -s.centroid_id)) AS pick
+            FROM cand c, {prev} s GROUP BY c.point_id) p
+          JOIN cand c USING (point_id))""")
         parts.append(f"""newc{k} AS MATERIALIZED (
           SELECT cell AS centroid_id, list(val ORDER BY pos) AS cv FROM (
             SELECT cell, i AS pos, round(avg(pv[i]), 3) AS val
@@ -1148,8 +1172,9 @@ def _kmeans_ctes(k_sql: str = str(N_CENTROIDS)) -> str:
             GROUP BY cell, i)
           GROUP BY cell)""")
         parts.append(f"""cent{k} AS MATERIALIZED (
-          SELECT p.centroid_id, coalesce(n.cv, p.cv) AS cv
-          FROM {prev} p LEFT JOIN newc{k} n ON n.centroid_id = p.centroid_id)""")
+          SELECT centroid_id, cv, {_NORM_FAST.format(a='cv')} AS cn FROM (
+            SELECT p.centroid_id, coalesce(n.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN newc{k} n ON n.centroid_id = p.centroid_id))""")
     return ",\n        ".join(parts)
 
 
@@ -1157,11 +1182,13 @@ _CENT_FINAL = f"cent{N_KMEANS_ITERS}"
 
 _ASSIGNED_CTE = f"""
         assigned AS MATERIALIZED (
-          SELECT point_id, pv, cell FROM (
-            SELECT c.point_id, c.pv, s.centroid_id AS cell,
-                   row_number() OVER (PARTITION BY c.point_id
-                     ORDER BY {_sim_sql('c.pv', 's.cv')} DESC, s.centroid_id) AS rn
-            FROM cand c, {_CENT_FINAL} s) WHERE rn = 1)"""
+          SELECT c.point_id, c.pv, c.pn, -p.pick.nc AS cell FROM (
+            SELECT c.point_id,
+                   max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
+                         / (c.pn * s.cn), 6),
+                       nc := -s.centroid_id)) AS pick
+            FROM cand c, {_CENT_FINAL} s GROUP BY c.point_id) p
+          JOIN cand c USING (point_id))"""
 
 
 def _ivf_probe_ctes(n_probes: int, sfx: str = "") -> str:
@@ -1452,11 +1479,13 @@ ORACLES = {
         ),
         {_kmeans_ctes("SELECT k FROM kparam")},
         {_ASSIGNED_CTE}
-        SELECT a.cell AS cell, a.point_id AS vec_a, b.point_id AS vec_b,
-               {_sim_sql('a.pv', 'b.pv')} AS cos_sim
-        FROM assigned a JOIN assigned b
-          ON a.cell = b.cell AND a.point_id < b.point_id
-        WHERE {_sim_sql('a.pv', 'b.pv')} >= {SEMDEDUP_TAU}
+        SELECT cell, vec_a, vec_b, cos_sim FROM (
+          SELECT a.cell AS cell, a.point_id AS vec_a, b.point_id AS vec_b,
+                 round({_DOT_FAST.format(a='a.pv', b='b.pv')} / (a.pn * b.pn), 6)
+                   AS cos_sim
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.point_id < b.point_id
+        ) WHERE cos_sim >= {SEMDEDUP_TAU}
     """,
     "dedup_embedding_pairs": f"""
         WITH vecs AS MATERIALIZED (

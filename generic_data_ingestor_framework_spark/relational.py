@@ -645,19 +645,34 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     10% bound; percentile_approx accuracy=1000 → ±0.01 rank bound).
     The DuckDB oracle is the same group keys with constant-true flags,
     so any sketch drifting out of tolerance hash-mismatches.
+
+    Plan shape: the sketch, exact-distinct, and exact-percentile
+    aggregates run as THREE thin aggregations joined on the 4-row
+    group key (broadcast) instead of one combined agg — mixing two
+    DISTINCT aggregates with percentile functions in a single groupBy
+    forces an Expand that evaluates every function over the multiplied
+    row stream (measured at the sf1 decade-up: 81 s combined vs ~10 s
+    split; each split pipeline is an ordinary partial hash/sort agg).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_parts"),
-        F.count_distinct("l_partkey").alias("ex_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("apx_orders"),
-        F.count_distinct("l_orderkey").alias("ex_orders"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("apx_p50"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("apx_p99"),
+    )
+    exact_nd = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("ex_parts"),
+        F.count_distinct("l_orderkey").alias("ex_orders"),
+    )
+    exact_pct = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.49)).alias("p50_lo"),
         F.percentile("l_extendedprice", F.lit(0.51)).alias("p50_hi"),
         F.percentile("l_extendedprice", F.lit(0.98)).alias("p99_lo"),
         F.max("l_extendedprice").alias("p99_hi"),
+    )
+    agg = sketches.join(F.broadcast(exact_nd), "l_returnflag").join(
+        F.broadcast(exact_pct), "l_returnflag"
     )
     within = lambda apx, ex: F.abs(F.col(apx) - F.col(ex)) / F.col(ex) <= 0.1
     return (
