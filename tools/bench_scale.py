@@ -95,6 +95,18 @@ QUERIES = [
     "ann_ivf_pq_topk",
     "tfidf_cosine_pairs",
     "lsh_scurve_audit",
+    # r10 additions: the cross-run band-index crawl (persisted bucketed
+    # table), tolerance as-of, the streaming near-dup claimer, the
+    # served-from-persisted-index ANN pair, and the exact/approx sketch
+    # profile (its Expand fix is sf1-load-bearing)
+    "band_index_crawl",
+    "events_asof_tolerance_30m",
+    "stream_dedup_near",
+    "ann_ivf_persisted",
+    "ann_pq_persisted",
+    "approx_sketches",
+    "q11_important_stock",
+    "q20_supplier_part_chain",
 ]
 
 
