@@ -250,6 +250,13 @@ def test_warm_shuffle_ceilings(spark):
         # r9: right-tiebreak folds the click dedup into the fill window;
         # ONE key shuffle for the whole as-of join
         "events_asof_join": 1,
+        # r10: the tolerance path must not add a shuffle (same single
+        # fill window, staleness nulls applied in-projection)
+        "events_asof_tolerance_30m": 1,
+        # r10: persisted-index probes — loading from parquet must stay
+        # broadcast-joined (probe side small), no index-side shuffle
+        "ann_ivf_persisted": 1,
+        "ann_pq_persisted": 2,
     }
     for name, cap in ceilings.items():
         # build any session-persisted inputs first: warm ceilings pin
