@@ -798,27 +798,35 @@ def _pq_codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_pq(vec_df: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Encode (vec_id, v) rows to ``(point_id, m, code)`` against a
+    GIVEN codebook relation — shared by the session index build and
+    the persisted-index append path (appended vectors are encoded with
+    the saved codebooks, never retrained — standard IVF/PQ append)."""
+    from pyspark.sql import Window as W
+
+    cand_sub = _sub_rel(vec_df, "point_id")
+    wc = W.partitionBy("point_id", "m").orderBy("d2", "j")
+    return (
+        cand_sub.join(F.broadcast(cdf), "m")
+        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("point_id", "m", F.col("j").alias("code"))
+    )
+
+
 def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compressed index — every candidate's ``(point_id, m, code)``
     rows — session-persisted: it is the PQ analogue of the IVF
     assignment (built once, scanned by every query batch), and both
     the flat-ADC and IVF-gated members read it."""
-    from pyspark.sql import Window as W
-
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
     def build() -> DataFrame:
         vecs = _vectors(spark, sf_dir)
         cdf = _pq_codebook_df(spark, sf_dir)
-        cand_sub = _sub_rel(vecs.filter(F.col("vec_id") >= N_QUERY), "point_id")
-        wc = W.partitionBy("point_id", "m").orderBy("d2", "j")
-        return (
-            cand_sub.join(F.broadcast(cdf), "m")
-            .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
-            .withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") == 1)
-            .select("point_id", "m", F.col("j").alias("code"))
-        )
+        return _encode_pq(vecs.filter(F.col("vec_id") >= N_QUERY), cdf)
 
     return shared_persist(spark, ("pq_codes", sf_dir), build)
 
@@ -1056,6 +1064,44 @@ def load_ann_index(
         "pq_codebook": spark.read.parquet(f"{root}/pq_codebook"),
         "pq_codes": spark.read.parquet(f"{root}/pq_codes"),
     }
+
+
+def append_ann_index(
+    spark: SparkSession, new_vectors: DataFrame, root: str
+) -> int:
+    """Add a NEW batch of candidate vectors to a saved ANN index
+    WITHOUT retraining — the every-crawl loop for vectors, the
+    ``update_band_index`` analogue: new points are assigned to their
+    nearest SAVED IVF centroid and encoded against the SAVED PQ
+    codebooks (standard IVF/PQ append semantics — the quantizers are
+    trained once, the inverted lists grow), then appended to the
+    persisted assignment/codes relations; ``index_meta``'s candidate
+    count advances so the staleness check keeps matching a corpus that
+    grew by the same batch. ``new_vectors``: (vec_id, v array<double>)
+    with ids disjoint from the indexed set. Returns the appended row
+    count. Encoding is deterministic (rounded sims/distances, id
+    tie-breaks), so re-encoding an identical vector reproduces its
+    cell and codes exactly."""
+    cdf = spark.read.parquet(f"{root}/ivf_centroids")
+    codebook = spark.read.parquet(f"{root}/pq_codebook")
+    pts = new_vectors.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("v").alias("pv"),
+        _norm(F.col("v")).alias("pn"),
+    )
+    _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1).write.mode("append").parquet(
+        f"{root}/ivf_assigned"
+    )
+    _encode_pq(new_vectors, codebook).write.mode("append").parquet(
+        f"{root}/pq_codes"
+    )
+    n_new = new_vectors.count()
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    spark.createDataFrame(
+        [(meta["version"], meta["n_candidates"] + n_new)],
+        "version int, n_candidates bigint",
+    ).write.mode("overwrite").parquet(f"{root}/index_meta")
+    return n_new
 
 
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1828,3 +1828,51 @@ def test_ann_index_persist_load_equals_session(spark, tmp_path):
         ).collect())
     )
     assert got2 == want_ivf
+
+
+def test_ann_index_append_encodes_with_saved_quantizers(spark, tmp_path):
+    """append_ann_index must grow the saved index WITHOUT retraining:
+    an appended copy of an indexed vector (new id, same coordinates)
+    gets the identical IVF cell and PQ codes the original got, and the
+    meta candidate count advances by the batch size."""
+    root = str(tmp_path / "ann_idx_append")
+    similarity.save_ann_index(spark, SF, root)
+    before_assigned = spark.read.parquet(f"{root}/ivf_assigned").count()
+    meta0 = spark.read.parquet(f"{root}/index_meta").collect()[0]
+
+    # "new crawl batch": every 5th indexed candidate, re-crawled with a
+    # shifted id but byte-identical vector
+    SHIFT = 1_000_000
+    batch = (
+        similarity._vectors(spark, SF)
+        .filter((F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 5 == 0))
+        .select((F.col("vec_id") + SHIFT).alias("vec_id"), "v")
+    )
+    n_new = similarity.append_ann_index(spark, batch, root)
+    assert n_new == batch.count() > 0
+
+    assigned = spark.read.parquet(f"{root}/ivf_assigned")
+    assert assigned.count() == before_assigned + n_new
+    # identical vector -> identical cell, regardless of which write it
+    # came from (deterministic encoding against the SAVED centroids)
+    mism = (
+        assigned.filter(F.col("point_id") >= SHIFT)
+        .select((F.col("point_id") - SHIFT).alias("point_id"), F.col("cell").alias("new_cell"))
+        .join(assigned.filter(F.col("point_id") < SHIFT), "point_id")
+        .filter(F.col("new_cell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    cmism = (
+        codes.filter(F.col("point_id") >= SHIFT)
+        .select((F.col("point_id") - SHIFT).alias("point_id"), "m", F.col("code").alias("new_code"))
+        .join(codes.filter(F.col("point_id") < SHIFT), ["point_id", "m"])
+        .filter(F.col("new_code") != F.col("code"))
+        .count()
+    )
+    assert cmism == 0
+
+    meta1 = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta1["n_candidates"] == meta0["n_candidates"] + n_new
