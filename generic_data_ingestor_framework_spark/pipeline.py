@@ -496,6 +496,40 @@ def _step_select_budget(df: DataFrame, p: dict) -> DataFrame:
     return df.join(sel_ids, idc, "semi").unionByName(blank_rows)
 
 
+def _step_dedup_near_index(df: DataFrame, p: dict) -> DataFrame:
+    """Cross-run NEAR-duplicate dedup against a PERSISTED band index —
+    the crawl loop as a pipeline step::
+
+        {"op": "dedup_near_index", "table": "corpus_band_index",
+         "id": "doc_id", "text": "text", "update": true,
+         "admitted_table": "run42_admitted"}
+
+    Rows whose MinHash band is already claimed by the index (or by a
+    smaller-id row in this batch) are dropped; rows with no shingles
+    are not admitted. With ``update`` the admitted rows are first
+    WRITTEN to ``admitted_table`` (each crawl's durable output — and
+    it pins the probe result against the index append that follows),
+    then their bands append to the index so tomorrow's run sees them.
+    The index table must exist (``save_band_index`` seeds it). See
+    ``llm/dedup.py`` ``band_index_crawl`` — the driver-gated member
+    exercising this exact cycle."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        dedup_against_band_index,
+        update_band_index,
+    )
+
+    spark = df.sparkSession
+    id_col = p.get("id", "doc_id")
+    text_col = p.get("text", "text")
+    admitted = dedup_against_band_index(spark, df, p["table"], id_col, text_col)
+    if p.get("update"):
+        out_tbl = p.get("admitted_table", f"{p['table']}_admitted")
+        admitted.write.mode("overwrite").saveAsTable(out_tbl)
+        admitted = spark.table(out_tbl)
+        update_band_index(spark, admitted, p["table"], id_col, text_col)
+    return admitted
+
+
 STEP_REGISTRY: dict[str, StepFn] = {
     "filter": _step_filter,
     "select": _step_select,
@@ -520,6 +554,7 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "bpe_tokenize": _step_bpe_tokenize,
     "remove_dup_spans": _step_remove_dup_spans,
     "select_budget": _step_select_budget,
+    "dedup_near_index": _step_dedup_near_index,
 }
 
 

@@ -389,3 +389,55 @@ def test_pipeline_repetition_filter_rejects_reserved_and_bad_cap(spark):
         run_pipeline(spark, {**base, "steps": [
             {"op": "repetition_filter", "column": "text", "id": "doc_id",
              "max_top_bigram_frac": 0.0}]})
+
+
+def test_pipeline_dedup_near_index_crawl_loop(spark):
+    """The crawl loop as a pipeline step: run 1 admits against the
+    seeded index and appends its bands; run 2 (same spec, same data,
+    disjoint ids) must then reject every near-dup of run 1's
+    admissions and equal the library-call result."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        _reset_managed_table,
+        save_band_index,
+    )
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    table = "pipe_band_idx"
+    for t in (table, f"{table}_admitted"):
+        _reset_managed_table(spark, t)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    save_band_index(spark, seed, table)
+
+    spec = {
+        "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+        "steps": [
+            {"op": "filter", "where": "doc_id % 3 = 1"},
+            {"op": "dedup_near_index", "table": table, "update": True},
+        ],
+    }
+    df1, _ = run_pipeline(spark, spec)
+    got1 = {r["doc_id"] for r in df1.select("doc_id").collect()}
+    assert len(got1) > 0
+
+    # run 2: re-crawl run-1's docs under shifted ids — every signed doc
+    # is a near-dup of an admitted run-1 doc (bands appended), so the
+    # step must admit NOTHING that carries a signature
+    spec2 = {
+        "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+        "steps": [
+            {"op": "filter", "where": "doc_id % 3 = 1"},
+            {"op": "with_column", "name": "doc_id", "expr": "doc_id + 1000000"},
+            {"op": "dedup_near_index", "table": table},
+        ],
+    }
+    df2, _ = run_pipeline(spark, spec2)
+    got2 = {r["doc_id"] for r in df2.select("doc_id").collect()}
+    # admitted run-2 docs can only be ones whose original was NOT
+    # admitted in run 1 AND whose bands are still unclaimed — but every
+    # run-1 signed doc's bands are claimed (by history or the run-1
+    # winner), so the re-crawl admits nothing
+    assert got2 == set()
