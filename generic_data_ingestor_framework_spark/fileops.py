@@ -68,3 +68,43 @@ class FileOps:
 
     def get_operation_history(self) -> list[dict]:
         return list(self.history)
+
+
+# ---------------------------------------------------------------------------
+# Storage-agnostic helpers shared by the cross-run index machinery
+# (llm/dedup.py band index, llm/similarity.py ANN index) — Hadoop
+# FileSystem API so the same code addresses local disk in tests and an
+# object store at cluster scale.
+# ---------------------------------------------------------------------------
+
+
+def sf_tag(sf_dir: str) -> str:
+    """A filesystem/table-name-safe tag for a data directory."""
+    return "".join(ch if ch.isalnum() else "_" for ch in sf_dir).strip("_")
+
+
+def hadoop_fs_path(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-addressable location."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def hadoop_exists(spark, path: str) -> bool:
+    fs, p = hadoop_fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def hadoop_delete(spark, path: str) -> None:
+    fs, p = hadoop_fs_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def hadoop_list_dirs(spark, path: str) -> list[str]:
+    """Immediate subdirectory paths of ``path`` (empty if absent)."""
+    fs, p = hadoop_fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().toString() for st in fs.listStatus(p) if st.isDirectory()
+    ]

@@ -744,13 +744,11 @@ def _reset_managed_table(spark: SparkSession, table: str) -> None:
     overwrite mode (LOCATION_ALREADY_EXISTS). Storage-agnostic via the
     Hadoop FileSystem API (local path in tests, object store at
     scale)."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_delete
+
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    jvm = spark._jvm
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    hadoop_delete(spark, f"{wh}/{table.lower()}")
 
 
 def band_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,7 +776,9 @@ def band_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse path instead of the local metastore)."""
     d = load_table(spark, sf_dir, "documents")
     run = portable_hash32(F.col("doc_id").cast("string")) % 3
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir).strip("_")
+    from generic_data_ingestor_framework_spark.fileops import sf_tag
+
+    tag = sf_tag(sf_dir)
     idx_tbl = f"band_crawl_idx_{tag}"
     adm_tbl = f"band_crawl_adm1_{tag}"
     run0 = d.filter(run == 0).select("doc_id", "text")

@@ -1000,15 +1000,28 @@ ANN_INDEX_VERSION = 1
 
 
 def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir).strip("_")
+    from generic_data_ingestor_framework_spark.fileops import sf_tag
+
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    return f"{wh}/ann_index_{tag}"
+    return f"{wh}/ann_index_{sf_tag(sf_dir)}"
 
 
-def _fs_and_path(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+def _load_index_relation(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Base relation plus every appended batch directory (see
+    ``append_ann_index`` — each batch lives in its own subdirectory so
+    a retried append overwrites itself instead of duplicating rows)."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_list_dirs
+
+    df = spark.read.parquet(f"{root}/{name}")
+    for sub in hadoop_list_dirs(spark, f"{root}/{name}_batches"):
+        df = df.unionByName(spark.read.parquet(sub))
+    return df
+
+
+def _write_index_meta(spark: SparkSession, root: str, n_candidates: int) -> None:
+    spark.createDataFrame(
+        [(ANN_INDEX_VERSION, n_candidates)], "version int, n_candidates bigint"
+    ).write.mode("overwrite").parquet(f"{root}/index_meta")
 
 
 def save_ann_index(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
@@ -1018,12 +1031,18 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str | None = None) ->
     loads them without any metastore: the probe-side joins all
     broadcast the small side (probed cells / ADC LUT), so unlike the
     band index there is no bucketed shuffle to preserve, and plain
-    parquet is the most portable cross-run vehicle. A ``index_meta``
-    relation records the format version and candidate count so
-    ``load_ann_index`` rebuilds on a stale or foreign index instead of
-    silently probing it. Writes are overwrite-mode (idempotent
-    crawls); completion is marked by writing ``index_meta`` LAST."""
+    parquet is the most portable cross-run vehicle. ``index_meta``
+    records the format version and candidate count; ``load_ann_index``
+    rebuilds on a stale, inconsistent, or foreign index instead of
+    silently probing it. Writes are overwrite-mode (idempotent), any
+    previous append batches are cleared, and completion is marked by
+    writing ``index_meta`` LAST."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_delete
+
     root = root or _ann_index_root(spark, sf_dir)
+    hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
+    hadoop_delete(spark, f"{root}/ivf_assigned_batches")
+    hadoop_delete(spark, f"{root}/pq_codes_batches")
     n_cand = _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count()
     _centroid_df(spark, sf_dir).write.mode("overwrite").parquet(
         f"{root}/ivf_centroids"
@@ -1035,9 +1054,7 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str | None = None) ->
         f"{root}/pq_codebook"
     )
     _pq_codes_df(spark, sf_dir).write.mode("overwrite").parquet(f"{root}/pq_codes")
-    spark.createDataFrame(
-        [(ANN_INDEX_VERSION, n_cand)], "version int, n_candidates bigint"
-    ).write.mode("overwrite").parquet(f"{root}/index_meta")
+    _write_index_meta(spark, root, n_cand)
     return root
 
 
@@ -1045,62 +1062,84 @@ def load_ann_index(
     spark: SparkSession, sf_dir: str, root: str | None = None
 ) -> dict[str, DataFrame]:
     """Load the persisted ANN index, (re)building it first when absent,
-    version-mismatched, or trained on a different candidate count —
-    the every-job entry point: train once, probe forever."""
+    version-mismatched, trained on a different candidate count, or
+    INTERNALLY INCONSISTENT (a crash between an append's two relation
+    writes leaves assigned/codes rows disagreeing with the meta count —
+    the row-count probes are parquet-metadata reads, not scans) — the
+    every-job entry point: train once, probe forever. NOTE the
+    staleness contract: the index serves the corpus at ``sf_dir``;
+    appended batches must mirror corpus growth (the crawl workflow), or
+    the next load sees a count mismatch and retrains from the current
+    corpus, discarding appends."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_exists
+
     root = root or _ann_index_root(spark, sf_dir)
-    fs, meta_path = _fs_and_path(spark, f"{root}/index_meta")
     stale = True
-    if fs.exists(meta_path):
+    if hadoop_exists(spark, f"{root}/index_meta"):
         meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
         n_cand = _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count()
         stale = (
-            meta["version"] != ANN_INDEX_VERSION or meta["n_candidates"] != n_cand
+            meta["version"] != ANN_INDEX_VERSION
+            or meta["n_candidates"] != n_cand
+            or _load_index_relation(spark, root, "ivf_assigned").count() != n_cand
+            or _load_index_relation(spark, root, "pq_codes").count() != n_cand * PQ_M
         )
     if stale:
         save_ann_index(spark, sf_dir, root)
     return {
         "ivf_centroids": spark.read.parquet(f"{root}/ivf_centroids"),
-        "ivf_assigned": spark.read.parquet(f"{root}/ivf_assigned"),
+        "ivf_assigned": _load_index_relation(spark, root, "ivf_assigned"),
         "pq_codebook": spark.read.parquet(f"{root}/pq_codebook"),
-        "pq_codes": spark.read.parquet(f"{root}/pq_codes"),
+        "pq_codes": _load_index_relation(spark, root, "pq_codes"),
     }
 
 
 def append_ann_index(
-    spark: SparkSession, new_vectors: DataFrame, root: str
+    spark: SparkSession, new_vectors: DataFrame, root: str, batch_tag: str
 ) -> int:
     """Add a NEW batch of candidate vectors to a saved ANN index
     WITHOUT retraining — the every-crawl loop for vectors, the
     ``update_band_index`` analogue: new points are assigned to their
     nearest SAVED IVF centroid and encoded against the SAVED PQ
     codebooks (standard IVF/PQ append semantics — the quantizers are
-    trained once, the inverted lists grow), then appended to the
-    persisted assignment/codes relations; ``index_meta``'s candidate
-    count advances so the staleness check keeps matching a corpus that
-    grew by the same batch. ``new_vectors``: (vec_id, v array<double>)
-    with ids disjoint from the indexed set. Returns the appended row
-    count. Encoding is deterministic (rounded sims/distances, id
-    tie-breaks), so re-encoding an identical vector reproduces its
-    cell and codes exactly."""
+    trained once, the inverted lists grow). ``new_vectors``:
+    (vec_id, v array<double>) with ids disjoint from the indexed set;
+    ``batch_tag`` names the crawl batch — each batch writes its own
+    subdirectory in OVERWRITE mode, so a retried or crashed-and-rerun
+    append replaces itself instead of duplicating rows, and
+    ``index_meta``'s candidate count is RECOMPUTED from the stored
+    assignment (never incremented blind, so a retry cannot
+    double-count). Returns the appended row count. Encoding is
+    deterministic (rounded sims/distances, id tie-breaks), so
+    re-encoding an identical vector reproduces its cell and codes
+    exactly."""
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        sf_tag,
+    )
+
+    tag = sf_tag(batch_tag)
+    hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
     cdf = spark.read.parquet(f"{root}/ivf_centroids")
     codebook = spark.read.parquet(f"{root}/pq_codebook")
-    pts = new_vectors.select(
-        F.col("vec_id").alias("point_id"),
-        F.col("v").alias("pv"),
-        _norm(F.col("v")).alias("pn"),
-    )
-    _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1).write.mode("append").parquet(
-        f"{root}/ivf_assigned"
-    )
-    _encode_pq(new_vectors, codebook).write.mode("append").parquet(
-        f"{root}/pq_codes"
-    )
-    n_new = new_vectors.count()
-    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
-    spark.createDataFrame(
-        [(meta["version"], meta["n_candidates"] + n_new)],
-        "version int, n_candidates bigint",
-    ).write.mode("overwrite").parquet(f"{root}/index_meta")
+    new_vectors = new_vectors.persist()  # 2 writes + 1 count, 1 lineage pay
+    try:
+        pts = new_vectors.select(
+            F.col("vec_id").alias("point_id"),
+            F.col("v").alias("pv"),
+            _norm(F.col("v")).alias("pn"),
+        )
+        _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/ivf_assigned_batches/{tag}")
+        _encode_pq(new_vectors, codebook).write.mode("overwrite").parquet(
+            f"{root}/pq_codes_batches/{tag}"
+        )
+        n_new = new_vectors.count()
+    finally:
+        new_vectors.unpersist()
+    n_total = _load_index_relation(spark, root, "ivf_assigned").count()
+    _write_index_meta(spark, root, n_total)
     return n_new
 
 

@@ -510,9 +510,19 @@ def _step_dedup_near_index(df: DataFrame, p: dict) -> DataFrame:
     WRITTEN to ``admitted_table`` (each crawl's durable output — and
     it pins the probe result against the index append that follows),
     then their bands append to the index so tomorrow's run sees them.
-    The index table must exist (``save_band_index`` seeds it). See
-    ``llm/dedup.py`` ``band_index_crawl`` — the driver-gated member
-    exercising this exact cycle."""
+    The index table must exist (``save_band_index`` seeds it).
+
+    Retry contract: ``admitted_table`` names THIS crawl run. If it
+    already exists, the run is treated as (at least partially)
+    complete — recomputing the probe would reject every doc the first
+    attempt admitted (their bands are in the index) and overwrite the
+    durable output with an empty frame — so the step re-appends the
+    recorded admissions' bands (duplicate band rows are harmless to
+    the semi-join) and returns them: a retry after a crash in EITHER
+    half converges on the same result. See ``llm/dedup.py``
+    ``band_index_crawl`` — the driver-gated member exercising this
+    cycle."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_exists
     from generic_data_ingestor_framework_spark.llm.dedup import (
         dedup_against_band_index,
         update_band_index,
@@ -521,13 +531,26 @@ def _step_dedup_near_index(df: DataFrame, p: dict) -> DataFrame:
     spark = df.sparkSession
     id_col = p.get("id", "doc_id")
     text_col = p.get("text", "text")
-    admitted = dedup_against_band_index(spark, df, p["table"], id_col, text_col)
     if p.get("update"):
         out_tbl = p.get("admitted_table", f"{p['table']}_admitted")
-        admitted.write.mode("overwrite").saveAsTable(out_tbl)
+        if spark.catalog.tableExists(out_tbl):
+            admitted = spark.table(out_tbl)
+            update_band_index(spark, admitted, p["table"], id_col, text_col)
+            return admitted
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        if hadoop_exists(spark, f"{wh}/{out_tbl.lower()}"):
+            raise RuntimeError(
+                f"admitted table {out_tbl!r} has data at its warehouse "
+                f"location but is not in this session's catalog (fresh "
+                f"metastore?) — re-register it or remove the location; "
+                f"refusing to overwrite a prior crawl's durable output"
+            )
+        admitted = dedup_against_band_index(spark, df, p["table"], id_col, text_col)
+        admitted.write.saveAsTable(out_tbl)
         admitted = spark.table(out_tbl)
         update_band_index(spark, admitted, p["table"], id_col, text_col)
-    return admitted
+        return admitted
+    return dedup_against_band_index(spark, df, p["table"], id_col, text_col)
 
 
 STEP_REGISTRY: dict[str, StepFn] = {

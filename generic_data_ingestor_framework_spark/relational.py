@@ -852,9 +852,10 @@ def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     heavy = (
         pairs.crossJoin(F.broadcast(mean))
+        # decimal(38) products — same int64-headroom note as q11
         .filter(
-            F.col("qty_i") * F.col("n_pairs")
-            > F.lit(Q20_MEAN_MULT) * F.col("total_i")
+            F.col("qty_i").cast("decimal(38,0)") * F.col("n_pairs")
+            > F.lit(Q20_MEAN_MULT) * F.col("total_i").cast("decimal(38,0)")
         )
         .select("l_suppkey")
     )
@@ -1354,9 +1355,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_part.crossJoin(F.broadcast(total))
+        # decimal(38) products: value_i (~3e10, SF-invariant) times a
+        # part count that grows with SF passes int64 around SF~1500 —
+        # DuckDB's BIGINT sum is already HUGEINT, so widen Spark to
+        # match instead of wrapping silently under non-ANSI arithmetic
         .filter(
-            F.col("value_i") * F.col("n_parts")
-            > F.lit(Q11_MEAN_MULT) * F.col("total_i")
+            F.col("value_i").cast("decimal(38,0)") * F.col("n_parts")
+            > F.lit(Q11_MEAN_MULT) * F.col("total_i").cast("decimal(38,0)")
         )
         .select(
             "l_partkey",

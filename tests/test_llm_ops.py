@@ -1848,10 +1848,15 @@ def test_ann_index_append_encodes_with_saved_quantizers(spark, tmp_path):
         .filter((F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 5 == 0))
         .select((F.col("vec_id") + SHIFT).alias("vec_id"), "v")
     )
-    n_new = similarity.append_ann_index(spark, batch, root)
+    n_new = similarity.append_ann_index(spark, batch, root, "crawl_b1")
     assert n_new == batch.count() > 0
+    # retry idempotency: the batch subdirectory overwrites itself, the
+    # meta count is recomputed from the stored assignment — a rerun
+    # must not duplicate rows or double-count
+    n_again = similarity.append_ann_index(spark, batch, root, "crawl_b1")
+    assert n_again == n_new
 
-    assigned = spark.read.parquet(f"{root}/ivf_assigned")
+    assigned = similarity._load_index_relation(spark, root, "ivf_assigned")
     assert assigned.count() == before_assigned + n_new
     # identical vector -> identical cell, regardless of which write it
     # came from (deterministic encoding against the SAVED centroids)
@@ -1864,7 +1869,7 @@ def test_ann_index_append_encodes_with_saved_quantizers(spark, tmp_path):
     )
     assert mism == 0
 
-    codes = spark.read.parquet(f"{root}/pq_codes")
+    codes = similarity._load_index_relation(spark, root, "pq_codes")
     cmism = (
         codes.filter(F.col("point_id") >= SHIFT)
         .select((F.col("point_id") - SHIFT).alias("point_id"), "m", F.col("code").alias("new_code"))

@@ -423,6 +423,12 @@ def test_pipeline_dedup_near_index_crawl_loop(spark):
     got1 = {r["doc_id"] for r in df1.select("doc_id").collect()}
     assert len(got1) > 0
 
+    # retry contract: re-running the same update-mode spec must return
+    # the recorded admissions, NOT recompute (which would reject every
+    # previously-admitted doc and wipe the durable output)
+    df1b, _ = run_pipeline(spark, spec)
+    assert {r["doc_id"] for r in df1b.select("doc_id").collect()} == got1
+
     # run 2: re-crawl run-1's docs under shifted ids — every signed doc
     # is a near-dup of an admitted run-1 doc (bands appended), so the
     # step must admit NOTHING that carries a signature
