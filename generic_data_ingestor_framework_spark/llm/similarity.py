@@ -292,12 +292,15 @@ def _ivf_topk(
     n_probes: int,
     cdf: DataFrame | None = None,
     assigned: DataFrame | None = None,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe with a parameterized probe count (``ann_ivf_topk`` is
     this at the tuned default; ``ann_probe_tradeoff`` sweeps it).
     ``cdf``/``assigned`` override the session-built centroid table and
     cell assignment with LOADED relations (the persisted-index path —
-    ``ann_ivf_persisted``).
+    ``ann_ivf_persisted``); ``probed`` supplies an already-computed
+    query→cell relation so a caller that needed it for cell pruning
+    doesn't score the queries twice.
 
     The scale path: candidate pruning happens via an equi-join on
     ``centroid_id`` (a shuffle on a small key), so the expensive dot
@@ -307,13 +310,14 @@ def _ivf_topk(
     from pyspark.sql import Window as W
 
     cdf = cdf if cdf is not None else _centroid_df(spark, sf_dir)
-    qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qn"),
-    )
     assigned = assigned if assigned is not None else _ivf_assigned(spark, sf_dir)
-    probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes)
+    if probed is None:
+        qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("qn"),
+        )
+        probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     return (
         probed.join(assigned, "cell")
@@ -1171,19 +1175,27 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
     )
-    cells = [
-        r["cell"]
-        for r in _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
-        .select("cell")
-        .distinct()
-        .collect()
-    ]
+    # score the queries ONCE: the same probed relation yields the
+    # driver-held cell list (for partition pruning) and the join side.
+    # Session-registry persist (not a bare .persist()) so repeated
+    # calls reuse one cached copy instead of leaking one per call —
+    # the relation is deterministic per corpus (rounded sims, id
+    # tie-breaks), so the key is just the corpus.
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    probed = shared_persist(
+        spark,
+        ("ivf_probed_persisted", sf_dir),
+        lambda: _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES),
+    )
+    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
     return _ivf_topk(
         spark,
         sf_dir,
         N_PROBES,
         cdf=cdf,
         assigned=idx["ivf_assigned"].filter(F.col("cell").isin(cells)),
+        probed=probed,
     )
 
 
