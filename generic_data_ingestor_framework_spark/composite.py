@@ -125,7 +125,9 @@ def _duck_canon(c: str, kind: str) -> str:
 # column, so a red gate row names the diverging bucket instead of just
 # flipping a checksum (r8 verdict: composite granularity made audit
 # regressions expensive to localize).
-SAMPLED_MEMBERS = {"lsh_scurve_audit", "ann_pq_recall"}
+SAMPLED_MEMBERS = {
+    "lsh_scurve_audit", "ann_pq_recall", "ann_recall_report", "ann_probe_tradeoff",
+}
 _SAMPLE_CAP = 1600  # chars; sampled members are ≤ ~16 short rows
 
 
@@ -249,6 +251,11 @@ COMPOSITES: dict[str, list[str]] = {
         "dedup_semantic_clusters", "ann_quantized_rerank",
         "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
         "ann_ivf_persisted", "ann_pq_persisted",
+        # ≤5-row audit members, SAMPLED (full canonical rows in the
+        # composite's sample column — a red row names the diverging
+        # bucket); folding them here freed two top-level slots for the
+        # crawl-loop members, which the gate compares row-by-row.
+        "ann_recall_report", "ann_probe_tradeoff",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",
@@ -327,12 +334,13 @@ REGISTER_ORDER = [
     "dedup_keep_corpus",
     "dedup_incremental",
     "dedup_incremental_near",
-    # similarity / ANN (7)
+    # similarity / ANN (6; recall/tradeoff fold into embed_stats as
+    # sampled members — their full rows still reach the gate via the
+    # sample column)
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
-    "ann_recall_report",
-    "ann_probe_tradeoff",
+    "ann_index_crawl",
     "dedup_embedding_pairs",
     "embed_stats",
     # text analysis (5)

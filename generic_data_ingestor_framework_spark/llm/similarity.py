@@ -877,9 +877,19 @@ def _pq_adc(
     )
 
 
-def _pq_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
+def _pq_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    adc: DataFrame,
+    cand_vecs: DataFrame | None = None,
+) -> DataFrame:
     """ADC shortlist (TOP_K·PQ_RERANK by approx sim) → exact-cosine
-    rerank → TOP_K. Shared by the flat and IVF-gated PQ members."""
+    rerank → TOP_K. Shared by the flat and IVF-gated PQ members.
+    ``cand_vecs`` overrides the candidate-vector relation — a
+    ``(point_id, cv, cn)`` frame — for callers whose compressed index
+    covers points beyond the corpus candidates (the crawl-appended
+    batch in ``ann_index_crawl``); the exact rerank must be able to
+    resolve every shortlisted point's full vector."""
     from pyspark.sql import Window as W
 
     vecs = _vectors(spark, sf_dir)
@@ -887,8 +897,14 @@ def _pq_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
     qn = norms.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    cn = norms.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("point_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    cn = (
+        cand_vecs
+        if cand_vecs is not None
+        else norms.filter(F.col("vec_id") >= N_QUERY).select(
+            F.col("vec_id").alias("point_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
     )
     w1 = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "point_id")
     shortlist = (
@@ -1213,6 +1229,119 @@ def ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crawl-batch ids live far above any corpus vec_id (max 20k at the
+# decade-up) — the append contract requires ids disjoint from the
+# indexed set, and the offset keeps the oracle's re-keying a pure
+# addition.
+CRAWL_OFFSET = 1_000_000
+
+
+def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-run ANN crawl loop driven END-TO-END through the
+    PERSISTED index — the gate member for ``save_ann_index`` /
+    ``append_ann_index`` / ``_load_index_relation``, mirroring
+    ``band_index_crawl`` for the vector side: a unit test proves each
+    step in isolation, but this member drives the full save → append →
+    re-probe cycle through the on-disk parquet relations, so a
+    regression in the persisted path (batch-directory layout, the
+    partition-by-cell write, the recomputed meta count, the
+    saved-quantizer encode) flips the driver gate, not just a pytest.
+
+    Shape: the full-corpus index is saved to a crawl-only root, then a
+    new crawl batch — the query vectors re-keyed to ``vec_id +
+    CRAWL_OFFSET`` (real rows, ids disjoint from the indexed set) — is
+    appended WITHOUT retraining: assigned to its nearest SAVED
+    centroid and encoded against the SAVED PQ codebooks. Both probe
+    paths then serve from disk: phase 1 is the IVF top-k over the
+    grown inverted lists (each query now finds its own appended copy
+    at rank 1, cos 1.0 — visible proof the appended cell assignment
+    landed in the probed cell), phase 2 is the PQ ADC top-k over the
+    grown code relation (``approx_sim`` pins the appended codes' ADC
+    integers exactly). Single-writer contract: the crawl root is
+    namespaced per session (like the band-crawl tables), so concurrent
+    sessions sharing a warehouse cannot corrupt each other mid-read.
+
+    Scale shape: identical to ``ann_ivf_persisted``/``ann_pq_persisted``
+    — the probe side reads only the probed cell partitions plus the
+    (batch-sized) appended subdirectories; quantizers stay trained
+    once, inverted lists grow per crawl."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_delete
+
+    root = _ann_index_root(spark, sf_dir) + "_crawl_" + _session_tag(spark)
+    hadoop_delete(spark, root)  # idempotent re-runs, stale-session leftovers
+    save_ann_index(spark, sf_dir, root)
+    vecs = _vectors(spark, sf_dir)
+    batch = vecs.filter(F.col("vec_id") < N_QUERY).select(
+        (F.col("vec_id") + CRAWL_OFFSET).alias("vec_id"), "v"
+    )
+    append_ann_index(spark, batch, root, "crawl_b1")
+
+    cdf = spark.read.parquet(f"{root}/ivf_centroids")
+    assigned = _load_index_relation(spark, root, "ivf_assigned")
+    codebook = spark.read.parquet(f"{root}/pq_codebook")
+    codes = _load_index_relation(spark, root, "pq_codes")
+
+    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
+    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    ivf = _ivf_topk(
+        spark,
+        sf_dir,
+        N_PROBES,
+        cdf=cdf,
+        assigned=assigned.filter(F.col("cell").isin(cells)),
+        probed=probed,
+    )
+
+    base_cn = vecs.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("point_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    batch_cn = batch.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    pq = _pq_rerank(
+        spark,
+        sf_dir,
+        _pq_adc(spark, sf_dir, codes=codes, cdf=codebook),
+        cand_vecs=base_cn.unionByName(batch_cn),
+    )
+    null_d = F.lit(None).cast("double")
+    return ivf.select(
+        F.lit(1).alias("phase"),
+        "query_id",
+        "neighbor_id",
+        null_d.alias("approx_sim"),
+        "cos_sim",
+        "rank",
+    ).unionAll(
+        pq.select(
+            F.lit(2).alias("phase"),
+            "query_id",
+            "neighbor_id",
+            "approx_sim",
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def _session_tag(spark: SparkSession) -> str:
+    """A filesystem-safe per-session suffix (the Spark application id)
+    — namespaces crawl-owned index roots so two sessions sharing a
+    warehouse never mutate the same directory."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embed_quantize_int8": embed_quantize_int8,
@@ -1230,6 +1359,7 @@ QUERIES = {
     "ann_pq_recall": ann_pq_recall,
     "ann_ivf_persisted": ann_ivf_persisted,
     "ann_pq_persisted": ann_pq_persisted,
+    "ann_index_crawl": ann_index_crawl,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -1314,9 +1444,11 @@ _ASSIGNED_CTE = f"""
           JOIN cand c USING (point_id))"""
 
 
-def _ivf_probe_ctes(n_probes: int, sfx: str = "") -> str:
+def _ivf_probe_ctes(n_probes: int, sfx: str = "", assigned_rel: str = "assigned") -> str:
     """probed/ivf CTE pair for one probe count (suffixed so the
-    tradeoff oracle can hold the whole sweep in one WITH)."""
+    tradeoff oracle can hold the whole sweep in one WITH;
+    ``assigned_rel`` lets the crawl oracle probe the batch-grown
+    assignment instead of the base one)."""
     return f"""
         probed{sfx} AS MATERIALIZED (
           SELECT query_id, qv, cell FROM (
@@ -1330,7 +1462,7 @@ def _ivf_probe_ctes(n_probes: int, sfx: str = "") -> str:
                    {_sim_sql('p.qv', 'a.pv')} AS cos_sim,
                    row_number() OVER (PARTITION BY p.query_id
                      ORDER BY {_sim_sql('p.qv', 'a.pv')} DESC, a.point_id) AS rank
-            FROM probed{sfx} p JOIN assigned a ON p.cell = a.cell)
+            FROM probed{sfx} p JOIN {assigned_rel} a ON p.cell = a.cell)
           WHERE rank <= {TOP_K})"""
 
 
@@ -1387,12 +1519,12 @@ def _pq_sub_union(id_expr: str, pred: str) -> str:
     )
 
 
-def _pq_ctes(adc_gate: str = "") -> str:
-    """The per-subspace Lloyd trajectory of ``_pq_codebooks`` plus the
-    encode → LUT → ADC → shortlist → rerank chain of ``ann_pq_topk``,
-    as chained DuckDB CTEs ending in ``pq`` (rank ≤ TOP_K rows).
-    ``adc_gate`` injects an extra JOIN into the ADC scan (the IVF-PQ
-    oracle passes the probed-cell gate, mirroring ``_pq_adc``)."""
+def _pq_train_parts() -> list[str]:
+    """The saved-quantizer prefix of the PQ oracle chain — the Lloyd
+    trajectory, the base-corpus codes, the query LUT and the norms —
+    shared by the per-session members (via ``_pq_ctes``) and the
+    crawl oracle, which extends it with the appended batch's codes
+    encoded against the SAME final codebooks."""
     parts = [
         f"""psub AS MATERIALIZED (
 {_pq_sub_union("vec_id AS point_id", f"vec_id >= {N_QUERY}")}
@@ -1434,6 +1566,16 @@ def _pq_ctes(adc_gate: str = "") -> str:
           FROM qsub q JOIN {fin} c ON q.m = c.m)""")
     parts.append(f"""nrms AS MATERIALIZED (
           SELECT vec_id, v, {_NORM.format(a='v')} AS nrm FROM vecs)""")
+    return parts
+
+
+def _pq_ctes(adc_gate: str = "") -> str:
+    """The per-subspace Lloyd trajectory of ``_pq_codebooks`` plus the
+    encode → LUT → ADC → shortlist → rerank chain of ``ann_pq_topk``,
+    as chained DuckDB CTEs ending in ``pq`` (rank ≤ TOP_K rows).
+    ``adc_gate`` injects an extra JOIN into the ADC scan (the IVF-PQ
+    oracle passes the probed-cell gate, mirroring ``_pq_adc``)."""
+    parts = _pq_train_parts()
     parts.append(f"""adc AS MATERIALIZED (
           SELECT l.query_id, c.point_id, SUM(l.pdot_i) AS adot_i
           FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
@@ -1725,3 +1867,77 @@ ORACLES = {
 # save/load path end-to-end, not a weaker shape check.
 ORACLES["ann_ivf_persisted"] = ORACLES["ann_ivf_topk"]
 ORACLES["ann_pq_persisted"] = ORACLES["ann_pq_topk"]
+
+# The crawl oracle recomputes the APPENDED batch's cell assignment and
+# PQ codes from the saved quantizers — the same trained trajectory as
+# the base oracles (append never retrains), the batch re-keyed by pure
+# addition — then replays both probes over the grown relations.
+_PQ_TRAIN = ",\n        ".join(_pq_train_parts())
+ORACLES["ann_index_crawl"] = f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {_ASSIGNED_CTE},
+        bvec AS MATERIALIZED (
+          SELECT vec_id + {CRAWL_OFFSET} AS point_id, v AS pv,
+                 {_NORM_FAST.format(a='v')} AS pn
+          FROM vecs WHERE vec_id < {N_QUERY}),
+        bassign AS (
+          SELECT c.point_id, c.pv, c.pn, -p.pick.nc AS cell FROM (
+            SELECT c.point_id,
+                   max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
+                         / (c.pn * s.cn), 6),
+                       nc := -s.centroid_id)) AS pick
+            FROM bvec c, {_CENT_FINAL} s GROUP BY c.point_id) p
+          JOIN bvec c USING (point_id)),
+        assigned2 AS (
+          SELECT point_id, pv, pn, cell FROM assigned
+          UNION ALL SELECT point_id, pv, pn, cell FROM bassign),
+        {_ivf_probe_ctes(N_PROBES, assigned_rel="assigned2")},
+        {_PQ_TRAIN},
+        bsub AS (
+{_pq_sub_union(f"vec_id + {CRAWL_OFFSET} AS point_id", f"vec_id < {N_QUERY}")}
+        ),
+        bcodes AS (
+          SELECT point_id, m, cell AS code FROM (
+            SELECT s.point_id, s.m, c.j AS cell,
+                   row_number() OVER (PARTITION BY s.point_id, s.m
+                     ORDER BY {_L2.format(a='s.sv', b='c.cv')}, c.j) AS rn
+            FROM bsub s JOIN pcent{PQ_ITERS} c ON s.m = c.m) WHERE rn = 1),
+        codes2 AS (SELECT * FROM codes UNION ALL SELECT * FROM bcodes),
+        nrms2 AS (
+          SELECT vec_id, v, nrm FROM nrms
+          UNION ALL
+          SELECT vec_id + {CRAWL_OFFSET}, v, nrm FROM nrms
+          WHERE vec_id < {N_QUERY}),
+        adc2 AS MATERIALIZED (
+          SELECT l.query_id, c.point_id, SUM(l.pdot_i) AS adot_i
+          FROM codes2 c JOIN lut l ON l.m = c.m AND l.j = c.code
+          GROUP BY 1, 2),
+        short2 AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT a.query_id, a.point_id,
+                   round(a.adot_i / 1e6 / (nq.nrm * nc.nrm), 6) AS approx_sim,
+                   nq.v AS qv, nc.v AS cv, nq.nrm AS qn, nc.nrm AS cn,
+                   row_number() OVER (PARTITION BY a.query_id
+                     ORDER BY round(a.adot_i / 1e6 / (nq.nrm * nc.nrm), 6) DESC,
+                              a.point_id) AS rn1
+            FROM adc2 a JOIN nrms2 nq ON nq.vec_id = a.query_id
+                        JOIN nrms2 nc ON nc.vec_id = a.point_id)
+          WHERE rn1 <= {TOP_K * PQ_RERANK}),
+        pq2 AS (
+          SELECT query_id, point_id AS neighbor_id, approx_sim,
+                 round({_DOT.format(a='qv', b='cv')} / (qn * cn), 6) AS cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round({_DOT.format(a='qv', b='cv')} / (qn * cn), 6) DESC,
+                            point_id) AS rnk
+          FROM short2)
+        SELECT CAST(1 AS INT) AS phase, query_id, neighbor_id,
+               CAST(NULL AS DOUBLE) AS approx_sim, cos_sim, rank
+        FROM ivf
+        UNION ALL
+        SELECT CAST(2 AS INT) AS phase, query_id, neighbor_id, approx_sim,
+               cos_sim, CAST(rnk AS INT) AS rank
+        FROM pq2 WHERE rnk <= {TOP_K}
+"""
