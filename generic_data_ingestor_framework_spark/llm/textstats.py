@@ -737,7 +737,11 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_SCALE = 1000       # integer weight grain (exact cross-engine sums)
 TFIDF_DF_CAP = 100       # df-cap floor (SF-aware: max(100, n_docs/5), see below)
-TFIDF_DF_HARD = 20000    # absolute df ceiling (bounds per-term pair mass)
+TFIDF_DF_HARD = 20000    # absolute df ceiling on the weight space
+TFIDF_PAIR_B = 512       # per-term posting sample for pair GENERATION:
+                         # a term's postings join the candidate self-join
+                         # only through a ~B-row deterministic hash sample,
+                         # so per-term candidate mass is O(B²) at ANY df
 TFIDF_SIM_TAU = 0.5      # cosine threshold for a reported pair
 TFIDF_TOP_K = 500        # report the K most similar pairs (bounded output)
 
@@ -752,20 +756,28 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     even when n-gram overlap is low.
 
     The similarity space is explicitly the capped one, and the cap is
-    SF-AWARE: a term joins when ``2 ≤ df ≤ min(max(TFIDF_DF_CAP,
-    n_docs/5), TFIDF_DF_HARD)``. "Distinctive" is a corpus-share
-    property — a FIXED absolute cap goes vacuous as the corpus grows
-    (at sf0.1 every df≥2 term already exceeded 100 docs and the old
-    member returned 0 rows), while df ≤ 20% of docs keeps the same
-    idf semantics at every scale. The ``TFIDF_DF_HARD`` ceiling
-    bounds the worst-case per-term pair mass (df² ≤ 4·10⁸ join rows
-    per term) independently of corpus size; at sf0.01 the formula
-    reduces to the historical cap exactly (max(100, 500/5) = 100).
-    ``df = 1`` terms cannot produce a pair and are pruned before the
-    join. Norms are computed over the same kept-term space, so
-    reported cosines are exact for that space. The top-K output
-    contract bounds the result (a duplication-heavy corpus has
-    quadratically many qualifying pairs — 5.4M at the sf1 decade-up)
+    SF-AWARE: a term contributes weight when ``2 ≤ df ≤
+    min(max(TFIDF_DF_CAP, n_docs/5), TFIDF_DF_HARD)``. "Distinctive"
+    is a corpus-SHARE property — a fixed absolute cap goes vacuous as
+    the corpus grows (and on this corpus every term's df grows
+    linearly with n_docs: the sf1 vocabulary has NO term under any
+    sublinear cap), so df ≤ 20% of docs is the scale-stable weight
+    space. ``df = 1`` terms cannot produce a pair and are pruned.
+
+    Candidate GENERATION is where the quadratic lived (r10: per-term
+    pair mass ~ (n/5)², a measured 10.66× decade-up ratio), and it is
+    now endpoint-SAMPLED: a posting (term, doc) enters the pair
+    self-join only when ``df ≤ TFIDF_PAIR_B`` or its portable hash
+    falls in a ``1/ceil(df/B)`` slice — ~B sampled postings per term,
+    so per-term candidate mass is O(B²) and total candidate mass is
+    O(vocab·B²) at ANY corpus size. The recall contract is the
+    LSH-family one (``dedup_minhash_lsh_pairs``): candidate membership
+    is a deterministic sample, but every REPORTED pair's cosine,
+    n_shared_terms, and rank are EXACT over the full kept-term space —
+    candidates re-join the unsampled inverted index for the dot
+    product. At the gate SFs no kept term exceeds B=512 postings (max
+    df 402 at sf0.01), so the sample is a no-op and results are
+    bit-identical to r10. The top-K output contract bounds the result
     and runs as a per-partition partial top-K (TakeOrderedAndProject),
     not a global sort.
 
@@ -800,6 +812,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 "term",
+                "df",
                 F.round(
                     F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * TFIDF_SCALE
                 )
@@ -808,20 +821,40 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+
     # the weighted inverted index: referenced by norms + both join sides
     kept = shared_persist(spark, ("tfidf_kept", sf_dir), _kept)
     norms = kept.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nrm")
     )
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("wi").alias("wa")
+    # pair-generation sample: ~B postings per term (deterministic hash
+    # slice, a no-op for df ≤ B) bounds the self-join to O(vocab·B²)
+    pair_src = kept.filter(
+        (F.col("df") <= TFIDF_PAIR_B)
+        | (
+            portable_hash32(F.concat_ws("_", F.col("term"), F.col("doc_id")))
+            % F.ceil(F.col("df") / F.lit(TFIDF_PAIR_B)).cast("bigint")
+            == 0
+        )
+    ).select("doc_id", "term")
+    cand = (
+        pair_src.alias("pa")
+        .join(pair_src.alias("pb"), "term")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("wi").alias("wb")
-    )
+    # exact dot over the FULL kept space for every candidate: re-join
+    # the unsampled inverted index per side (pairs × terms-per-doc rows
+    # — linear in the candidate count, never in df²)
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "term", F.col("wi").alias("wa"))
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "term", F.col("wi").alias("wb"))
     dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "term"])
         .groupBy("doc_a", "doc_b")
         .agg(
             F.sum(F.col("wa") * F.col("wb")).alias("dot"),
@@ -1140,7 +1173,7 @@ ORACLES = {
         ),
         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
         kept AS MATERIALIZED (
-          SELECT doc_id, term,
+          SELECT doc_id, term, df,
                  CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * {TFIDF_SCALE})
                       AS BIGINT) AS wi
           FROM (SELECT doc_id, term, tf,
@@ -1149,17 +1182,30 @@ ORACLES = {
           WHERE df >= 2
             AND df <= least(greatest({TFIDF_DF_CAP}, n_docs // 5), {TFIDF_DF_HARD})
         ),
+        psrc AS (
+          SELECT doc_id, term FROM kept
+          WHERE df <= {TFIDF_PAIR_B}
+             OR CAST(concat('0x', substr(md5(term || '_' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % CAST(ceil(df / CAST({TFIDF_PAIR_B} AS DOUBLE)) AS BIGINT) = 0
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM psrc a JOIN psrc b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+        ),
         norms AS (
           SELECT doc_id, sqrt(CAST(sum(wi * wi) AS DOUBLE)) AS nrm
           FROM kept GROUP BY doc_id
         ),
         dots AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(sum(a.wi * b.wi) AS BIGINT) AS dot,
+          SELECT c.doc_a, c.doc_b,
+                 CAST(sum(ka.wi * kb.wi) AS BIGINT) AS dot,
                  CAST(count(*) AS BIGINT) AS n_shared_terms
-          FROM kept a JOIN kept b
-            ON a.term = b.term AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
+          FROM cand c
+          JOIN kept ka ON ka.doc_id = c.doc_a
+          JOIN kept kb ON kb.doc_id = c.doc_b AND kb.term = ka.term
+          GROUP BY c.doc_a, c.doc_b
         )
         SELECT doc_a, doc_b, n_shared_terms,
                round(dot / (na.nrm * nb.nrm), 6) AS tfidf_cos
