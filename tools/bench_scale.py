@@ -30,6 +30,7 @@ from generic_data_ingestor_framework_spark.session import get_spark  # noqa: E40
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/root/repo/_scale/sf1"
 DATA_SCALE = 10.0
+DRIFT_TOL = 1.6  # measured machine-drift band (1.2-1.6×) on this box
 RUNS = 3
 
 QUERIES = [
@@ -107,6 +108,8 @@ QUERIES = [
     "approx_sketches",
     "q11_important_stock",
     "q20_supplier_part_chain",
+    # r11: the persisted-ANN crawl loop (save → append → re-probe)
+    "ann_index_crawl",
 ]
 
 
@@ -191,8 +194,16 @@ def main() -> None:
 
     out["skew"] = _skew_evidence(spark)
     out["minhash_width"] = _sig_width_linearity(spark)
-    superlinear = {n: r for n, r in out["ratio"].items() if r and r > 3 * DATA_SCALE}
-    out["superlinear_over_3x_data_scale"] = superlinear
+    # Alarm bar: ratio > data_scale × DRIFT_TOL. The r10 bar (3× the
+    # data scale = 30×) let a 10.66× quadratic-in-waiting pass
+    # silently; a healthy distributed plan should scale ≤ the data
+    # scale, and cross-run machine drift on this box is a measured
+    # 1.2-1.6× band (memory: bench-variance), so 1.6 is the tolerance
+    # — anything past it is a plan problem, not noise.
+    superlinear = {
+        n: r for n, r in out["ratio"].items() if r and r > DATA_SCALE * DRIFT_TOL
+    }
+    out["superlinear_over_data_scale"] = superlinear
 
     with open("/root/repo/BENCH_SF1.json", "w") as fh:
         json.dump(out, fh, indent=1)

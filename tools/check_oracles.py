@@ -21,6 +21,20 @@ driver's hashing may be stricter than ours, so a gate-red row that
 passes here should be re-run with --strict before suspecting
 session-state. The default (registered, no filter) run is already
 gate-shaped: ONE shared session, entries executed in REGISTER_ORDER.
+
+Sweep-cost controls (the sf1 value check was 19 min in r10, with two
+members >60 s — almost all of it NOT engine compute):
+
+- The Spark query and its DuckDB oracle run CONCURRENTLY (two threads;
+  both engines release the GIL), so a member's wall is max(spark, duck)
+  instead of their sum. Results and diagnostics are unchanged.
+- Members in ``DIGEST_MEMBERS`` (≥ ~50k output rows at sf1) compare
+  ENGINE-SIDE digests — ``composite.block_digest`` on Spark vs
+  ``composite._oracle_block`` on DuckDB, the exact (n, checksum) fold
+  the driver gate already trusts for composite members — instead of
+  materializing ~1M rows into Python on both sides and sorting two
+  multisets. ``--full-rows`` (or ``--strict``) restores full-row
+  comparison for them.
 """
 
 from __future__ import annotations
@@ -44,6 +58,28 @@ TABLES = [
 
 
 STRICT = False  # --strict: no integral-float collapse (driver-style hashing)
+
+# Members whose outputs are row-heavy at sf1 (≥ ~50k rows): compared via
+# engine-side (n, checksum) digests — the same portable fold their
+# family composites already ship through the driver gate — so the sweep
+# pays engine compute, not Python row materialization. Values still
+# flip the checksum at the canon grain (strings/ints exact, doubles at
+# 1e-4 — every member rounds its float outputs coarser than that).
+DIGEST_MEMBERS = {
+    "agg_having_distinct", "array_funcs", "case_null_funcs",
+    "chunk_documents_overlap", "correlated_subquery", "date_funcs",
+    "dedup_minhash_accuracy", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_wide", "dedup_ngram_jaccard",
+    "dedup_semantic_clusters", "events_asof_join",
+    "events_range_window_1h", "graph_triangle_count", "join_anti",
+    "join_inner", "join_left_agg", "join_semi", "math_funcs",
+    "multimodal_frame_sample", "multimodal_resize_buckets",
+    "pseudonymize_users", "regexp_funcs", "session_window_10m",
+    "stream_session_windows", "string_funcs", "subquery_cte",
+    "tfidf_top_terms", "top_k_per_group", "union_all_missing_cols",
+    "unpivot_part_measures", "window_frames", "window_navigation",
+    "window_rank",
+}
 
 
 def norm_value(v):
@@ -81,9 +117,10 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
-    argv = [a for a in args if a not in ("--members", "--strict")]
+    argv = [a for a in args if a not in ("--members", "--strict", "--full-rows")]
     members = "--members" in args
     STRICT = "--strict" in args
+    full_rows = "--full-rows" in args or STRICT
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     records: dict[str, dict] = {}
@@ -103,44 +140,77 @@ def main():
         qs, oracles = entry_mod.member_queries(), entry_mod.member_oracles()
     else:
         qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    from concurrent.futures import ThreadPoolExecutor
+
+    from generic_data_ingestor_framework_spark import composite
+
+    def _spark_side(fn, digest, tag):
+        sdf = fn(spark, sf_dir)
+        if digest:
+            sdf = composite.block_digest(sdf, tag)
+        return sdf.columns, [tuple(r) for r in sdf.collect()]
+
+    def _duck_side(sql, digest, tag):
+        if digest:
+            from generic_data_ingestor_framework_spark._composite_manifest import (
+                MANIFEST,
+            )
+
+            sql = composite._oracle_block(tag, sql, MANIFEST[tag])
+        res = con.execute(sql)
+        return [d[0] for d in res.description], res.fetchall()
+
     passed, failed, rows_only = [], [], []
+    pool = ThreadPoolExecutor(max_workers=2)
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        digest = name in DIGEST_MEMBERS and name in oracles and not full_rows
         t0 = time.time()
+        # Spark and DuckDB run CONCURRENTLY (independent engines, both
+        # release the GIL) — a member's wall is max of the two sides.
+        sfut = pool.submit(_spark_side, fn, digest, name)
+        dfut = (
+            pool.submit(_duck_side, oracles[name], digest, name)
+            if name in oracles
+            else None
+        )
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows = sfut.result()
         except Exception as ex:
+            if dfut is not None:
+                try:
+                    dfut.result()
+                except Exception:
+                    pass
             failed.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
             records[name] = {"rows_match": False, "schema_match": False,
                              "hash_match": False, "spark_rows": None,
                              "oracle_rows": None, "err": f"spark: {str(ex)[:300]}"}
             continue
-        if name not in oracles:
+        n_spark = srows[0][1] if digest else len(srows)
+        if dfut is None:
             rows_only.append(name)
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle, rows-only check)")
+            print(f"ROWS  {name}: {n_spark} rows (no oracle, rows-only check)")
             records[name] = {"rows_match": None, "schema_match": None,
-                             "hash_match": None, "spark_rows": len(srows),
+                             "hash_match": None, "spark_rows": n_spark,
                              "oracle_rows": None, "err": None, "rows_only": True}
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = dfut.result()
         except Exception as ex:
             failed.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             records[name] = {"rows_match": False, "schema_match": False,
-                             "hash_match": False, "spark_rows": len(srows),
+                             "hash_match": False, "spark_rows": n_spark,
                              "oracle_rows": None, "err": f"duckdb: {str(ex)[:300]}"}
             continue
 
+        n_duck = drows[0][1] if digest else len(drows)
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if len(srows) != len(drows) or n_spark != n_duck:
+            problems.append(f"rowcount spark={n_spark} duckdb={n_duck}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not problems:
@@ -149,25 +219,30 @@ def main():
             if sm != dm:
                 diffs = [(a, b) for a, b in zip(sm, dm) if a != b]
                 problems.append(
-                    f"values differ in {len(diffs)}/{len(sm)} rows; first: "
+                    ("digest mismatch: " if digest else "")
+                    + f"values differ in {len(diffs)}/{len(sm)} rows; first: "
                     f"spark={diffs[0][0][:200]!r} duckdb={diffs[0][1][:200]!r}"
                 )
         dt = time.time() - t0
         records[name] = {
-            "rows_match": len(srows) == len(drows),
+            "rows_match": n_spark == n_duck,
             "schema_match": sorted(scols) == sorted(dcols),
             "hash_match": not problems,
-            "spark_rows": len(srows),
-            "oracle_rows": len(drows),
+            "spark_rows": n_spark,
+            "oracle_rows": n_duck,
             "err": "; ".join(problems)[:500] if problems else None,
             "secs": round(dt, 2),
         }
+        if digest:
+            records[name]["digest"] = True
         if problems:
             failed.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)[:500]}")
         else:
             passed.append(name)
-            print(f"PASS  {name} ({len(srows)} rows, {dt:.1f}s)")
+            tag = "PASSd" if digest else "PASS "
+            print(f"{tag} {name} ({n_spark} rows, {dt:.1f}s)")
+    pool.shutdown()
 
     if json_out:
         import json
