@@ -124,6 +124,16 @@ HEADLINE = [
     "shard_export_assignment",
 ]
 
+# Index-WRITE workloads (cross-run persisted index crawl loops): real
+# work a recurring pipeline pays, but save/append cycles — not query
+# serving — so they are tracked in a separate BENCH_FULL.json section
+# instead of the 71-query headline (their cost would otherwise be
+# invisible round-over-round).
+INDEX_BUILDS = [
+    "band_index_crawl",
+    "ann_index_crawl",
+]
+
 REGRESSION_RATIO = 1.3
 RAW_RATIO_CEIL = 2.0  # flag regardless of drift — normalization must not hide big ones
 STEADY_RUNS = 5  # report per-query medians; 5 runs so one JIT/GC-warming
@@ -239,6 +249,38 @@ def _vs_prev(times: dict[str, float], probe_s: float, sf: float) -> dict | None:
     }
 
 
+def _index_builds_vs_prev(
+    ib_times: dict[str, float], probe_s: float, sf: float
+) -> dict | None:
+    """Round-over-round ratios for the index-build section. Only the
+    committed BENCH_FULL.json carries it (driver tails never did), so
+    the baseline read is direct."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, FULL_RECORD)) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if prev.get("sf") != sf:
+        return None
+    prev_q = (prev.get("index_builds") or {}).get("queries", {})
+    common = [n for n in ib_times if n in prev_q and prev_q[n] > 0]
+    if not common:
+        return None
+    prev_probe = prev.get("probe_s")
+    drift = (probe_s / prev_probe) if prev_probe else 1.0
+    return {
+        "probe_drift": round(drift, 3),
+        "ratios": {
+            n: {
+                "raw": round(ib_times[n] / prev_q[n], 3),
+                "norm": round(ib_times[n] / prev_q[n] / drift, 3),
+            }
+            for n in sorted(common)
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -272,8 +314,25 @@ def main() -> None:
         times[name] = _median(runs)
         spread[name] = [min(runs), max(runs)]
 
+    # index-build workloads: cold + 3-run median each (every run is a
+    # full save → probe → append → re-probe cycle with real writes)
+    ib_times: dict[str, float] = {}
+    ib_cold: dict[str, float] = {}
+    for name in INDEX_BUILDS:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ib_cold[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        ib_times[name] = _median(runs)
+
     # vs_prev must read the PRIOR BENCH_FULL.json before we overwrite it
     vs_prev = _vs_prev(times, probe_s, sf)
+    ib_vs_prev = _index_builds_vs_prev(ib_times, probe_s, sf)
 
     # release query-phase persisted intermediates so ingest throughput
     # is measured without sf0.1 relations occupying storage memory
@@ -298,7 +357,17 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, FULL_RECORD), "w") as fh:
         json.dump(
-            {**full, "vs_prev": vs_prev, "cold_queries": cold, "spread": spread},
+            {
+                **full,
+                "vs_prev": vs_prev,
+                "cold_queries": cold,
+                "spread": spread,
+                "index_builds": {
+                    "queries": ib_times,
+                    "cold": ib_cold,
+                    "vs_prev": ib_vs_prev,
+                },
+            },
             fh,
             indent=1,
         )

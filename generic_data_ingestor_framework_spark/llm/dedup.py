@@ -690,10 +690,29 @@ def update_band_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 32,
+    skip_existing: bool = False,
 ) -> None:
     """Append a run's ADMITTED documents' band keys to the history
     index (same bucketing — appended files land in matching buckets,
-    so the probe join stays shuffle-free on the history side)."""
+    so the probe join stays shuffle-free on the history side).
+
+    ``skip_existing`` anti-joins the admitted bands against the current
+    index before appending, so a caller that cannot know whether a
+    previous attempt already appended (the pipeline's completed-run
+    re-execution path) converges instead of accumulating duplicate band
+    rows on every re-run. Duplicates are semantically harmless to the
+    semi-join probe but grow the index and its probe cost unboundedly.
+    The anti-join reads the bucketed index in place (no shuffle on the
+    history side) and only the batch-sized admitted bands move."""
+    if skip_existing:
+        bands = (
+            bands_per_row(admitted, id_col, text_col)
+            .select("band_key")
+            .distinct()
+            .join(spark.table(table), "band_key", "anti")
+        )
+        bands.write.mode("append").bucketBy(n_buckets, "band_key").saveAsTable(table)
+        return
     save_band_index(
         spark, admitted, table, id_col, text_col, n_buckets, mode="append"
     )
@@ -743,7 +762,16 @@ def _reset_managed_table(spark: SparkSession, table: str) -> None:
     metastore has no such table — ``saveAsTable`` then refuses even
     overwrite mode (LOCATION_ALREADY_EXISTS). Storage-agnostic via the
     Hadoop FileSystem API (local path in tests, object store at
-    scale)."""
+    scale).
+
+    SINGLE-WRITER contract: callers that reset-and-rebuild fixed table
+    names (``band_index_crawl``'s per-sf crawl tables) assume one
+    writer per warehouse at a time — two sessions sharing a warehouse
+    and running the same member concurrently would corrupt each
+    other's tables mid-read. Production crawl loops own their index
+    table names per pipeline (``pipeline.dedup_near_index``), where
+    the admitted-table existence check already serializes re-runs; the
+    gate member keeps fixed names so its oracle stays reproducible."""
     from generic_data_ingestor_framework_spark.fileops import hadoop_delete
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1095,7 +1095,10 @@ def load_ann_index(
     appended batches must mirror corpus growth (the crawl workflow), or
     the next load sees a count mismatch and retrains from the current
     corpus, discarding appends."""
-    from generic_data_ingestor_framework_spark.fileops import hadoop_exists
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_exists,
+        hadoop_list_dirs,
+    )
 
     root = root or _ann_index_root(spark, sf_dir)
     stale = True
@@ -1109,6 +1112,25 @@ def load_ann_index(
             or _load_index_relation(spark, root, "pq_codes").count() != n_cand * PQ_M
         )
     if stale:
+        # a retrain DISCARDS any appended batches — that is the staleness
+        # contract (appends must mirror corpus growth), but losing them
+        # must be observable, not silent
+        batches = (
+            hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches")
+            + hadoop_list_dirs(spark, f"{root}/pq_codes_batches")
+        )
+        if batches:
+            import warnings
+
+            warnings.warn(
+                f"load_ann_index: retraining {root} discards "
+                f"{len(batches)} appended batch director"
+                f"{'y' if len(batches) == 1 else 'ies'} (index does not "
+                f"match the corpus at {sf_dir} — appends not mirrored by "
+                f"corpus growth, or a crash left the index inconsistent)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         save_ann_index(spark, sf_dir, root)
     return {
         "ivf_centroids": spark.read.parquet(f"{root}/ivf_centroids"),
@@ -1265,10 +1287,22 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the probe side reads only the probed cell partitions plus the
     (batch-sized) appended subdirectories; quantizers stay trained
     once, inverted lists grow per crawl."""
-    from generic_data_ingestor_framework_spark.fileops import hadoop_delete
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        hadoop_list_dirs,
+    )
 
-    root = _ann_index_root(spark, sf_dir) + "_crawl_" + _session_tag(spark)
-    hadoop_delete(spark, root)  # idempotent re-runs, stale-session leftovers
+    base = _ann_index_root(spark, sf_dir)
+    root = base + "_crawl_" + _session_tag(spark)
+    # single-writer warehouse contract (see dedup._reset_managed_table):
+    # reap crawl roots left by DEAD sessions so repeated sweeps don't
+    # accumulate index copies, then rebuild our own namespaced root
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    prefix = base + "_crawl_"
+    for sub in hadoop_list_dirs(spark, wh):
+        if sub.rstrip("/").split("/")[-1].startswith(prefix.rstrip("/").split("/")[-1]):
+            hadoop_delete(spark, sub)
+    hadoop_delete(spark, root)  # idempotent re-runs
     save_ann_index(spark, sf_dir, root)
     vecs = _vectors(spark, sf_dir)
     batch = vecs.filter(F.col("vec_id") < N_QUERY).select(

@@ -516,12 +516,14 @@ def _step_dedup_near_index(df: DataFrame, p: dict) -> DataFrame:
     already exists, the run is treated as (at least partially)
     complete — recomputing the probe would reject every doc the first
     attempt admitted (their bands are in the index) and overwrite the
-    durable output with an empty frame — so the step re-appends the
-    recorded admissions' bands (duplicate band rows are harmless to
-    the semi-join) and returns them: a retry after a crash in EITHER
-    half converges on the same result. See ``llm/dedup.py``
-    ``band_index_crawl`` — the driver-gated member exercising this
-    cycle."""
+    durable output with an empty frame — so the step re-appends ONLY
+    the recorded admissions' bands that are not already in the index
+    (``skip_existing`` anti-join): a retry after a crash in EITHER
+    half converges on the same result, and a routine re-execution of
+    an already-completed spec is a pure read — the index does not
+    accumulate duplicate band rows across re-runs. See
+    ``llm/dedup.py`` ``band_index_crawl`` — the driver-gated member
+    exercising this cycle."""
     from generic_data_ingestor_framework_spark.fileops import hadoop_exists
     from generic_data_ingestor_framework_spark.llm.dedup import (
         dedup_against_band_index,
@@ -535,7 +537,9 @@ def _step_dedup_near_index(df: DataFrame, p: dict) -> DataFrame:
         out_tbl = p.get("admitted_table", f"{p['table']}_admitted")
         if spark.catalog.tableExists(out_tbl):
             admitted = spark.table(out_tbl)
-            update_band_index(spark, admitted, p["table"], id_col, text_col)
+            update_band_index(
+                spark, admitted, p["table"], id_col, text_col, skip_existing=True
+            )
             return admitted
         wh = spark.conf.get("spark.sql.warehouse.dir")
         if hadoop_exists(spark, f"{wh}/{out_tbl.lower()}"):

@@ -1881,3 +1881,116 @@ def test_ann_index_append_encodes_with_saved_quantizers(spark, tmp_path):
 
     meta1 = spark.read.parquet(f"{root}/index_meta").collect()[0]
     assert meta1["n_candidates"] == meta0["n_candidates"] + n_new
+
+
+def test_ann_index_append_crash_triggers_retrain(spark, tmp_path):
+    """load_ann_index's consistency probe: a crash between an append's
+    two relation writes (assigned batch written, codes batch not, meta
+    gone or disagreeing) must trigger a retrain — and discarding
+    non-empty append batches must WARN, never be silent."""
+    import warnings
+
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        hadoop_list_dirs,
+    )
+
+    root = str(tmp_path / "ann_idx_crash")
+    similarity.save_ann_index(spark, SF, root)
+    n_base = spark.read.parquet(f"{root}/index_meta").collect()[0]["n_candidates"]
+
+    SHIFT = 1_000_000
+    batch = (
+        similarity._vectors(spark, SF)
+        .filter((F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 7 == 0))
+        .select((F.col("vec_id") + SHIFT).alias("vec_id"), "v")
+    )
+    similarity.append_ann_index(spark, batch, root, "crash_b1")
+
+    # simulate the mid-append crash: the codes batch never landed and
+    # the meta claims the base count (the append had invalidated it;
+    # a concurrent reader recreated... any meta/relations disagreement
+    # must be treated as foreign) — assigned count n+k vs meta n
+    hadoop_delete(spark, f"{root}/pq_codes_batches")
+    spark.createDataFrame(
+        [(similarity.ANN_INDEX_VERSION, int(n_base))],
+        "version int, n_candidates bigint",
+    ).write.mode("overwrite").parquet(f"{root}/index_meta")
+    assert hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches")  # batch present
+
+    with warnings.catch_warnings(record=True) as wrec:
+        warnings.simplefilter("always")
+        idx = similarity.load_ann_index(spark, SF, root)
+    assert any("discards" in str(w.message) for w in wrec)  # loud, not silent
+    # retrained: batch dirs cleared, meta back to the corpus count,
+    # relations internally consistent again
+    assert not hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches")
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta["n_candidates"] == n_base
+    assert idx["ivf_assigned"].count() == n_base
+    assert idx["pq_codes"].count() == n_base * similarity.PQ_M
+
+    # and the true mid-append shape (meta deleted first) also retrains
+    similarity.append_ann_index(spark, batch, root, "crash_b2")
+    hadoop_delete(spark, f"{root}/index_meta")
+    hadoop_delete(spark, f"{root}/pq_codes_batches")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        similarity.load_ann_index(spark, SF, root)
+    meta2 = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta2["n_candidates"] == n_base
+    assert not hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches")
+
+
+def test_ann_index_fresh_process_serves_without_retrain(spark, tmp_path):
+    """The 'train once, probe forever' contract CROSS-PROCESS: a brand
+    new Python/JVM process loads the saved index and serves IVF + PQ
+    results identical to the session-trained ones WITHOUT retraining
+    (pinned by the index_meta file mtimes — a retrain rewrites them)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "ann_idx_fresh")
+    similarity.save_ann_index(spark, SF, root)
+    want_ivf = sorted(map(list, similarity.ann_ivf_topk(spark, SF).collect()))
+    want_pq = sorted(map(list, similarity.ann_pq_topk(spark, SF).collect()))
+
+    def _meta_mtimes() -> dict:
+        d = f"{root}/index_meta"
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    before = _meta_mtimes()
+    script = f"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.warehouse.dir", {str(tmp_path / "wh2")!r})
+         .getOrCreate())
+from generic_data_ingestor_framework_spark.llm import similarity
+idx = similarity.load_ann_index(spark, {SF!r}, {root!r})
+ivf = similarity._ivf_topk(spark, {SF!r}, similarity.N_PROBES,
+                           cdf=idx["ivf_centroids"], assigned=idx["ivf_assigned"])
+pq = similarity._pq_rerank(spark, {SF!r},
+        similarity._pq_adc(spark, {SF!r}, codes=idx["pq_codes"],
+                           cdf=idx["pq_codebook"]))
+print("RESULT::" + json.dumps({{
+    "ivf": sorted(map(list, (tuple(r) for r in ivf.collect()))),
+    "pq": sorted(map(list, (tuple(r) for r in pq.collect()))),
+}}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = [l for l in out.stdout.splitlines() if l.startswith("RESULT::")]
+    assert payload, out.stdout[-2000:]
+    got = _json.loads(payload[0][len("RESULT::"):])
+    assert got["ivf"] == want_ivf and len(got["ivf"]) > 0
+    assert got["pq"] == want_pq and len(got["pq"]) > 0
+    assert _meta_mtimes() == before  # no retrain: meta untouched

@@ -425,9 +425,13 @@ def test_pipeline_dedup_near_index_crawl_loop(spark):
 
     # retry contract: re-running the same update-mode spec must return
     # the recorded admissions, NOT recompute (which would reject every
-    # previously-admitted doc and wipe the durable output)
+    # previously-admitted doc and wipe the durable output) — and must
+    # NOT grow the index: the re-append anti-joins bands already in the
+    # index, so a routine re-execution is a pure read
+    idx_rows = spark.table(table).count()
     df1b, _ = run_pipeline(spark, spec)
     assert {r["doc_id"] for r in df1b.select("doc_id").collect()} == got1
+    assert spark.table(table).count() == idx_rows
 
     # run 2: re-crawl run-1's docs under shifted ids — every signed doc
     # is a near-dup of an admitted run-1 doc (bands appended), so the
