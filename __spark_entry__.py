@@ -35,6 +35,13 @@ oracle-checked against an unrolled DuckDB CTE chain) and the
 cross-document span-duplication audit ``span_duplication_ratio``
 (doc_fingerprints member); ingest gains the built-in orc and xml
 sources.
+
+Round 11: 49 registered entries over 176 members — adds the
+persisted-ANN crawl loop ``ann_index_crawl`` as a DIRECT entry (the
+driver compares its 30 rows row-by-row); ``ann_recall_report`` /
+``ann_probe_tradeoff`` fold into the ``embed_stats`` composite as
+SAMPLED members (their full canonical rows ride the composite's
+``sample`` column).
 """
 
 from __future__ import annotations
