@@ -1251,6 +1251,52 @@ def ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_ann_index(spark: SparkSession, root: str) -> int:
+    """MAJOR COMPACTION for a persisted ANN index: fold every appended
+    batch subdirectory into the base relations and clear the batch
+    directories. A crawl loop appends one subdirectory per batch per
+    relation; after many crawls the probe-side union grows into a
+    small-files problem (each probe lists and opens every batch dir —
+    at 100 TB, thousands of tiny parquet footers per query job), and
+    appended rows are NOT cell-partitioned, so the partition-pruned
+    probe path degrades toward scanning every batch file. Compaction
+    rewrites ``ivf_assigned`` partitioned by cell (appended rows join
+    their inverted lists on disk) and ``pq_codes`` as one relation,
+    then removes the batch dirs — results are IDENTICAL before and
+    after (pure layout change; ``ann_index_crawl`` phase 3 pins this
+    invariance through the gate).
+
+    Crash-consistency: same meta-last protocol as save/append — meta
+    is invalidated first, the compacted relations are staged and
+    swapped, batch dirs cleared, meta rewritten LAST from the stored
+    assignment count. A crash mid-compaction leaves meta absent or
+    counts disagreeing, and ``load_ann_index`` retrains. Returns the
+    compacted index's candidate count."""
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        hadoop_fs_path,
+    )
+
+    hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
+    # stage the folded relations (a direct overwrite would read and
+    # clobber the same directory in one job)
+    assigned = _load_index_relation(spark, root, "ivf_assigned")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{root}/ivf_assigned_compact"
+    )
+    codes = _load_index_relation(spark, root, "pq_codes")
+    codes.write.mode("overwrite").parquet(f"{root}/pq_codes_compact")
+    for name in ("ivf_assigned", "pq_codes"):
+        hadoop_delete(spark, f"{root}/{name}")
+        hadoop_delete(spark, f"{root}/{name}_batches")
+        fs, src = hadoop_fs_path(spark, f"{root}/{name}_compact")
+        _, dst = hadoop_fs_path(spark, f"{root}/{name}")
+        fs.rename(src, dst)
+    n_total = spark.read.parquet(f"{root}/ivf_assigned").count()
+    _write_index_meta(spark, root, n_total)
+    return n_total
+
+
 # Crawl-batch ids live far above any corpus vec_id (max 20k at the
 # decade-up) — the append contract requires ids disjoint from the
 # indexed set, and the offset keeps the oracle's re-keying a pure
@@ -1279,9 +1325,13 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     at rank 1, cos 1.0 — visible proof the appended cell assignment
     landed in the probed cell), phase 2 is the PQ ADC top-k over the
     grown code relation (``approx_sim`` pins the appended codes' ADC
-    integers exactly). Single-writer contract: the crawl root is
-    namespaced per session (like the band-crawl tables), so concurrent
-    sessions sharing a warehouse cannot corrupt each other mid-read.
+    integers exactly). Phases 3-4 re-serve both paths after a MAJOR
+    COMPACTION (``compact_ann_index``: batch subdirs folded into the
+    cell-partitioned base, meta-last) — identical values with a new
+    phase tag, so the gate pins layout-invariance of the compaction.
+    Single-writer contract: the crawl root is namespaced per session
+    (like the band-crawl tables), so concurrent sessions sharing a
+    warehouse cannot corrupt each other mid-read.
 
     Scale shape: identical to ``ann_ivf_persisted``/``ann_pq_persisted``
     — the probe side reads only the probed cell partitions plus the
@@ -1341,30 +1391,56 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         _norm(F.col("v")).alias("cn"),
     )
+    cand_vecs = base_cn.unionByName(batch_cn)
     pq = _pq_rerank(
         spark,
         sf_dir,
         _pq_adc(spark, sf_dir, codes=codes, cdf=codebook),
-        cand_vecs=base_cn.unionByName(batch_cn),
+        cand_vecs=cand_vecs,
     )
     null_d = F.lit(None).cast("double")
-    return ivf.select(
-        F.lit(1).alias("phase"),
-        "query_id",
-        "neighbor_id",
-        null_d.alias("approx_sim"),
-        "cos_sim",
-        "rank",
-    ).unionAll(
-        pq.select(
-            F.lit(2).alias("phase"),
+
+    def _tag(df: DataFrame, phase: int) -> DataFrame:
+        cols = (
+            [null_d.alias("approx_sim")]
+            if "approx_sim" not in df.columns
+            else [F.col("approx_sim")]
+        )
+        return df.select(
+            F.lit(phase).alias("phase"),
             "query_id",
             "neighbor_id",
-            "approx_sim",
+            *cols,
             "cos_sim",
             "rank",
         )
+
+    # phases 1-2 read the pre-compaction layout (base + batch subdirs);
+    # materialize them BEFORE compaction deletes those paths
+    out12 = _tag(ivf, 1).unionAll(_tag(pq, 2)).localCheckpoint(eager=True)
+
+    # phases 3-4: MAJOR COMPACTION folds the batch dirs into the base
+    # relations (appended rows join their cell partitions on disk) and
+    # both probe paths re-serve — results must be IDENTICAL to phases
+    # 1-2 (a pure layout change), which the shared oracle pins
+    compact_ann_index(spark, root)
+    assigned_c = spark.read.parquet(f"{root}/ivf_assigned")
+    codes_c = spark.read.parquet(f"{root}/pq_codes")
+    ivf3 = _ivf_topk(
+        spark,
+        sf_dir,
+        N_PROBES,
+        cdf=cdf,
+        assigned=assigned_c.filter(F.col("cell").isin(cells)),
+        probed=probed,
     )
+    pq4 = _pq_rerank(
+        spark,
+        sf_dir,
+        _pq_adc(spark, sf_dir, codes=codes_c, cdf=codebook),
+        cand_vecs=cand_vecs,
+    )
+    return out12.unionAll(_tag(ivf3, 3)).unionAll(_tag(pq4, 4))
 
 
 def _session_tag(spark: SparkSession) -> str:
@@ -1972,6 +2048,16 @@ ORACLES["ann_index_crawl"] = f"""
         FROM ivf
         UNION ALL
         SELECT CAST(2 AS INT) AS phase, query_id, neighbor_id, approx_sim,
+               cos_sim, CAST(rnk AS INT) AS rank
+        FROM pq2 WHERE rnk <= {TOP_K}
+        UNION ALL
+        -- phases 3/4: post-compaction re-serve — a pure LAYOUT change,
+        -- so the expected values are phases 1/2 re-tagged
+        SELECT CAST(3 AS INT) AS phase, query_id, neighbor_id,
+               CAST(NULL AS DOUBLE) AS approx_sim, cos_sim, rank
+        FROM ivf
+        UNION ALL
+        SELECT CAST(4 AS INT) AS phase, query_id, neighbor_id, approx_sim,
                cos_sim, CAST(rnk AS INT) AS rank
         FROM pq2 WHERE rnk <= {TOP_K}
 """

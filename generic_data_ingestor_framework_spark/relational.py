@@ -579,6 +579,59 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rcte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, native in Spark 4): walk each
+    customer's orders in date order as a CHAIN, carrying the position
+    and the accumulated inter-order gap in days — the
+    linear-recursion shape (org charts, BOM explosions, event chains)
+    that was a DOCUMENTED non-emulated gap until Spark 4 shipped
+    recursive CTEs (SPARK-24497). The anchor is each multi-order
+    customer's earliest order for a DETERMINISTIC 10% root slice
+    (``o_custkey % 10 = 0``); each step joins the frontier to the next
+    order by dense position, bounded at 64 steps (under Spark's
+    ``spark.sql.cte.recursion.level.limit`` default of 100). Both
+    bounds are the recursion-budget discipline Spark enforces anyway —
+    the engine aborts a recursion past ``rowLimit`` (1M cumulative
+    rows, hit at sf1 with an unsliced root set) rather than let it run
+    away; a production chain walk sizes its roots or raises the conf
+    deliberately.
+
+    Scale shape: recursion executes as depth-many frontier⋈edge joins
+    (one per level, AQE-planned); the frontier is one row per live
+    customer, so each iteration is a small-side join against the
+    rank-indexed order relation. When the quantity IS
+    window-expressible (this one is — see the oracle's identical
+    recursion instead), prefer a window; the member exists to PIN the
+    recursive-plan capability with a value-exact gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE seq AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_orders
+          FROM {orders}
+        ),
+        chain (o_custkey, o_orderkey, pos, cum_gap_days) AS (
+          SELECT o_custkey, o_orderkey, 1, 0 FROM seq
+          WHERE rn = 1 AND n_orders >= 2 AND o_custkey % 10 = 0
+          UNION ALL
+          SELECT n.o_custkey, n.o_orderkey, c.pos + 1,
+                 c.cum_gap_days + datediff(n.o_orderdate, p.o_orderdate)
+          FROM chain c
+          JOIN seq p ON p.o_custkey = c.o_custkey AND p.o_orderkey = c.o_orderkey
+          JOIN seq n ON n.o_custkey = c.o_custkey AND n.rn = p.rn + 1
+          WHERE c.pos < 64
+        )
+        SELECT o_custkey, o_orderkey, CAST(pos AS INT) AS pos,
+               CAST(cum_gap_days AS BIGINT) AS cum_gap_days
+        FROM chain
+        """,
+        orders=orders,
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter+sum — the pushdown showcase (every
     predicate reaches the parquet scan; no shuffle at all beyond the
@@ -1627,6 +1680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_intersect": set_intersect,
     "set_except": set_except,
     "subquery_cte": subquery_cte,
+    "rcte_order_chain": rcte_order_chain,
     "union_all_missing_cols": union_all_missing_cols,
     "string_funcs": string_funcs,
     "math_funcs": math_funcs,
@@ -1783,6 +1837,29 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
           AND o_custkey IN (SELECT c_custkey FROM building)
+    """,
+    "rcte_order_chain": """
+        WITH RECURSIVE seq AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_orders
+          FROM orders
+        ),
+        chain (o_custkey, o_orderkey, pos, cum_gap_days) AS (
+          SELECT o_custkey, o_orderkey, 1, 0 FROM seq
+          WHERE rn = 1 AND n_orders >= 2 AND o_custkey % 10 = 0
+          UNION ALL
+          SELECT n.o_custkey, n.o_orderkey, c.pos + 1,
+                 c.cum_gap_days + datediff('day', p.o_orderdate, n.o_orderdate)
+          FROM chain c
+          JOIN seq p ON p.o_custkey = c.o_custkey AND p.o_orderkey = c.o_orderkey
+          JOIN seq n ON n.o_custkey = c.o_custkey AND n.rn = p.rn + 1
+          WHERE c.pos < 64
+        )
+        SELECT o_custkey, o_orderkey, CAST(pos AS INT) AS pos,
+               CAST(cum_gap_days AS BIGINT) AS cum_gap_days
+        FROM chain
     """,
     "union_all_missing_cols": """
         SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer

@@ -1994,3 +1994,53 @@ print("RESULT::" + json.dumps({{
     assert got["ivf"] == want_ivf and len(got["ivf"]) > 0
     assert got["pq"] == want_pq and len(got["pq"]) > 0
     assert _meta_mtimes() == before  # no retrain: meta untouched
+
+
+def test_ann_index_compaction_is_layout_only(spark, tmp_path):
+    """compact_ann_index folds batch subdirs into the base relations:
+    row-identical assigned/codes, batch dirs gone, meta recounted from
+    stored data — a pure layout change with the meta-last protocol."""
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_exists,
+        hadoop_list_dirs,
+    )
+
+    root = str(tmp_path / "ann_idx_compact")
+    similarity.save_ann_index(spark, SF, root)
+    SHIFT = 1_000_000
+    batch = (
+        similarity._vectors(spark, SF)
+        .filter((F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 9 == 0))
+        .select((F.col("vec_id") + SHIFT).alias("vec_id"), "v")
+    )
+    n_new = similarity.append_ann_index(spark, batch, root, "compact_b1")
+    assert n_new > 0
+    before_assigned = sorted(
+        map(tuple, similarity._load_index_relation(spark, root, "ivf_assigned")
+            .select("point_id", "cell").collect())
+    )
+    before_codes = sorted(
+        map(tuple, similarity._load_index_relation(spark, root, "pq_codes").collect())
+    )
+    meta_before = spark.read.parquet(f"{root}/index_meta").collect()[0]
+
+    n_total = similarity.compact_ann_index(spark, root)
+    assert n_total == meta_before["n_candidates"] == len(before_assigned)
+    assert not hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches")
+    assert not hadoop_exists(spark, f"{root}/pq_codes_batches")
+
+    after_assigned = sorted(
+        map(tuple, spark.read.parquet(f"{root}/ivf_assigned")
+            .select("point_id", "cell").collect())
+    )
+    after_codes = sorted(
+        map(tuple, spark.read.parquet(f"{root}/pq_codes").collect())
+    )
+    assert after_assigned == before_assigned
+    assert after_codes == before_codes
+    meta_after = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta_after["n_candidates"] == n_total
+    # the compacted assignment keeps the cell-partitioned layout (the
+    # probe-pruning contract): cell is a partition column on disk
+    subdirs = hadoop_list_dirs(spark, f"{root}/ivf_assigned")
+    assert any("cell=" in s for s in subdirs)

@@ -74,7 +74,7 @@ DIGEST_MEMBERS = {
     "events_range_window_1h", "graph_triangle_count", "join_anti",
     "join_inner", "join_left_agg", "join_semi", "math_funcs",
     "multimodal_frame_sample", "multimodal_resize_buckets",
-    "pseudonymize_users", "regexp_funcs", "session_window_10m",
+    "pseudonymize_users", "rcte_order_chain", "regexp_funcs", "session_window_10m",
     "stream_session_windows", "string_funcs", "subquery_cte",
     "tfidf_top_terms", "top_k_per_group", "union_all_missing_cols",
     "unpivot_part_measures", "window_frames", "window_navigation",
