@@ -60,14 +60,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    # per-term 1e-4-unit BIGINT quantization for the LOW-cardinality
+    # BIG-magnitude price sums (the q7/q9 r9 fix, applied proactively
+    # after q5 flipped a .xx5 boundary at sf1 in r11): partial-agg
+    # merge order is scheduling-dependent, and at ~1e10-cent magnitude
+    # a raw double sum wanders several ulps across runs — enough to
+    # cross a 2-dp rounding boundary. sum_qty (integral doubles: exact
+    # to 2^53) and the avg_* columns (sum error ÷ count → sub-ulp at
+    # 2-4 dp) are order-safe and stay raw.
+    def isum2(col):
+        return F.floor(F.sum(F.floor(col * 10000 + 0.5)) / 100.0) / 100
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            isum2(F.col("l_extendedprice")).alias("sum_base_price"),
+            isum2(disc_price).alias("sum_disc_price"),
+            isum2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -77,12 +89,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q1_ORACLE = """
+_ISUM2 = (
+    "floor(CAST(sum(CAST(floor({c} * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 100.0) / 100"
+)
+
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       {_ISUM2.format(c="l_extendedprice")}                               AS sum_base_price,
+       {_ISUM2.format(c="l_extendedprice * (1 - l_discount)")}            AS sum_disc_price,
+       {_ISUM2.format(c="l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
        round(avg(l_quantity), 2)                                          AS avg_qty,
        round(avg(l_extendedprice), 2)                                     AS avg_price,
        round(avg(l_discount), 4)                                          AS avg_disc,
@@ -139,13 +156,34 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # per-term quantize to integer 1e-4 units BEFORE summing (the
+        # q7/q9 r9 fix): Spark's partial-agg merge order is scheduling-
+        # dependent, so a raw double sum can land on either side of a
+        # .xx5 rounding boundary run-to-run — r11's sf1 sweep caught q5
+        # flipping 61426755056.34 ↔ .35. A BIGINT sum of identically
+        # floored doubles is order-free and engine-exact.
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                            + 0.5
+                        )
+                    )
+                    / 100.0
+                )
+                / 100
+            ).alias("revenue")
+        )
         .orderBy("r_name")
     )
 
 
 _Q5_ORACLE = """
-SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT r_name,
+       floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+             + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / 100 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -644,7 +682,21 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        # single-group big-magnitude sum: 1e-4-unit BIGINT quantize
+        # (order-free; see q1/q5 — the r11 boundary-flip class)
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
+                        )
+                    )
+                    / 100.0
+                )
+                / 100
+            ).alias("revenue")
+        )
     )
 
 
@@ -2148,8 +2200,8 @@ ORACLES: dict[str, str] = {
           SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
         )
     """,
-    "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    "q6_forecast_revenue": f"""
+        SELECT {_ISUM2.format(c="l_extendedprice * l_discount")} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
