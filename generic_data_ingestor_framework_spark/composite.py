@@ -127,6 +127,7 @@ def _duck_canon(c: str, kind: str) -> str:
 # regressions expensive to localize).
 SAMPLED_MEMBERS = {
     "lsh_scurve_audit", "ann_pq_recall", "ann_recall_report", "ann_probe_tradeoff",
+    "ann_index_stats",
 }
 _SAMPLE_CAP = 1600  # chars; sampled members are ≤ ~16 short rows
 
@@ -251,11 +252,12 @@ COMPOSITES: dict[str, list[str]] = {
         "dedup_semantic_clusters", "ann_quantized_rerank",
         "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
         "ann_ivf_persisted", "ann_pq_persisted",
-        # ≤5-row audit members, SAMPLED (full canonical rows in the
+        # ≤16-row audit members, SAMPLED (full canonical rows in the
         # composite's sample column — a red row names the diverging
-        # bucket); folding them here freed two top-level slots for the
-        # crawl-loop members, which the gate compares row-by-row.
-        "ann_recall_report", "ann_probe_tradeoff",
+        # bucket); folding recall/tradeoff here freed the top-level slot
+        # the crawl-loop member uses (the gate compares that one
+        # row-by-row).
+        "ann_recall_report", "ann_probe_tradeoff", "ann_index_stats",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",

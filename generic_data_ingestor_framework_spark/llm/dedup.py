@@ -718,6 +718,29 @@ def update_band_index(
     )
 
 
+def compact_band_index(
+    spark: SparkSession, table: str, n_buckets: int = 32
+) -> int:
+    """Rewrite the band-index table as DISTINCT band keys in fresh
+    bucketed files — the band-side analogue of ``compact_ann_index``.
+    Every crawl's append lands one small file per bucket, so after many
+    crawls the probe side opens crawl-count × bucket-count files; and
+    appends may carry duplicate band keys (pre-``skip_existing``
+    retries, keys shared by multiple admitted docs across runs), which
+    cost probe work while adding nothing — the index's semantic is a
+    SET. Compaction materializes the distinct keys (localCheckpoint,
+    so the overwrite does not read the table it is replacing), then
+    rewrites the table with the SAME bucketing — probes stay
+    shuffle-free on the history side and results are identical.
+    Returns the compacted row count. Single-writer contract (see
+    ``_reset_managed_table``)."""
+    bands = spark.table(table).select("band_key").distinct().localCheckpoint(
+        eager=True
+    )
+    bands.write.mode("overwrite").bucketBy(n_buckets, "band_key").saveAsTable(table)
+    return spark.table(table).count()
+
+
 def dedup_against_band_index(
     spark: SparkSession,
     new_docs: DataFrame,

@@ -1251,6 +1251,30 @@ def ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list HEALTH REPORT over the persisted IVF index: per
+    cell, the list size and its share of the corpus in basis points
+    (integer math — exact cross-engine). Cell skew is THE IVF scale
+    risk: a probe's cost is the size of its probed lists, so one
+    mega-cell turns the "read ~n_probes/k of the corpus" contract into
+    "read most of it" for every query routed there (and the
+    cell-partitioned layout makes that one partition a straggler).
+    This is the audit an operator runs before trusting an index at
+    100 TB — the `ann_recall_report` sibling for COST instead of
+    recall. Served from ``load_ann_index`` (train-once contract), so
+    it also gate-pins the persisted assignment's cell histogram."""
+    idx = load_ann_index(spark, sf_dir)
+    assigned = idx["ivf_assigned"]
+    per_cell = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
+    total = assigned.count()  # parquet-metadata count, no scan
+    return per_cell.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_points",
+        # integer division — exact in both engines, no float boundary
+        F.expr(f"(n_points * 10000) DIV {total}").alias("share_bp"),
+    ).orderBy("cell")
+
+
 def compact_ann_index(spark: SparkSession, root: str) -> int:
     """MAJOR COMPACTION for a persisted ANN index: fold every appended
     batch subdirectory into the base relations and clear the batch
@@ -1470,6 +1494,7 @@ QUERIES = {
     "ann_ivf_persisted": ann_ivf_persisted,
     "ann_pq_persisted": ann_pq_persisted,
     "ann_index_crawl": ann_index_crawl,
+    "ann_index_stats": ann_index_stats,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -1977,6 +2002,21 @@ ORACLES = {
 # save/load path end-to-end, not a weaker shape check.
 ORACLES["ann_ivf_persisted"] = ORACLES["ann_ivf_topk"]
 ORACLES["ann_pq_persisted"] = ORACLES["ann_pq_topk"]
+
+# The stats oracle recomputes the cell histogram from the same trained
+# trajectory the assignment oracles replay; share is integer division
+# (exact, no float boundary at any corpus size).
+ORACLES["ann_index_stats"] = f"""
+        WITH vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {_ASSIGNED_CTE},
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assigned)
+        SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_points,
+               CAST((count(*) * 10000) // (SELECT n FROM tot) AS BIGINT) AS share_bp
+        FROM assigned GROUP BY cell ORDER BY cell
+"""
 
 # The crawl oracle recomputes the APPENDED batch's cell assignment and
 # PQ codes from the saved quantizers — the same trained trajectory as

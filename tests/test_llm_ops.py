@@ -2044,3 +2044,64 @@ def test_ann_index_compaction_is_layout_only(spark, tmp_path):
     # probe-pruning contract): cell is a partition column on disk
     subdirs = hadoop_list_dirs(spark, f"{root}/ivf_assigned")
     assert any("cell=" in s for s in subdirs)
+
+
+def test_compact_band_index_dedups_and_preserves_probes(spark):
+    """compact_band_index rewrites the history table as DISTINCT band
+    keys in fresh bucketed files: duplicate band rows (accumulated by
+    pre-skip_existing re-appends) disappear, the probe result is
+    identical, and the history side of the probe stays shuffle-free."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        _reset_managed_table,
+        bands_per_row,
+        compact_band_index,
+        dedup_against_band_index,
+        portable_hash32,
+        save_band_index,
+        update_band_index,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+    from generic_data_ingestor_framework_spark.scale import count_exchanges
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 2
+    corpus = d.filter(bucket == 0)
+    batch = d.filter(bucket == 1)
+    table = "band_index_compact_t"
+    _reset_managed_table(spark, table)
+    try:
+        save_band_index(spark, corpus, table)
+        # materialize the admissions BEFORE appending: the relation is
+        # lazy, and re-evaluating it after the first append would see
+        # its own bands in the index and admit nothing
+        admitted = dedup_against_band_index(spark, batch, table).localCheckpoint(
+            eager=True
+        )
+        # two non-skip appends of the SAME admissions -> duplicate rows
+        update_band_index(spark, admitted.select("doc_id", "text"), table)
+        update_band_index(spark, admitted.select("doc_id", "text"), table)
+        rows_dup = spark.table(table).count()
+        distinct_keys = spark.table(table).select("band_key").distinct().count()
+        assert rows_dup > distinct_keys  # duplicates really accumulated
+
+        probe_before = {
+            r["doc_id"]
+            for r in dedup_against_band_index(spark, batch, table).collect()
+        }
+
+        n = compact_band_index(spark, table)
+        assert n == distinct_keys
+        assert spark.table(table).count() == distinct_keys
+        probe_after = {
+            r["doc_id"]
+            for r in dedup_against_band_index(spark, batch, table).collect()
+        }
+        assert probe_after == probe_before  # layout/dedup change only
+
+        probe = bands_per_row(batch.select("doc_id", "text")).join(
+            spark.table(table), "band_key", "semi"
+        )
+        assert count_exchanges(probe) <= 1  # bucketing survived the rewrite
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
