@@ -557,6 +557,42 @@ def _step_dedup_near_index(df: DataFrame, p: dict) -> DataFrame:
     return dedup_against_band_index(spark, df, p["table"], id_col, text_col)
 
 
+def _step_ann_append(df: DataFrame, p: dict) -> DataFrame:
+    """Append this frame's embedding vectors to a PERSISTED ANN index
+    without retraining — the vector-side crawl step next to
+    ``dedup_near_index``::
+
+        {"op": "ann_append", "root": "/idx/ann_corpus",
+         "batch_tag": "crawl42", "id": "vec_id", "vec": "embedding"}
+
+    New rows are assigned to their nearest SAVED IVF centroid and
+    encoded against the SAVED PQ codebooks (``append_ann_index``). The
+    step passes the frame through unchanged, so it composes anywhere in
+    a pipeline (typically after dedup/quality steps have picked the
+    admitted rows).
+
+    Retry contract: ``batch_tag`` names THIS crawl run — the append
+    writes per-tag overwrite-mode subdirectories and recomputes the
+    meta count from stored data, so a crashed-and-rerun spec replaces
+    its own batch instead of duplicating rows. Run
+    ``compact_ann_index`` periodically to fold accumulated batches
+    into the cell-partitioned base."""
+    from generic_data_ingestor_framework_spark.llm.similarity import (
+        _as_double,
+        append_ann_index,
+    )
+
+    from pyspark.sql import functions as F
+
+    id_col = p.get("id", "vec_id")
+    vec_col = p.get("vec", "embedding")
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    append_ann_index(df.sparkSession, vecs, p["root"], p["batch_tag"])
+    return df
+
+
 STEP_REGISTRY: dict[str, StepFn] = {
     "filter": _step_filter,
     "select": _step_select,
@@ -582,6 +618,7 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "remove_dup_spans": _step_remove_dup_spans,
     "select_budget": _step_select_budget,
     "dedup_near_index": _step_dedup_near_index,
+    "ann_append": _step_ann_append,
 }
 
 

@@ -1343,6 +1343,59 @@ def stream_upsert(
     spark.catalog.refreshTable(target_table)
 
 
+def stream_ann_index_append(
+    spark: SparkSession,
+    src_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """CONTINUOUS ANN index maintenance: each micro-batch of new
+    embedding rows appends to the persisted index via
+    ``append_ann_index`` with ``batch_tag = stream_b{batch_id}`` —
+    exactly-once BY CONSTRUCTION: Structured Streaming replays a
+    failed batch under the SAME batch_id, and the append path's
+    per-tag overwrite-mode subdirectory plus recomputed (never
+    incremented) meta count make the replay a no-op rewrite. The
+    third surface of the crawl loop, after the batch gate member
+    (``ann_index_crawl``) and the declarative pipeline step
+    (``ann_append``): a crawler drops embedding files in a directory
+    and the inverted lists grow, quantizers untouched.
+
+    AvailableNow drains the directory and stops; dropping the trigger
+    makes it a continuous indexer. At 100 TB the per-batch work is
+    batch × k centroid scoring + batch × M×K code assignment — no
+    corpus-sized job anywhere; run ``compact_ann_index`` periodically
+    to fold the accumulated batch directories."""
+    from generic_data_ingestor_framework_spark.llm.similarity import (
+        _as_double,
+        append_ann_index,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vecs = batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        append_ann_index(batch_df.sparkSession, vecs, index_root, f"stream_b{batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_to_completion(q, "stream_ann_index_append")
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_1h_30m": window_sliding_1h_30m,

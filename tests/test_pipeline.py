@@ -451,3 +451,43 @@ def test_pipeline_dedup_near_index_crawl_loop(spark):
     # run-1 signed doc's bands are claimed (by history or the run-1
     # winner), so the re-crawl admits nothing
     assert got2 == set()
+
+
+def test_pipeline_ann_append_step(spark, tmp_path):
+    """The ann_append pipeline step: admitted embedding rows append to
+    a persisted ANN index (saved-quantizer encode, pass-through frame);
+    re-running the same spec with the same batch_tag replaces its own
+    batch instead of duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm import similarity
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ann_idx_pipe")
+    similarity.save_ann_index(spark, sf, root)
+    n0 = spark.read.parquet(f"{root}/index_meta").collect()[0]["n_candidates"]
+
+    spec = {
+        "source": {"type": "parquet", "path": f"{sf}/embeddings.parquet"},
+        "steps": [
+            {"op": "filter", "where": f"vec_id >= {similarity.N_QUERY} AND vec_id % 13 = 0"},
+            {"op": "with_column", "name": "vec_id", "expr": "vec_id + 1000000"},
+            {"op": "ann_append", "root": root, "batch_tag": "crawl_t1"},
+        ],
+    }
+    df, _ = run_pipeline(spark, spec)
+    n_new = df.count()
+    assert n_new > 0
+    assert (
+        similarity._load_index_relation(spark, root, "ivf_assigned").count()
+        == n0 + n_new
+    )
+    # same spec, same batch_tag: the rerun REPLACES its batch (no dups)
+    run_pipeline(spark, spec)
+    assert (
+        similarity._load_index_relation(spark, root, "ivf_assigned").count()
+        == n0 + n_new
+    )
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta["n_candidates"] == n0 + n_new

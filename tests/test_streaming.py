@@ -650,3 +650,82 @@ def test_stream_dedup_near_restart_exactly_once(spark, tmp_path):
 
     v3 = drain("near_restart_s3")
     assert v3 == {4: True, 5: False}
+
+
+def test_stream_ann_index_append_exactly_once(spark, tmp_path):
+    """foreachBatch ANN index maintenance: per-file micro-batches append
+    to the persisted index with batch_id-derived tags; a rerun over the
+    same checkpoint appends nothing (exactly-once), and a new file
+    appends only itself. Appended copies of indexed vectors land in
+    their originals' cells (saved-quantizer encode)."""
+    import json as _json
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm import similarity
+    from generic_data_ingestor_framework_spark.streaming import (
+        stream_ann_index_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ann_idx_stream")
+    similarity.save_ann_index(spark, sf, root)
+    n0 = spark.read.parquet(f"{root}/index_meta").collect()[0]["n_candidates"]
+
+    rows = (
+        similarity._vectors(spark, sf)
+        .filter((F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 11 == 0))
+        .select("vec_id", "v")
+        .collect()
+    )
+    assert len(rows) >= 4
+    half = len(rows) // 2
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, batch, offset):
+        with open(src / name, "w") as fh:
+            for r in batch:
+                fh.write(_json.dumps(
+                    {"vec_id": int(r["vec_id"]) + offset, "embedding": list(r["v"])}
+                ) + "\n")
+
+    _write("f1.json", rows[:half], 1_000_000)
+    _write("f2.json", rows[half:], 2_000_000)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    stream_ann_index_append(spark, str(src), root, ckpt, schema)
+
+    assigned = similarity._load_index_relation(spark, root, "ivf_assigned")
+    assert assigned.count() == n0 + len(rows)
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta["n_candidates"] == n0 + len(rows)
+    # appended copies land in their originals' cells
+    app = assigned.filter(F.col("point_id") >= 1_000_000).select(
+        (F.col("point_id") % 1_000_000).alias("point_id"),
+        F.col("cell").alias("new_cell"),
+    )
+    mism = (
+        app.join(assigned.filter(F.col("point_id") < 1_000_000), "point_id")
+        .filter(F.col("new_cell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+
+    # exactly-once: a rerun over the same checkpoint appends nothing
+    stream_ann_index_append(spark, str(src), root, ckpt, schema)
+    assert similarity._load_index_relation(spark, root, "ivf_assigned").count() == n0 + len(rows)
+
+    # a NEW file appends only itself
+    _write("f3.json", rows[:2], 3_000_000)
+    stream_ann_index_append(spark, str(src), root, ckpt, schema)
+    assert (
+        similarity._load_index_relation(spark, root, "ivf_assigned").count()
+        == n0 + len(rows) + 2
+    )
+    meta3 = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta3["n_candidates"] == n0 + len(rows) + 2
