@@ -108,8 +108,10 @@ QUERIES = [
     "approx_sketches",
     "q11_important_stock",
     "q20_supplier_part_chain",
-    # r11: the persisted-ANN crawl loop (save → append → re-probe)
+    # r11: the persisted-ANN crawl loop (save → append → re-probe →
+    # compact → re-probe) and the native recursive-CTE chain walk
     "ann_index_crawl",
+    "rcte_order_chain",
 ]
 
 
