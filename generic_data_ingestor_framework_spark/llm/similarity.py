@@ -1368,9 +1368,11 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _ann_index_root(spark, sf_dir)
     root = base + "_crawl_" + _session_tag(spark)
-    # single-writer warehouse contract (see dedup._reset_managed_table):
-    # reap crawl roots left by DEAD sessions so repeated sweeps don't
-    # accumulate index copies, then rebuild our own namespaced root
+    # reap ALL foreign crawl roots (any session tag) so repeated sweeps
+    # don't accumulate index copies — safe ONLY under the single-writer-
+    # per-warehouse contract (see dedup._reset_managed_table): a warehouse
+    # is owned by one session at a time, so any other tag is a dead
+    # session's leftover, never a live concurrent crawl
     wh = spark.conf.get("spark.sql.warehouse.dir")
     prefix = base + "_crawl_"
     for sub in hadoop_list_dirs(spark, wh):

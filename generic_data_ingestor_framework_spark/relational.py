@@ -48,6 +48,50 @@ def _t(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Order-free quantized money sums (the r9/r11 float-sum-order fix, r12
+# round-half + integer-space form)
+# ---------------------------------------------------------------------------
+#
+# Big-magnitude money sums are quantized per row to BIGINT 1e-4 units
+# (`floor(x*10000 + 0.5)` of the identical IEEE double is identical
+# cross-engine), summed EXACTLY as integers (order-free — partial-agg
+# merge order cannot move the result), then rounded HALF-AWAY-FROM-ZERO
+# to the cent entirely in INTEGER space: `sign * ((abs(u)+50) div 100)`.
+# Both engines divide only non-negative integers, where `div` (Spark)
+# and `//` (DuckDB) agree (truncation == floor), so no float boundary
+# and no floor-vs-truncate sign mismatch exists anywhere. The ONLY
+# float op is the final `cents / 100.0`.
+#
+# Headroom (re-check before scaling past these): the unit sum is exact
+# to int64 (~9.2e14 currency units per group; DuckDB's HUGEINT sum is
+# wider still); the cents→double conversion is exact while |cents| <
+# 2^53 (~9e13 currency units per group, ~sf4e5 at TPC-H magnitudes).
+# The old form floored instead of rounding and divided in double space
+# (exactness lost past 2^53 UNITS, 100x earlier) — r12 ADVICE fix.
+
+_UNITS = "sum(cast(floor(({c}) * 10000 + 0.5) as bigint))"
+
+
+def _isum2_expr(c: str):
+    """Spark aggregate Column: round-half 2-dp sum of SQL expression
+    ``c``. Catalyst dedups the identical inner aggregates."""
+    u = _UNITS.format(c=c)
+    # `100.0D`: double literal — a bare `100.0` is DECIMAL in Spark SQL
+    # and would promote the whole result to decimal
+    return F.expr(f"if({u} >= 0, 1, -1) * ((abs({u}) + 50) div 100) / 100.0D")
+
+
+def _isum2_sql(c: str) -> str:
+    """The DuckDB-spelled oracle twin of ``_isum2_expr`` (`//` for
+    integer division, CASE for sign)."""
+    u = _UNITS.format(c=c)
+    return (
+        f"(CASE WHEN {u} >= 0 THEN 1 ELSE -1 END)"
+        f" * ((abs({u}) + 50) // 100) / 100.0"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-shaped pricing summary (scan→filter→agg→sort)
 # ---------------------------------------------------------------------------
 
@@ -59,27 +103,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and parquet predicate pushdown.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
 
-    # per-term 1e-4-unit BIGINT quantization for the LOW-cardinality
-    # BIG-magnitude price sums (the q7/q9 r9 fix, applied proactively
-    # after q5 flipped a .xx5 boundary at sf1 in r11): partial-agg
-    # merge order is scheduling-dependent, and at ~1e10-cent magnitude
-    # a raw double sum wanders several ulps across runs — enough to
-    # cross a 2-dp rounding boundary. sum_qty (integral doubles: exact
+    # BIG-magnitude price sums go through the order-free integer-space
+    # round-half quantization (`_isum2_expr`, see module comment) —
+    # the r11 sf1 sweep caught a raw double sum flipping a .xx5
+    # rounding boundary run-to-run. sum_qty (integral doubles: exact
     # to 2^53) and the avg_* columns (sum error ÷ count → sub-ulp at
     # 2-4 dp) are order-safe and stay raw.
-    def isum2(col):
-        return F.floor(F.sum(F.floor(col * 10000 + 0.5)) / 100.0) / 100
-
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            isum2(F.col("l_extendedprice")).alias("sum_base_price"),
-            isum2(disc_price).alias("sum_disc_price"),
-            isum2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _isum2_expr("l_extendedprice").alias("sum_base_price"),
+            _isum2_expr(disc_price).alias("sum_disc_price"),
+            _isum2_expr(f"({disc_price}) * (1 + l_tax)").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -89,17 +128,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ISUM2 = (
-    "floor(CAST(sum(CAST(floor({c} * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
-    " / 100.0) / 100"
-)
-
 _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                          AS sum_qty,
-       {_ISUM2.format(c="l_extendedprice")}                               AS sum_base_price,
-       {_ISUM2.format(c="l_extendedprice * (1 - l_discount)")}            AS sum_disc_price,
-       {_ISUM2.format(c="l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {_isum2_sql("l_extendedprice")}                               AS sum_base_price,
+       {_isum2_sql("l_extendedprice * (1 - l_discount)")}            AS sum_disc_price,
+       {_isum2_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
        round(avg(l_quantity), 2)                                          AS avg_qty,
        round(avg(l_extendedprice), 2)                                     AS avg_price,
        round(avg(l_discount), 4)                                          AS avg_disc,
@@ -160,30 +194,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # q7/q9 r9 fix): Spark's partial-agg merge order is scheduling-
         # dependent, so a raw double sum can land on either side of a
         # .xx5 rounding boundary run-to-run — r11's sf1 sweep caught q5
-        # flipping 61426755056.34 ↔ .35. A BIGINT sum of identically
-        # floored doubles is order-free and engine-exact.
-        .agg(
-            (
-                F.floor(
-                    F.sum(
-                        F.floor(
-                            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                            + 0.5
-                        )
-                    )
-                    / 100.0
-                )
-                / 100
-            ).alias("revenue")
-        )
+        # flipping 61426755056.34 ↔ .35. `_isum2_expr` sums exactly in
+        # BIGINT 1e-4 units and rounds to the cent in integer space.
+        .agg(_isum2_expr("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy("r_name")
     )
 
 
-_Q5_ORACLE = """
+_Q5_ORACLE = f"""
 SELECT r_name,
-       floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
-             + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / 100 AS revenue
+       {_isum2_sql("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -682,21 +702,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        # single-group big-magnitude sum: 1e-4-unit BIGINT quantize
-        # (order-free; see q1/q5 — the r11 boundary-flip class)
-        .agg(
-            (
-                F.floor(
-                    F.sum(
-                        F.floor(
-                            F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
-                        )
-                    )
-                    / 100.0
-                )
-                / 100
-            ).alias("revenue")
-        )
+        # single-group big-magnitude sum: order-free integer-space
+        # round-half quantization (see q1/q5 — the r11 boundary-flip class)
+        .agg(_isum2_expr("l_extendedprice * l_discount").alias("revenue"))
     )
 
 
@@ -1053,21 +1061,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-term quantize to integer 1e-4 units BEFORE summing: both
         # engines floor the identical IEEE double, and a BIGINT sum is
         # order-independent — sf1 exposed last-cent divergence when the
-        # double sums accumulated in different orders (r9 fix)
-        .agg(
-            (
-                F.floor(
-                    F.sum(
-                        F.floor(
-                            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                            + 0.5
-                        )
-                    )
-                    / 100.0
-                )
-                / 100
-            ).alias("revenue")
-        )
+        # double sums accumulated in different orders (r9 fix; r12
+        # integer-space round-half form, see `_isum2_expr`)
+        .agg(_isum2_expr("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1375,33 +1371,26 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
-        F.col("p_retailprice") * 0.6 * F.col("l_quantity")
-    )
+    # can go NEGATIVE per group (cost exceeds revenue) — `_isum2_expr`'s
+    # sign-aware round-half handles both signs identically cross-engine
+    amount = "l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity"
     return (
         t("lineitem")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        # per-term quantize to integer 1e-4 units, BIGINT sum, 2-dp
-        # floor at the end: floor of an identical IEEE double is
-        # identical cross-engine and the integer sum is order-exact
-        # (sf1 exposed last-cent drift in the double-sum version — r9)
-        .agg(
-            (F.floor(F.sum(F.floor(amount * 10000 + 0.5)) / 100.0) / 100).alias(
-                "sum_profit"
-            )
-        )
+        # per-term quantize to integer 1e-4 units, BIGINT sum, cent
+        # round-half in integer space (sf1 exposed last-cent drift in
+        # the double-sum version — r9; r12 `_isum2_expr` form)
+        .agg(_isum2_expr(amount).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
-_Q9_ORACLE = """
+_Q9_ORACLE = f"""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
-                 - p_retailprice * 0.6 * l_quantity) * 10000 + 0.5)
-             AS BIGINT)) AS DOUBLE) / 100.0) / 100 AS sum_profit
+       {_isum2_sql("l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity")} AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1470,7 +1459,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_partkey",
-            (F.floor(F.col("value_i") / 100.0) / 100.0).alias("value"),
+            # value_i >= 0: integer-space cent round-half (see _isum2_expr)
+            F.expr("((value_i + 50) div 100) / 100.0D").alias("value"),
         )
         .orderBy(F.desc("value"), "l_partkey")
     )
@@ -1490,7 +1480,7 @@ WITH pp AS (
 ),
 tot AS (SELECT CAST(sum(value_i) AS BIGINT) AS total_i,
                CAST(count(*) AS BIGINT) AS n_parts FROM pp)
-SELECT l_partkey, floor(value_i / 100.0) / 100.0 AS value
+SELECT l_partkey, ((value_i + 50) // 100) / 100.0 AS value
 FROM pp, tot
 WHERE value_i * n_parts > {Q11_MEAN_MULT} * total_i
 ORDER BY value DESC, l_partkey
@@ -2046,11 +2036,10 @@ ORACLES: dict[str, str] = {
                t[-1] AS last_token
         FROM p
     """,
-    "q7_nation_trade_volume": """
+    "q7_nation_trade_volume": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
-                     + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / 100 AS revenue
+               {_isum2_sql("l_extendedprice * (1 - l_discount)")} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -2201,7 +2190,7 @@ ORACLES: dict[str, str] = {
         )
     """,
     "q6_forecast_revenue": f"""
-        SELECT {_ISUM2.format(c="l_extendedprice * l_discount")} AS revenue
+        SELECT {_isum2_sql("l_extendedprice * l_discount")} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
