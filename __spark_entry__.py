@@ -36,12 +36,20 @@ cross-document span-duplication audit ``span_duplication_ratio``
 (doc_fingerprints member); ingest gains the built-in orc and xml
 sources.
 
-Round 11: 49 registered entries over 176 members — adds the
+Round 11: 49 registered entries over 178 members — adds the
 persisted-ANN crawl loop ``ann_index_crawl`` as a DIRECT entry (the
-driver compares its 30 rows row-by-row); ``ann_recall_report`` /
-``ann_probe_tradeoff`` fold into the ``embed_stats`` composite as
-SAMPLED members (their full canonical rows ride the composite's
-``sample`` column).
+driver compares its 60 rows — 4 phases x 5 queries x top-3 — row by
+row); ``ann_recall_report`` / ``ann_probe_tradeoff`` fold into the
+``embed_stats`` composite as SAMPLED members (their full canonical
+rows ride the composite's ``sample`` column).
+
+Round 12: adds the index DELETE/SUPERSEDE lifecycle —
+``band_index_recrawl`` / ``ann_index_recrawl`` (generation-tagged
+appends, latest-generation-wins probes, tombstone-dropping
+compaction), the recall-drift audit ``ann_recall_after_append``, and
+the branching recursive-CTE member ``rcte_reachability``. The
+authoritative member count is ``len(composite.MEMBER_QUERIES)``
+(asserted == len(MEMBER_ORACLES)+rows-only in test_composites).
 """
 
 from __future__ import annotations

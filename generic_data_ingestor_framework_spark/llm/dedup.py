@@ -848,6 +848,255 @@ def band_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Versioned band index: DELETE/SUPERSEDE for re-crawled documents
+# ---------------------------------------------------------------------------
+#
+# The plain band index (`save_band_index`) is a SET of distinct band
+# keys — compact, but a crawl loop that RE-visits a changed document
+# can only add its new bands; the stale ones stay forever, accumulating
+# false-near-dup hits and probe cost. The versioned index is the LSM
+# answer: a bucketed BASE table `(doc_id, band_key, gen)` carrying doc
+# attribution, plus a small DELTA table `(doc_id, band_key, gen,
+# tombstone)` receiving generation-tagged supersedes and deletes.
+# Probes take latest-generation-wins; compaction folds the delta into
+# the base and PHYSICALLY DROPS superseded/tombstoned rows.
+#
+# Scale shape: the base never shuffles at probe time — the semi join on
+# band_key reads the bucketed table in place, and masking superseded
+# docs is a broadcast anti join against the delta's doc set
+# (batch-sized: only docs touched since the last compaction). The delta
+# itself is broadcast into its own semi join. Compaction is the one
+# full-index rewrite (that is what major compaction means) and restores
+# the zero-delta probe path.
+
+_BAND_DELTA_SCHEMA = "doc_id bigint, band_key string, gen int, tombstone boolean"
+
+
+def save_band_index_versioned(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_table: str,
+    delta_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Seed a VERSIONED band index: base rows at generation 0 (per-doc
+    band attribution, bucketed by band_key so probes stay shuffle-free
+    on the history side) plus an empty delta table."""
+    rows = bands_per_row(docs, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"), "band_key", F.lit(0).alias("gen")
+    )
+    rows.write.mode("overwrite").bucketBy(n_buckets, "band_key").saveAsTable(
+        base_table
+    )
+    spark.createDataFrame([], _BAND_DELTA_SCHEMA).write.mode("overwrite").saveAsTable(
+        delta_table
+    )
+
+
+def supersede_band_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    delta_table: str,
+    gen: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Register re-crawled CHANGED content: the docs' NEW bands land in
+    the delta at generation ``gen``; latest-generation-wins probes stop
+    seeing their old bands immediately, compaction drops them
+    physically. A doc whose new content carries no shingle signature
+    still gets a NULL-band marker row, so its old bands die too (the
+    band set of unshingleable content is empty, not "unchanged")."""
+    bands = bands_per_row(docs, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"), "band_key"
+    )
+    marker = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(bands.select("doc_id").distinct(), "doc_id", "anti")
+        .withColumn("band_key", F.lit(None).cast("string"))
+    )
+    rows = (
+        bands.unionByName(marker)
+        .withColumn("gen", F.lit(gen))
+        .withColumn("tombstone", F.lit(False))
+    )
+    rows.write.mode("append").saveAsTable(delta_table)
+
+
+def delete_band_index_docs(
+    spark: SparkSession, ids: DataFrame, delta_table: str, gen: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone documents out of the index at generation ``gen`` (the
+    crawl loop's 'page gone' signal). Pure markers — compaction removes
+    every band row the doc ever contributed."""
+    rows = ids.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(None).cast("string").alias("band_key"),
+        F.lit(gen).alias("gen"),
+        F.lit(True).alias("tombstone"),
+    )
+    rows.write.mode("append").saveAsTable(delta_table)
+
+
+def _band_delta_live(delta: DataFrame) -> DataFrame:
+    """Latest-generation-wins over the delta: per doc, only the highest
+    generation's rows survive; tombstones and NULL-band markers carry
+    no live bands. Window over the BATCH-SIZED delta only."""
+    from pyspark.sql import Window as W
+
+    mg = F.max("gen").over(W.partitionBy("doc_id"))
+    return (
+        delta.withColumn("__mg", mg)
+        .filter(F.col("gen") == F.col("__mg"))
+        .filter(~F.col("tombstone") & F.col("band_key").isNotNull())
+        .select("doc_id", "band_key", "gen")
+    )
+
+
+def dedup_against_band_index_versioned(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    base_table: str,
+    delta_table: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``dedup_against_band_index`` against the EFFECTIVE view of a
+    versioned index: live history = base rows of docs untouched by the
+    delta (broadcast anti join on the delta's doc set — batch-sized)
+    plus the delta's latest-generation live bands (broadcast semi).
+    ``delta_table=None`` probes the raw base alone — correct only
+    post-compaction, which is exactly what the recrawl gate member uses
+    it to PROVE (stale rows physically surviving compaction make the
+    raw probe diverge from the oracle)."""
+    from pyspark.sql import Window as W
+
+    base = spark.table(base_table)
+    nb = bands_per_row(new_docs.select(id_col, text_col), id_col, text_col)
+    if delta_table is None:
+        hit = nb.join(base, "band_key", "semi").select(id_col).distinct()
+    else:
+        delta = spark.table(delta_table)
+        touched = delta.select("doc_id").distinct()
+        live_base = base.join(F.broadcast(touched), "doc_id", "anti")
+        live_delta = _band_delta_live(delta)
+        hit = (
+            nb.join(live_base, "band_key", "semi")
+            .select(id_col)
+            .unionByName(
+                nb.join(F.broadcast(live_delta), "band_key", "semi").select(id_col)
+            )
+            .distinct()
+        )
+    w = W.partitionBy("band_key").orderBy(id_col)
+    loser = (
+        nb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+        .distinct()
+    )
+    signed = nb.select(id_col).distinct()
+    return (
+        new_docs.join(signed, id_col, "semi")
+        .join(hit, id_col, "anti")
+        .join(loser, id_col, "anti")
+    )
+
+
+def compact_band_index_versioned(
+    spark: SparkSession, base_table: str, delta_table: str, n_buckets: int = 32
+) -> int:
+    """MAJOR COMPACTION of a versioned band index: materialize the
+    effective view (untouched base rows + the delta's latest-generation
+    live bands) into a fresh bucketed base and truncate the delta —
+    superseded and tombstoned rows are PHYSICALLY dropped, restoring
+    the zero-delta probe path. localCheckpoint so the overwrite does
+    not read the table it replaces. Returns the compacted row count.
+    Single-writer contract (see ``_reset_managed_table``)."""
+    base = spark.table(base_table)
+    delta = spark.table(delta_table)
+    touched = delta.select("doc_id").distinct()
+    live = (
+        base.join(F.broadcast(touched), "doc_id", "anti")
+        .unionByName(_band_delta_live(delta))
+        .localCheckpoint(eager=True)
+    )
+    live.write.mode("overwrite").bucketBy(n_buckets, "band_key").saveAsTable(
+        base_table
+    )
+    spark.createDataFrame([], _BAND_DELTA_SCHEMA).write.mode("overwrite").saveAsTable(
+        delta_table
+    )
+    return spark.table(base_table).count()
+
+
+# re-crawled old-content copies get ids far above any corpus doc_id
+# (same class as similarity.CRAWL_OFFSET — keeps the oracle's re-keying
+# a pure addition)
+RECRAWL_OFFSET = 1_000_000
+
+
+def band_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE/SUPERSEDE crawl loop driven END-TO-END through the
+    VERSIONED band index — the gate member for
+    ``save_band_index_versioned`` / ``supersede_band_index`` /
+    ``delete_band_index_docs`` / ``compact_band_index_versioned``
+    (mirrors ``band_index_crawl``, which pins the append-only loop).
+
+    Shape: run-0 docs (hash%3==0) seed the base at gen 0. The crawl
+    then RE-visits a subset (hash%5==0) whose content CHANGED — words
+    reversed, a deterministic whole-text rewrite — superseding them at
+    gen 1, and finds another subset (hash%7==0) GONE, tombstoning them
+    at gen 2 (a doc in both is superseded then deleted; latest wins).
+    A probe batch — run-1 docs plus OLD-CONTENT COPIES of every changed
+    doc (original text re-keyed +RECRAWL_OFFSET) — probes the effective
+    view (phase 1) and, after compaction, the RAW base with no
+    effective-view logic at all (phase 2). Equal phases pin both that
+    the effective view is right and that compaction physically dropped
+    every stale row: an old-content copy is admitted ONLY because the
+    changed doc's old bands are dead, and a surviving stale row would
+    flip phase 2. The DuckDB oracle recomputes the surviving band set
+    from scratch.
+
+    Scale shape: probes never shuffle the base (bucketed semi join +
+    broadcast anti on the batch-sized touched set); compaction is the
+    one full rewrite. At 100 TB only the table location changes."""
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash32(F.col("doc_id").cast("string"))
+    from generic_data_ingestor_framework_spark.fileops import sf_tag
+
+    tag = sf_tag(sf_dir)
+    base_tbl = f"band_recrawl_idx_{tag}"
+    delta_tbl = f"band_recrawl_delta_{tag}"
+    modified = F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+")))
+    run0 = d.filter(h % 3 == 0)
+    changed = run0.filter(h % 5 == 0).select("doc_id", modified.alias("text"))
+    deleted = run0.filter(h % 7 == 0).select("doc_id")
+    copies = run0.filter(h % 5 == 0).select(
+        (F.col("doc_id") + RECRAWL_OFFSET).alias("doc_id"), "lang", "text"
+    )
+    batch = d.filter(h % 3 == 1).select("doc_id", "lang", "text").unionByName(copies)
+    _reset_managed_table(spark, base_tbl)
+    _reset_managed_table(spark, delta_tbl)
+    save_band_index_versioned(
+        spark, run0.select("doc_id", "text"), base_tbl, delta_tbl
+    )
+    supersede_band_index(spark, changed, delta_tbl, gen=1)
+    delete_band_index_docs(spark, deleted, delta_tbl, gen=2)
+    adm1 = dedup_against_band_index_versioned(spark, batch, base_tbl, delta_tbl)
+    # materialize phase 1 BEFORE compaction rewrites the tables it reads
+    out1 = adm1.select(
+        F.lit(1).alias("phase"), "doc_id", "lang"
+    ).localCheckpoint(eager=True)
+    compact_band_index_versioned(spark, base_tbl, delta_tbl)
+    adm2 = dedup_against_band_index_versioned(spark, batch, base_tbl, None)
+    return out1.unionAll(adm2.select(F.lit(2).alias("phase"), "doc_id", "lang"))
+
+
 def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run NEAR-duplicate dedup: ``dedup_incremental`` catches
     exact re-crawls, but production pipelines must also refuse content
@@ -1416,6 +1665,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
     "band_index_crawl": band_index_crawl,
+    "band_index_recrawl": band_index_recrawl,
 }
 
 def _sig_cte(n_perm: int) -> str:
@@ -1451,6 +1701,38 @@ def _banded_union_sql(n_perm: int, bands: int) -> str:
 
 
 _SIG_CTE = _sig_cte(N_PERM)
+
+
+def _sig_cte_tagged(n_perm: int) -> str:
+    """``_sig_cte`` over a custom tagged doc set: reads ``shv``
+    (doc_id, is_batch, shingle) instead of the fixed ``sh`` CTE —
+    used by oracles that rebuild bands over modified/re-keyed text
+    (the recrawl member)."""
+    a, b = minhash_coeffs(n_perm)
+    mins = ",\n         ".join(
+        f"CAST(min(({a[j]} * hsh + {b[j]}) % {MOD}) AS BIGINT) AS mh{j}"
+        for j in range(n_perm)
+    )
+    return f"""
+hashedv AS (
+  SELECT doc_id, is_batch, {_HASH_SQL.format(c='shingle')} AS hsh FROM shv
+),
+sigv AS (
+  SELECT doc_id, is_batch,
+         {mins}
+  FROM hashedv GROUP BY doc_id, is_batch
+)
+"""
+
+
+def _banded_union_tagged(n_perm: int, bands: int) -> str:
+    rpb = n_perm // bands
+    return "\n          UNION ALL ".join(
+        "SELECT doc_id, is_batch, {i} AS band_idx, concat_ws('_', {cols}) AS band_sig FROM sigv".format(
+            i=i, cols=", ".join(f"mh{rpb * i + r}" for r in range(rpb))
+        )
+        for i in range(bands)
+    )
 
 
 def _cc_labels_cte(rounds: int) -> tuple[str, str]:
@@ -1762,6 +2044,75 @@ ORACLES["band_index_crawl"] = f"""
         UNION ALL
         SELECT d.doc_id, d.lang, CAST(2 AS INT) AS run
         FROM documents d JOIN adm2 USING (doc_id)
+"""
+
+# Versioned-index recrawl oracle: recompute the SURVIVING band set from
+# scratch — run-0 docs minus deleted (hash%7==0), with changed docs
+# (hash%5==0) carrying their re-crawled reversed-word text — then admit
+# the probe batch (run-1 docs + old-content copies re-keyed
+# +RECRAWL_OFFSET) against it with the standard rules. Phases 1
+# (effective view) and 2 (post-compaction raw base) must be identical,
+# so the oracle emits the admitted set twice.
+_RECRAWL_MOD = "array_to_string(list_reverse(string_split_regex(text, '\\s+')), ' ')"
+
+ORACLES["band_index_recrawl"] = f"""
+        WITH hd AS (
+          SELECT doc_id, lang, text,
+                 {_HASH_SQL.format(c="CAST(doc_id AS VARCHAR)")} AS hv
+          FROM documents
+        ),
+        docs_v AS (
+          SELECT doc_id, text, 0 AS is_batch FROM hd
+          WHERE hv % 3 = 0 AND hv % 5 <> 0 AND hv % 7 <> 0
+          UNION ALL
+          SELECT doc_id, {_RECRAWL_MOD}, 0 FROM hd
+          WHERE hv % 3 = 0 AND hv % 5 = 0 AND hv % 7 <> 0
+          UNION ALL
+          SELECT doc_id, text, 1 FROM hd WHERE hv % 3 = 1
+          UNION ALL
+          SELECT doc_id + {RECRAWL_OFFSET}, text, 1 FROM hd
+          WHERE hv % 3 = 0 AND hv % 5 = 0
+        ),
+        tokv AS (
+          SELECT doc_id, is_batch,
+                 string_split_regex(lower(text), '\\s+') AS ts
+          FROM docs_v
+        ),
+        shv AS (
+          SELECT doc_id, is_batch, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - 1, 1)),
+                   i -> concat_ws(' ', ts[i], ts[i + 1], ts[i + 2])))) AS shingle
+          FROM tokv
+        ),
+        {_sig_cte_tagged(N_PERM)},
+        bandedv AS (
+          {_banded_union_tagged(N_PERM, BANDS)}
+        ),
+        hist AS (SELECT DISTINCT band_idx, band_sig FROM bandedv WHERE is_batch = 0),
+        bb AS (SELECT doc_id, band_idx, band_sig FROM bandedv WHERE is_batch = 1),
+        rej AS (
+          SELECT DISTINCT doc_id FROM bb
+          WHERE EXISTS (SELECT 1 FROM hist h
+                        WHERE h.band_idx = bb.band_idx AND h.band_sig = bb.band_sig)
+          UNION
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY band_idx, band_sig
+                                              ORDER BY doc_id) AS rn
+            FROM bb) WHERE rn > 1
+        ),
+        adm AS (
+          SELECT DISTINCT doc_id FROM bb
+          WHERE doc_id NOT IN (SELECT doc_id FROM rej)
+        ),
+        lmap AS (
+          SELECT doc_id, lang FROM hd WHERE hv % 3 = 1
+          UNION ALL
+          SELECT doc_id + {RECRAWL_OFFSET}, lang FROM hd
+          WHERE hv % 3 = 0 AND hv % 5 = 0
+        )
+        SELECT CAST(p.phase AS INT) AS phase, a.doc_id, l.lang
+        FROM adm a JOIN lmap l USING (doc_id)
+        CROSS JOIN (VALUES (1), (2)) AS p(phase)
 """
 
 ORACLES["dedup_minhash_accuracy"] = f"""

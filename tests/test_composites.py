@@ -41,6 +41,19 @@ def test_manifest_covers_all_members():
     assert set(MANIFEST) == set(composite.MEMBER_QUERIES)
 
 
+def test_doc_member_counts_match_registry():
+    """Stale-doc guard (r11 verdict): any doc that quotes a member
+    count must say len(MEMBER_QUERIES). COVERAGE.md and the entry
+    docstring stop quoting literal counts; this pins the invariant the
+    registry itself must keep — every member has an oracle (or is an
+    explicitly rows-only member)."""
+    n = len(composite.MEMBER_QUERIES)
+    n_oracles = len(composite.MEMBER_ORACLES)
+    rows_only = set(composite.MEMBER_QUERIES) - set(composite.MEMBER_ORACLES)
+    assert n == n_oracles + len(rows_only)
+    assert not rows_only, f"rows-only members (weaker gate): {sorted(rows_only)}"
+
+
 @pytest.mark.parametrize(
     "member",
     [  # cheap representatives, one per module family

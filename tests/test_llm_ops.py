@@ -1788,6 +1788,93 @@ def test_band_index_cross_run_dedup(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_band_index_versioned_supersede_delete(spark, tmp_path):
+    """The VERSIONED band index's delete/supersede lifecycle: an
+    old-content near-dup is rejected before a supersede and admitted
+    after it; deleted docs stop claiming bands; the effective view
+    pre-compaction equals the raw base post-compaction; compaction
+    PHYSICALLY drops every superseded/tombstoned row and preserves the
+    bucketed (shuffle-free) probe layout."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        bands_per_row,
+        compact_band_index_versioned,
+        dedup_against_band_index_versioned,
+        delete_band_index_docs,
+        portable_hash32,
+        save_band_index_versioned,
+        supersede_band_index,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+    from generic_data_ingestor_framework_spark.scale import count_exchanges
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    h = portable_hash32(F.col("doc_id").cast("string"))
+    corpus = d.filter(h % 3 == 0)
+    changed = corpus.filter(h % 5 == 0)
+    deleted_ids = corpus.filter(h % 7 == 0).select("doc_id")
+    modified = F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+")))
+    copies = changed.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    base_tbl, delta_tbl = "band_vtest_base", "band_vtest_delta"
+    try:
+        save_band_index_versioned(
+            spark, corpus.select("doc_id", "text"), base_tbl, delta_tbl
+        )
+        n_changed = changed.count()
+        assert n_changed > 0 and deleted_ids.count() > 0
+
+        # before any supersede, old-content copies are near-dups of the
+        # index and every signed copy is rejected
+        pre = dedup_against_band_index_versioned(spark, copies, base_tbl, delta_tbl)
+        assert pre.count() == 0
+
+        supersede_band_index(
+            spark, changed.select("doc_id", modified.alias("text")), delta_tbl, gen=1
+        )
+        delete_band_index_docs(spark, deleted_ids, delta_tbl, gen=2)
+
+        # now the changed docs' OLD bands are dead: copies admit unless
+        # their bands collide with some other live doc or an earlier
+        # copy (min-id rule) — at this SF a nonzero admitted set
+        post = dedup_against_band_index_versioned(spark, copies, base_tbl, delta_tbl)
+        adm_effective = {r["doc_id"] for r in post.select("doc_id").collect()}
+        assert len(adm_effective) > 0
+
+        compact_band_index_versioned(spark, base_tbl, delta_tbl)
+
+        # raw base post-compaction == effective view pre-compaction
+        raw = dedup_against_band_index_versioned(spark, copies, base_tbl, None)
+        assert {r["doc_id"] for r in raw.select("doc_id").collect()} == adm_effective
+
+        # physical drop: no deleted doc survives; changed docs carry
+        # ONLY gen-1 rows; their old (gen-0) bands are gone unless some
+        # UNREMOVED doc also owns that band key
+        base_rows = spark.table(base_tbl)
+        assert base_rows.join(deleted_ids, "doc_id", "semi").count() == 0
+        changed_rows = base_rows.join(changed.select("doc_id"), "doc_id", "semi")
+        assert changed_rows.filter(F.col("gen") != 1).count() == 0
+        old_bands = bands_per_row(changed.select("doc_id", "text")).select("band_key")
+        survivors = base_rows.join(
+            old_bands.distinct(), "band_key", "semi"
+        ).join(changed.select("doc_id"), "doc_id", "semi")
+        assert survivors.count() == 0
+
+        # compaction preserved bucketing: raw probe plan has at most
+        # one exchange (the batch side)
+        probe = bands_per_row(copies.select("doc_id", "text")).join(
+            base_rows, "band_key", "semi"
+        )
+        assert count_exchanges(probe) <= 1
+
+        # delta is truncated (schema intact, zero rows)
+        assert spark.table(delta_tbl).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
+
+
 def test_ann_index_persist_load_equals_session(spark, tmp_path):
     """save→load must reproduce the session-built IVF and PQ results
     exactly; a stale index (wrong candidate count in the meta) must
