@@ -1027,15 +1027,61 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _load_index_relation(spark: SparkSession, root: str, name: str) -> DataFrame:
-    """Base relation plus every appended batch directory (see
-    ``append_ann_index`` — each batch lives in its own subdirectory so
-    a retried append overwrites itself instead of duplicating rows)."""
+    """EFFECTIVE view of an index relation: base plus every appended
+    batch directory (see ``append_ann_index`` — each batch lives in its
+    own subdirectory so a retried append overwrites itself instead of
+    duplicating rows), with latest-generation-wins applied when any
+    SUPERSEDE batch (gen-tagged, ids may overlap the indexed set — see
+    ``supersede_ann_index``) or tombstone batch
+    (``delete_ann_index_ids``) exists.
+
+    Scale shape: the no-delta path (plain appends only) is exactly the
+    historical union — no extra work. With deltas, the merge is the
+    LSM discipline: winners are resolved on the BATCH-SIZED mark
+    relation (delta ids × gens + tombstones — only docs touched since
+    the last compaction), then masked out of the raw union by a
+    BROADCAST anti join; the full index never shuffles. Compaction
+    folds the deltas away and restores the fast path."""
     from generic_data_ingestor_framework_spark.fileops import hadoop_list_dirs
 
     df = spark.read.parquet(f"{root}/{name}")
+    deltas = []
     for sub in hadoop_list_dirs(spark, f"{root}/{name}_batches"):
-        df = df.unionByName(spark.read.parquet(sub))
-    return df
+        b = spark.read.parquet(sub)
+        if "gen" in b.columns:
+            deltas.append(b)
+        else:
+            df = df.unionByName(b)
+    tombs = [
+        spark.read.parquet(sub)
+        for sub in hadoop_list_dirs(spark, f"{root}/tombstones")
+    ]
+    if not deltas and not tombs:
+        return df
+    from functools import reduce
+    from pyspark.sql import Window as W
+
+    delta = reduce(DataFrame.unionByName, deltas) if deltas else None
+    marks = [t.select("point_id", "gen", F.lit(True).alias("tomb")) for t in tombs]
+    if delta is not None:
+        marks.append(
+            delta.select("point_id", "gen").distinct()
+            .withColumn("tomb", F.lit(False))
+        )
+    mark = reduce(DataFrame.unionByName, marks)
+    w = W.partitionBy("point_id").orderBy(F.desc("gen"), F.desc("tomb"))
+    win = (
+        mark.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("point_id", "gen", "tomb")
+    )
+    out = df.join(F.broadcast(win.select("point_id")), "point_id", "anti")
+    if delta is not None:
+        live = win.filter(~F.col("tomb")).select("point_id", "gen")
+        out = out.unionByName(
+            delta.join(F.broadcast(live), ["point_id", "gen"]).drop("gen")
+        )
+    return out
 
 
 def _write_index_meta(spark: SparkSession, root: str, n_candidates: int) -> None:
@@ -1063,6 +1109,7 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str | None = None) ->
     hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
     hadoop_delete(spark, f"{root}/ivf_assigned_batches")
     hadoop_delete(spark, f"{root}/pq_codes_batches")
+    hadoop_delete(spark, f"{root}/tombstones")
     n_cand = _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count()
     _centroid_df(spark, sf_dir).write.mode("overwrite").parquet(
         f"{root}/ivf_centroids"
@@ -1118,6 +1165,7 @@ def load_ann_index(
         batches = (
             hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches")
             + hadoop_list_dirs(spark, f"{root}/pq_codes_batches")
+            + hadoop_list_dirs(spark, f"{root}/tombstones")
         )
         if batches:
             import warnings
@@ -1187,6 +1235,81 @@ def append_ann_index(
     n_total = _load_index_relation(spark, root, "ivf_assigned").count()
     _write_index_meta(spark, root, n_total)
     return n_new
+
+
+def supersede_ann_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    root: str,
+    batch_tag: str,
+    gen: int,
+) -> int:
+    """Register RE-CRAWLED CHANGED vectors: same saved-quantizer encode
+    as ``append_ann_index`` (assign to nearest SAVED centroid, encode
+    against SAVED codebooks — quantizers train once), but ids MAY
+    overlap the indexed set and every written row carries generation
+    ``gen``: probes take latest-generation-wins
+    (``_load_index_relation``), so the ids' previous vectors stop
+    serving immediately, and ``compact_ann_index`` physically drops
+    them. Per-tag overwrite keeps retries idempotent; meta is
+    recomputed from the EFFECTIVE assignment (never incremented
+    blind). ``gen`` must exceed every generation previously written
+    for these ids (the crawl loop's monotonic batch counter)."""
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        sf_tag,
+    )
+
+    tag = sf_tag(batch_tag)
+    hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
+    cdf = spark.read.parquet(f"{root}/ivf_centroids")
+    codebook = spark.read.parquet(f"{root}/pq_codebook")
+    new_vectors = new_vectors.persist()
+    try:
+        pts = new_vectors.select(
+            F.col("vec_id").alias("point_id"),
+            F.col("v").alias("pv"),
+            _norm(F.col("v")).alias("pn"),
+        )
+        _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1).withColumn(
+            "gen", F.lit(gen)
+        ).write.partitionBy("cell").mode("overwrite").parquet(
+            f"{root}/ivf_assigned_batches/{tag}"
+        )
+        _encode_pq(new_vectors, codebook).withColumn(
+            "gen", F.lit(gen)
+        ).write.mode("overwrite").parquet(f"{root}/pq_codes_batches/{tag}")
+        n_new = new_vectors.count()
+    finally:
+        new_vectors.unpersist()
+    n_total = _load_index_relation(spark, root, "ivf_assigned").count()
+    _write_index_meta(spark, root, n_total)
+    return n_new
+
+
+def delete_ann_index_ids(
+    spark: SparkSession, ids: DataFrame, root: str, batch_tag: str, gen: int
+) -> int:
+    """Tombstone vectors out of a saved ANN index at generation ``gen``
+    (the crawl loop's 'document gone' signal). ``ids``: a (vec_id)
+    frame. Pure markers in their own per-tag subdirectory (idempotent
+    retries); probes stop serving the ids immediately
+    (latest-generation-wins, tombstone wins a gen tie), compaction
+    drops their rows physically. Returns the effective candidate count
+    after the delete."""
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        sf_tag,
+    )
+
+    tag = sf_tag(batch_tag)
+    hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
+    ids.select(
+        F.col("vec_id").alias("point_id"), F.lit(gen).alias("gen")
+    ).write.mode("overwrite").parquet(f"{root}/tombstones/{tag}")
+    n_total = _load_index_relation(spark, root, "ivf_assigned").count()
+    _write_index_meta(spark, root, n_total)
+    return n_total
 
 
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,7 +1426,11 @@ def compact_ann_index(spark: SparkSession, root: str) -> int:
 
     hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
     # stage the folded relations (a direct overwrite would read and
-    # clobber the same directory in one job)
+    # clobber the same directory in one job). _load_index_relation is
+    # the EFFECTIVE view, so superseded generations and tombstoned ids
+    # are PHYSICALLY dropped here — the delete/supersede debt a crawl
+    # loop accumulates is paid at compaction, and the tombstone dirs
+    # themselves are cleared below.
     assigned = _load_index_relation(spark, root, "ivf_assigned")
     assigned.write.partitionBy("cell").mode("overwrite").parquet(
         f"{root}/ivf_assigned_compact"
@@ -1316,6 +1443,7 @@ def compact_ann_index(spark: SparkSession, root: str) -> int:
         fs, src = hadoop_fs_path(spark, f"{root}/{name}_compact")
         _, dst = hadoop_fs_path(spark, f"{root}/{name}")
         fs.rename(src, dst)
+    hadoop_delete(spark, f"{root}/tombstones")
     n_total = spark.read.parquet(f"{root}/ivf_assigned").count()
     _write_index_meta(spark, root, n_total)
     return n_total
@@ -1469,6 +1597,151 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out12.unionAll(_tag(ivf3, 3)).unionAll(_tag(pq4, 4))
 
 
+# Deterministic recrawl cohorts over the candidate ids: vec_id%5==0
+# re-crawls with CHANGED content (dimension-reversed vector — a genuinely
+# different direction, trivially reproducible in SQL), vec_id%7==3 is
+# GONE (tombstoned at a later generation; ids in both cohorts end up
+# deleted — latest generation wins).
+RECRAWL_CHANGED_MOD = 5
+RECRAWL_DELETED_MOD = 7
+RECRAWL_DELETED_RES = 3
+
+
+def ann_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE/SUPERSEDE crawl loop driven END-TO-END through the
+    PERSISTED ANN index — the gate member for ``supersede_ann_index`` /
+    ``delete_ann_index_ids`` / the effective view in
+    ``_load_index_relation`` / tombstone-dropping ``compact_ann_index``
+    (mirrors ``ann_index_crawl``, which pins the append-only loop, and
+    ``band_index_recrawl`` on the band side).
+
+    Shape: the full-corpus index is saved to a recrawl-only root; a
+    re-crawl then finds every vec_id%5==0 candidate CHANGED (vector
+    dimensions reversed) — superseded at gen 1 with the SAVED
+    quantizers — and every vec_id%7==3 candidate GONE — tombstoned at
+    gen 2 (ids in both cohorts: the tombstone wins). Phases 1-2 serve
+    IVF and PQ top-k from the EFFECTIVE view (latest-generation-wins
+    over base + delta batches + tombstones); phases 3-4 re-serve both
+    paths from the RAW post-compaction relations with no effective-view
+    logic at all. Equal phase pairs pin both the merge and the physical
+    drop: a stale old-generation vector surviving compaction would
+    re-enter the raw top-k and flip phases 3-4. The DuckDB oracle
+    recomputes assignment, codes, and both probes over the effective
+    corpus from the SAVED (original-corpus-trained) quantizers.
+
+    Scale shape: identical to the other persisted probes — the
+    effective-view merge touches only the batch-sized delta marks
+    (broadcast anti join; the index never shuffles), and compaction
+    restores the delta-free path."""
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        hadoop_list_dirs,
+    )
+
+    base = _ann_index_root(spark, sf_dir)
+    root = base + "_recrawl_" + _session_tag(spark)
+    # reap ALL foreign recrawl roots — safe under the single-writer-
+    # per-warehouse contract (see ann_index_crawl)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    prefix = (base + "_recrawl_").rstrip("/").split("/")[-1]
+    for sub in hadoop_list_dirs(spark, wh):
+        if sub.rstrip("/").split("/")[-1].startswith(prefix):
+            hadoop_delete(spark, sub)
+    hadoop_delete(spark, root)  # idempotent re-runs
+    save_ann_index(spark, sf_dir, root)
+    vecs = _vectors(spark, sf_dir)
+    cand = F.col("vec_id") >= N_QUERY
+    changed = vecs.filter(cand & (F.col("vec_id") % RECRAWL_CHANGED_MOD == 0)).select(
+        "vec_id", F.reverse(F.col("v")).alias("v")
+    )
+    deleted = vecs.filter(
+        cand & (F.col("vec_id") % RECRAWL_DELETED_MOD == RECRAWL_DELETED_RES)
+    ).select("vec_id")
+    supersede_ann_index(spark, changed, root, "recrawl_b1", gen=1)
+    delete_ann_index_ids(spark, deleted, root, "recrawl_b2", gen=2)
+
+    cdf = spark.read.parquet(f"{root}/ivf_centroids")
+    codebook = spark.read.parquet(f"{root}/pq_codebook")
+    assigned = _load_index_relation(spark, root, "ivf_assigned")
+    codes = _load_index_relation(spark, root, "pq_codes")
+
+    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
+    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+
+    # the exact rerank must resolve EFFECTIVE vectors: unchanged
+    # candidates keep their corpus vector, changed ones the reversed
+    # vector, deleted ones none
+    is_changed = F.col("vec_id") % RECRAWL_CHANGED_MOD == 0
+    eff_cn = (
+        vecs.filter(cand)
+        .filter(F.col("vec_id") % RECRAWL_DELETED_MOD != RECRAWL_DELETED_RES)
+        .select(
+            F.col("vec_id").alias("point_id"),
+            F.when(is_changed, F.reverse(F.col("v"))).otherwise(F.col("v")).alias("cv"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+
+    ivf = _ivf_topk(
+        spark,
+        sf_dir,
+        N_PROBES,
+        cdf=cdf,
+        assigned=assigned.filter(F.col("cell").isin(cells)),
+        probed=probed,
+    )
+    pq = _pq_rerank(
+        spark,
+        sf_dir,
+        _pq_adc(spark, sf_dir, codes=codes, cdf=codebook),
+        cand_vecs=eff_cn,
+    )
+    null_d = F.lit(None).cast("double")
+
+    def _tag(df: DataFrame, phase: int) -> DataFrame:
+        cols = (
+            [null_d.alias("approx_sim")]
+            if "approx_sim" not in df.columns
+            else [F.col("approx_sim")]
+        )
+        return df.select(
+            F.lit(phase).alias("phase"),
+            "query_id",
+            "neighbor_id",
+            *cols,
+            "cos_sim",
+            "rank",
+        )
+
+    # phases 1-2 read the pre-compaction layout; materialize BEFORE
+    # compaction deletes the delta/tombstone paths
+    out12 = _tag(ivf, 1).unionAll(_tag(pq, 2)).localCheckpoint(eager=True)
+
+    compact_ann_index(spark, root)
+    assigned_c = spark.read.parquet(f"{root}/ivf_assigned")
+    codes_c = spark.read.parquet(f"{root}/pq_codes")
+    ivf3 = _ivf_topk(
+        spark,
+        sf_dir,
+        N_PROBES,
+        cdf=cdf,
+        assigned=assigned_c.filter(F.col("cell").isin(cells)),
+        probed=probed,
+    )
+    pq4 = _pq_rerank(
+        spark,
+        sf_dir,
+        _pq_adc(spark, sf_dir, codes=codes_c, cdf=codebook),
+        cand_vecs=eff_cn,
+    )
+    return out12.unionAll(_tag(ivf3, 3)).unionAll(_tag(pq4, 4))
+
+
 def _session_tag(spark: SparkSession) -> str:
     """A filesystem-safe per-session suffix (the Spark application id)
     — namespaces crawl-owned index roots so two sessions sharing a
@@ -1497,6 +1770,7 @@ QUERIES = {
     "ann_pq_persisted": ann_pq_persisted,
     "ann_index_crawl": ann_index_crawl,
     "ann_index_stats": ann_index_stats,
+    "ann_index_recrawl": ann_index_recrawl,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -1645,13 +1919,15 @@ _L2 = """round(list_reduce(list_transform(range(1, len({a}) + 1),
             i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x), 6)"""
 
 
-def _pq_sub_union(id_expr: str, pred: str) -> str:
+def _pq_sub_union(id_expr: str, pred: str, rel: str = "vecs") -> str:
     """UNION ALL of the M subvector slices (DuckDB 1-based inclusive
-    slicing; ds = len(v) // PQ_M, mirroring ``_sub_rel``)."""
+    slicing; ds = len(v) // PQ_M, mirroring ``_sub_rel``). ``rel``
+    overrides the source relation (the recrawl oracle slices the
+    EFFECTIVE vector set instead of the corpus)."""
     ds = f"(len(v) // {PQ_M})"
     return "\n          UNION ALL\n".join(
         f"          SELECT {id_expr}, {m} AS m, "
-        f"v[({m} * {ds} + 1):({m + 1} * {ds})] AS sv FROM vecs WHERE {pred}"
+        f"v[({m} * {ds} + 1):({m + 1} * {ds})] AS sv FROM {rel} WHERE {pred}"
         for m in range(PQ_M)
     )
 
@@ -2095,6 +2371,94 @@ ORACLES["ann_index_crawl"] = f"""
         UNION ALL
         -- phases 3/4: post-compaction re-serve — a pure LAYOUT change,
         -- so the expected values are phases 1/2 re-tagged
+        SELECT CAST(3 AS INT) AS phase, query_id, neighbor_id,
+               CAST(NULL AS DOUBLE) AS approx_sim, cos_sim, rank
+        FROM ivf
+        UNION ALL
+        SELECT CAST(4 AS INT) AS phase, query_id, neighbor_id, approx_sim,
+               cos_sim, CAST(rnk AS INT) AS rank
+        FROM pq2 WHERE rnk <= {TOP_K}
+"""
+
+# The recrawl oracle rebuilds assignment/codes/norms over the EFFECTIVE
+# corpus — changed ids (vec_id%CHANGED_MOD==0) carry their reversed
+# vector, deleted ids (vec_id%DELETED_MOD==DELETED_RES) are absent —
+# from the SAVED quantizers (trained on the ORIGINAL corpus, exactly
+# like the engine's supersede path), then replays both probes. Phases
+# 1-2 (effective view) and 3-4 (post-compaction raw) must be identical,
+# so the expected values are emitted twice.
+ORACLES["ann_index_recrawl"] = f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {_PQ_TRAIN},
+        evecs AS MATERIALIZED (
+          SELECT vec_id, v FROM vecs WHERE vec_id < {N_QUERY}
+          UNION ALL
+          SELECT vec_id,
+                 CASE WHEN vec_id % {RECRAWL_CHANGED_MOD} = 0
+                      THEN list_reverse(v) ELSE v END AS v
+          FROM vecs
+          WHERE vec_id >= {N_QUERY}
+            AND vec_id % {RECRAWL_DELETED_MOD} <> {RECRAWL_DELETED_RES}
+        ),
+        ecand AS MATERIALIZED (
+          SELECT vec_id AS point_id, v AS pv, {_NORM_FAST.format(a='v')} AS pn
+          FROM evecs WHERE vec_id >= {N_QUERY}),
+        eassign AS MATERIALIZED (
+          SELECT c.point_id, c.pv, c.pn, -p.pick.nc AS cell FROM (
+            SELECT c.point_id,
+                   max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
+                         / (c.pn * s.cn), 6),
+                       nc := -s.centroid_id)) AS pick
+            FROM ecand c, {_CENT_FINAL} s GROUP BY c.point_id) p
+          JOIN ecand c USING (point_id)),
+        {_ivf_probe_ctes(N_PROBES, assigned_rel="eassign")},
+        esub AS MATERIALIZED (
+{_pq_sub_union("vec_id AS point_id", f"vec_id >= {N_QUERY}", rel="evecs")}
+        ),
+        ecodes AS MATERIALIZED (
+          SELECT point_id, m, cell AS code FROM (
+            SELECT s.point_id, s.m, c.j AS cell,
+                   row_number() OVER (PARTITION BY s.point_id, s.m
+                     ORDER BY {_L2.format(a='s.sv', b='c.cv')}, c.j) AS rn
+            FROM esub s JOIN pcent{PQ_ITERS} c ON s.m = c.m) WHERE rn = 1),
+        enrms AS MATERIALIZED (
+          SELECT vec_id, v, {_NORM.format(a='v')} AS nrm FROM evecs),
+        adc2 AS MATERIALIZED (
+          SELECT l.query_id, c.point_id, SUM(l.pdot_i) AS adot_i
+          FROM ecodes c JOIN lut l ON l.m = c.m AND l.j = c.code
+          GROUP BY 1, 2),
+        short2 AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT a.query_id, a.point_id,
+                   round(a.adot_i / 1e6 / (nq.nrm * nc.nrm), 6) AS approx_sim,
+                   nq.v AS qv, nc.v AS cv, nq.nrm AS qn, nc.nrm AS cn,
+                   row_number() OVER (PARTITION BY a.query_id
+                     ORDER BY round(a.adot_i / 1e6 / (nq.nrm * nc.nrm), 6) DESC,
+                              a.point_id) AS rn1
+            FROM adc2 a JOIN enrms nq ON nq.vec_id = a.query_id
+                        JOIN enrms nc ON nc.vec_id = a.point_id)
+          WHERE rn1 <= {TOP_K * PQ_RERANK}),
+        pq2 AS (
+          SELECT query_id, point_id AS neighbor_id, approx_sim,
+                 round({_DOT.format(a='qv', b='cv')} / (qn * cn), 6) AS cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round({_DOT.format(a='qv', b='cv')} / (qn * cn), 6) DESC,
+                            point_id) AS rnk
+          FROM short2)
+        SELECT CAST(1 AS INT) AS phase, query_id, neighbor_id,
+               CAST(NULL AS DOUBLE) AS approx_sim, cos_sim, rank
+        FROM ivf
+        UNION ALL
+        SELECT CAST(2 AS INT) AS phase, query_id, neighbor_id, approx_sim,
+               cos_sim, CAST(rnk AS INT) AS rank
+        FROM pq2 WHERE rnk <= {TOP_K}
+        UNION ALL
+        -- phases 3/4: post-compaction raw re-serve — physical drop of
+        -- superseded/tombstoned rows is a pure layout change, so the
+        -- expected values are phases 1/2 re-tagged
         SELECT CAST(3 AS INT) AS phase, query_id, neighbor_id,
                CAST(NULL AS DOUBLE) AS approx_sim, cos_sim, rank
         FROM ivf

@@ -1970,6 +1970,71 @@ def test_ann_index_append_encodes_with_saved_quantizers(spark, tmp_path):
     assert meta1["n_candidates"] == meta0["n_candidates"] + n_new
 
 
+def test_ann_index_supersede_delete_compact(spark, tmp_path):
+    """The ANN delete/supersede lifecycle: a superseded id serves its
+    NEW vector's cell/codes immediately (latest-generation-wins), a
+    tombstoned id stops serving, a supersede retry is idempotent, and
+    compaction physically drops every stale row (raw relations ==
+    effective view, tombstone dir cleared, meta = effective count)."""
+    root = str(tmp_path / "ann_idx_supersede")
+    similarity.save_ann_index(spark, SF, root)
+    n0 = spark.read.parquet(f"{root}/ivf_assigned").count()
+
+    vecs = similarity._vectors(spark, SF)
+    cand = F.col("vec_id") >= similarity.N_QUERY
+    changed = vecs.filter(cand & (F.col("vec_id") % 5 == 0)).select(
+        "vec_id", F.reverse(F.col("v")).alias("v")
+    )
+    deleted = vecs.filter(cand & (F.col("vec_id") % 7 == 3)).select("vec_id")
+    n_changed, n_deleted = changed.count(), deleted.count()
+    overlap = changed.select("vec_id").join(deleted, "vec_id", "semi").count()
+    assert n_changed > 0 and n_deleted > 0
+
+    n_sup = similarity.supersede_ann_index(spark, changed, root, "re_b1", gen=1)
+    assert n_sup == n_changed
+    # retry idempotency: same tag+gen overwrites itself
+    assert similarity.supersede_ann_index(spark, changed, root, "re_b1", gen=1) == n_sup
+    n_eff = similarity.delete_ann_index_ids(spark, deleted, root, "re_b2", gen=2)
+    assert n_eff == n0 - n_deleted
+
+    assigned = similarity._load_index_relation(spark, root, "ivf_assigned")
+    # effective view: no deleted id serves; every surviving changed id
+    # has exactly ONE row and it is the reversed vector's row
+    assert assigned.join(deleted, assigned["point_id"] == deleted["vec_id"], "semi").count() == 0
+    ch_live = assigned.join(
+        changed.select("vec_id"), assigned["point_id"] == changed["vec_id"], "semi"
+    )
+    assert ch_live.count() == n_changed - overlap
+    # reversed vector actually serves: pv equals reversed corpus vector
+    one = (
+        ch_live.alias("a")
+        .join(changed.alias("c"), F.col("a.point_id") == F.col("c.vec_id"))
+        .filter(F.col("a.pv") != F.col("c.v"))
+        .count()
+    )
+    assert one == 0
+
+    eff_rows = assigned.count()
+    eff_codes = similarity._load_index_relation(spark, root, "pq_codes").count()
+    assert eff_rows == n0 - n_deleted
+    assert eff_codes == eff_rows * similarity.PQ_M
+
+    n_comp = similarity.compact_ann_index(spark, root)
+    assert n_comp == eff_rows
+    raw = spark.read.parquet(f"{root}/ivf_assigned")
+    raw_codes = spark.read.parquet(f"{root}/pq_codes")
+    assert "gen" not in raw.columns
+    assert raw.count() == eff_rows and raw_codes.count() == eff_codes
+    assert raw.join(deleted, raw["point_id"] == deleted["vec_id"], "semi").count() == 0
+    # per-id uniqueness: no superseded duplicate survived the fold
+    assert raw.groupBy("point_id").count().filter(F.col("count") > 1).count() == 0
+    from generic_data_ingestor_framework_spark.fileops import hadoop_exists
+
+    assert not hadoop_exists(spark, f"{root}/tombstones")
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta["n_candidates"] == eff_rows
+
+
 def test_ann_index_append_crash_triggers_retrain(spark, tmp_path):
     """load_ann_index's consistency probe: a crash between an append's
     two relation writes (assigned batch written, codes batch not, meta
