@@ -258,7 +258,7 @@ COMPOSITES: dict[str, list[str]] = {
         # the crawl-loop member uses (the gate compares that one
         # row-by-row).
         "ann_recall_report", "ann_probe_tradeoff", "ann_index_stats",
-        "ann_index_recrawl",
+        "ann_index_recrawl", "ann_recall_after_append",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",

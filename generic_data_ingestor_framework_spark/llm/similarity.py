@@ -1597,6 +1597,113 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out12.unionAll(_tag(ivf3, 3)).unionAll(_tag(pq4, 4))
 
 
+# Append-wave id offsets for the recall-drift audit (ids disjoint from
+# the corpus and from each other; pure addition keeps the oracle's
+# re-keying trivial).
+RECALL_APPEND_OFFSETS = (1_000_000, 2_000_000)
+
+
+def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL-DRIFT AUDIT for the train-once/append-forever contract:
+    after the corpus grows N× through appends, the FROZEN coarse
+    quantizer (centroids trained on the original corpus only —
+    ``append_ann_index``'s correct-by-design behavior) misroutes
+    new-region vectors, and recall silently decays.
+    ``ann_recall_report`` measures the trained corpus; this member
+    measures each APPEND WAVE: per wave, brute-force truth for
+    batch-distribution queries over the grown corpus vs the
+    frozen-quantizer IVF probe. The (recall) twin of
+    ``ann_index_stats`` (cost) — together the pair of index-health
+    gates an operator reads to decide when to retrain.
+
+    Waves are deterministic new-region transforms of the corpus:
+    wave 1 appends every candidate NEGATED (the far-from-trained-mass
+    direction), wave 2 adds every candidate dimension-REVERSED; wave-b
+    queries are the query vectors under the same transform. Output:
+    one row per wave b ∈ {0,1,2} (0 = trained-corpus baseline) with
+    the corpus size and integer recall (hits, k, basis points).
+
+    Scale shape: truth is queries × corpus with a broadcast query side
+    — the same bounded product as ``ann_cosine_topk`` (queries are a
+    handful; at 100 TB you sample them, and the member's shape is the
+    sample's); the IVF side is the standard frozen-centroid
+    assignment + probe join."""
+    from pyspark.sql import Window as W
+
+    vecs = _vectors(spark, sf_dir)
+    cdf = _centroid_df(spark, sf_dir)  # FROZEN quantizer
+    cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
+    q0 = vecs.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v")
+    negate = F.transform(F.col("v"), lambda x: -x)
+    o1, o2 = RECALL_APPEND_OFFSETS
+    b1 = cand0.select((F.col("vec_id") + o1).alias("vec_id"), negate.alias("v"))
+    b2 = cand0.select(
+        (F.col("vec_id") + o2).alias("vec_id"), F.reverse(F.col("v")).alias("v")
+    )
+    stages = [
+        (0, cand0, q0),
+        (1, cand0.unionByName(b1), q0.select("vec_id", negate.alias("v"))),
+        (
+            2,
+            cand0.unionByName(b1).unionByName(b2),
+            q0.select("vec_id", F.reverse(F.col("v")).alias("v")),
+        ),
+    ]
+    outs = []
+    for b, corpus, qs in stages:
+        qn = qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("qn"),
+        )
+        cn = corpus.select(
+            F.col("vec_id").alias("point_id"),
+            F.col("v").alias("pv"),
+            _norm(F.col("v")).alias("pn"),
+        )
+        sim = F.round(
+            _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
+        truth = (
+            cn.crossJoin(F.broadcast(qn))
+            .withColumn("cos_sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "point_id")
+        )
+        assigned = _nearest_cells(cdf, cn, "pv", "pn", "point_id", 1)
+        probed = _nearest_cells(cdf, qn, "qv", "qn", "query_id", N_PROBES)
+        ivf = (
+            probed.join(assigned, "cell")
+            .withColumn("cos_sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "point_id", F.lit(1).alias("hit"))
+        )
+        n_corpus = corpus.count()
+        outs.append(
+            truth.join(ivf, ["query_id", "point_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(b).cast("int").alias("batch"),
+                F.lit(n_corpus).cast("bigint").alias("corpus_n"),
+                F.col("k").cast("bigint").alias("k"),
+                "n_hits",
+                F.expr("(n_hits * 10000) div k").alias("recall_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 # Deterministic recrawl cohorts over the candidate ids: vec_id%5==0
 # re-crawls with CHANGED content (dimension-reversed vector — a genuinely
 # different direction, trivially reproducible in SQL), vec_id%7==3 is
@@ -1771,6 +1878,7 @@ QUERIES = {
     "ann_index_crawl": ann_index_crawl,
     "ann_index_stats": ann_index_stats,
     "ann_index_recrawl": ann_index_recrawl,
+    "ann_recall_after_append": ann_recall_after_append,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -2378,6 +2486,79 @@ ORACLES["ann_index_crawl"] = f"""
         SELECT CAST(4 AS INT) AS phase, query_id, neighbor_id, approx_sim,
                cos_sim, CAST(rnk AS INT) AS rank
         FROM pq2 WHERE rnk <= {TOP_K}
+"""
+
+def _recall_stage_ctes(b: int) -> str:
+    """One append wave of the recall-drift oracle: grown corpus rc{b},
+    wave queries rq{b}, brute truth, frozen-centroid assignment+probe,
+    and the per-wave aggregate agg{b} — mirrors the engine loop in
+    ``ann_recall_after_append`` stage by stage."""
+    o1, o2 = RECALL_APPEND_OFFSETS
+    neg = "list_transform(v, x -> -x)"
+    rev = "list_reverse(v)"
+    corpus = [f"SELECT vec_id AS point_id, v FROM vecs WHERE vec_id >= {N_QUERY}"]
+    if b >= 1:
+        corpus.append(
+            f"SELECT vec_id + {o1}, {neg} FROM vecs WHERE vec_id >= {N_QUERY}"
+        )
+    if b >= 2:
+        corpus.append(
+            f"SELECT vec_id + {o2}, {rev} FROM vecs WHERE vec_id >= {N_QUERY}"
+        )
+    qv = {0: "v", 1: neg, 2: rev}[b]
+    return f"""
+        rc{b} AS MATERIALIZED (
+          {" UNION ALL ".join(corpus)}
+        ),
+        rq{b} AS MATERIALIZED (
+          SELECT vec_id AS query_id, {qv} AS v FROM vecs WHERE vec_id < {N_QUERY}
+        ),
+        truth{b} AS MATERIALIZED (
+          SELECT query_id, point_id FROM (
+            SELECT q.query_id, c.point_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {_sim_sql('q.v', 'c.v')} DESC, c.point_id) AS rn
+            FROM rq{b} q, rc{b} c) WHERE rn <= {TOP_K}),
+        rassign{b} AS MATERIALIZED (
+          SELECT point_id, v, cell FROM (
+            SELECT c.point_id, c.v, s.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY c.point_id
+                     ORDER BY {_sim_sql('c.v', 's.cv')} DESC, s.centroid_id) AS rn
+            FROM rc{b} c, {_CENT_FINAL} s) WHERE rn = 1),
+        rprobed{b} AS MATERIALIZED (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.v AS qv, s.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {_sim_sql('q.v', 's.cv')} DESC, s.centroid_id) AS rn
+            FROM rq{b} q, {_CENT_FINAL} s) WHERE rn <= {N_PROBES}),
+        rivf{b} AS MATERIALIZED (
+          SELECT query_id, point_id FROM (
+            SELECT p.query_id, a.point_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY {_sim_sql('p.qv', 'a.v')} DESC, a.point_id) AS rank
+            FROM rprobed{b} p JOIN rassign{b} a ON p.cell = a.cell)
+          WHERE rank <= {TOP_K}),
+        agg{b} AS (
+          SELECT CAST({b} AS INT) AS batch,
+                 (SELECT CAST(count(*) AS BIGINT) FROM rc{b}) AS corpus_n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN i.point_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hits,
+                 CAST((sum(CASE WHEN i.point_id IS NOT NULL THEN 1 ELSE 0 END)
+                       * 10000) // count(*) AS BIGINT) AS recall_bp
+          FROM truth{b} t LEFT JOIN rivf{b} i
+            ON t.query_id = i.query_id AND t.point_id = i.point_id)"""
+
+
+ORACLES["ann_recall_after_append"] = f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {",".join(_recall_stage_ctes(b) for b in (0, 1, 2))}
+        SELECT * FROM agg0
+        UNION ALL SELECT * FROM agg1
+        UNION ALL SELECT * FROM agg2
 """
 
 # The recrawl oracle rebuilds assignment/codes/norms over the EFFECTIVE
