@@ -232,7 +232,10 @@ COMPOSITES: dict[str, list[str]] = {
         "string_funcs", "math_funcs", "date_funcs", "json_funcs",
         "case_null_funcs", "regexp_funcs", "array_funcs", "explode_lateral",
     ],
-    "subquery_family": ["subquery_cte", "correlated_subquery", "rcte_order_chain"],
+    "subquery_family": [
+        "subquery_cte", "correlated_subquery", "rcte_order_chain",
+        "rcte_reachability",
+    ],
     "approx_family": ["percentile_stats", "histogram_bins", "approx_sketches"],
     "ingest_parity": [
         "normalize_text_parity", "lineage_source_file", "md5_fingerprint",

@@ -661,32 +661,117 @@ def rcte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-expressible (this one is — see the oracle's identical
     recursion instead), prefer a window; the member exists to PIN the
     recursive-plan capability with a value-exact gate."""
-    orders = load_table(spark, sf_dir, "orders")
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    # LOOP-INVARIANT relation materialized ONCE: Spark re-plans the
+    # recursion body every iteration, so an inline `seq` CTE would
+    # re-scan orders and re-run the rank window TWICE PER LEVEL
+    # (union_loop_audit caught 2 scans + 2 windows/iter in r12) —
+    # depth x that cost at scale. localCheckpoint truncates lineage to
+    # a LogicalRDD LEAF, so per-iteration planning physically cannot
+    # re-derive it (plan-fragment cache matching does not apply inside
+    # the already-optimized recursion body); each level is then two
+    # joins against executor-stored blocks. Session-memoized so
+    # repeated calls reuse one checkpoint.
+    def _seq() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("n_orders"),
+        ).localCheckpoint(eager=True)
+
+    seq = shared_value(spark, ("rcte_seq", sf_dir), _seq)
     return spark.sql(
         """
-        WITH RECURSIVE seq AS (
-          SELECT o_custkey, o_orderkey, o_orderdate,
-                 row_number() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS rn,
-                 count(*) OVER (PARTITION BY o_custkey) AS n_orders
-          FROM {orders}
-        ),
-        chain (o_custkey, o_orderkey, pos, cum_gap_days) AS (
-          SELECT o_custkey, o_orderkey, 1, 0 FROM seq
+        WITH RECURSIVE chain (o_custkey, o_orderkey, pos, cum_gap_days) AS (
+          SELECT o_custkey, o_orderkey, 1, 0 FROM {seq}
           WHERE rn = 1 AND n_orders >= 2 AND o_custkey % 10 = 0
           UNION ALL
           SELECT n.o_custkey, n.o_orderkey, c.pos + 1,
                  c.cum_gap_days + datediff(n.o_orderdate, p.o_orderdate)
           FROM chain c
-          JOIN seq p ON p.o_custkey = c.o_custkey AND p.o_orderkey = c.o_orderkey
-          JOIN seq n ON n.o_custkey = c.o_custkey AND n.rn = p.rn + 1
+          JOIN {seq} p ON p.o_custkey = c.o_custkey AND p.o_orderkey = c.o_orderkey
+          JOIN {seq} n ON n.o_custkey = c.o_custkey AND n.rn = p.rn + 1
           WHERE c.pos < 64
         )
         SELECT o_custkey, o_orderkey, CAST(pos AS INT) AS pos,
                CAST(cum_gap_days AS BIGINT) AS cum_gap_days
         FROM chain
         """,
-        orders=orders,
+        seq=seq,
+    )
+
+
+def rcte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE #2 — BRANCHING frontier (multi-parent BOM
+    explosion / graph reachability), the recursion shape
+    ``rcte_order_chain``'s linear chain cannot exercise: every node
+    fans out to TWO components, components are shared across parents
+    (mod-arithmetic collisions), and the graph has genuine CYCLES, so
+    the walk must carry its path and refuse revisits — the
+    cycle-guard discipline any production BOM/org walk needs.
+
+    The component graph is synthesized deterministically over the
+    dense part keys (0..N-1): part p is assembled from parts
+    ``(2p+1) mod N`` and ``(3p+7) mod N`` — every node has out-degree
+    2 and in-degree ~2, and the functional wrap guarantees cycles.
+    Roots are the sparse ``p_partkey % 199 = 0`` slice; the walk is
+    bounded at depth 6, so cumulative frontier rows stay ≤ 127×roots
+    (the recursion-budget discipline, well under Spark's 1M
+    ``rowLimit``). Output: per (root, reachable node) the minimum
+    depth and the number of distinct simple paths — the path count is
+    what a linear recursion can never produce.
+
+    Scale shape: each iteration is frontier⋈edges on the src key; the
+    frontier is bounded by roots × 2^depth, edges by 2 rows per part.
+    The path array is per-row state (no driver round trips)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    part = load_table(spark, sf_dir, "part")
+
+    # LOOP-INVARIANT edge relation materialized ONCE (see
+    # rcte_order_chain — localCheckpoint to a LogicalRDD leaf): an
+    # inline `edges` CTE re-derives the union — and its modulus scalar
+    # subquery — EVERY level (union_loop_audit caught 6 scans/iter
+    # before this). The modulus is a driver-held model scalar (1-row
+    # aggregate, the MLlib-centroids class).
+    def _edges() -> DataFrame:
+        m = part.agg((F.max("p_partkey") + 1).alias("m")).collect()[0]["m"]
+        c1 = (F.col("p_partkey") * 2 + 1) % F.lit(m)
+        c2 = (F.col("p_partkey") * 3 + 7) % F.lit(m)
+        return (
+            part.select(
+                F.col("p_partkey").alias("src"), c1.cast("bigint").alias("dst")
+            )
+            .unionByName(
+                part.select(
+                    F.col("p_partkey").alias("src"), c2.cast("bigint").alias("dst")
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    edges = shared_value(spark, ("rcte_edges", sf_dir), _edges)
+    return spark.sql(
+        """
+        WITH RECURSIVE reach (root, node, depth, path) AS (
+          SELECT p_partkey, p_partkey, 0, array(p_partkey)
+          FROM {part} WHERE p_partkey % 199 = 0
+          UNION ALL
+          SELECT r.root, e.dst, r.depth + 1, array_append(r.path, e.dst)
+          FROM reach r JOIN {edges} e ON e.src = r.node
+          WHERE r.depth < 6 AND NOT array_contains(r.path, e.dst)
+        )
+        SELECT root, node, CAST(min(depth) AS INT) AS min_depth,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY root, node
+        """,
+        part=part,
+        edges=edges,
     )
 
 
@@ -1723,6 +1808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_except": set_except,
     "subquery_cte": subquery_cte,
     "rcte_order_chain": rcte_order_chain,
+    "rcte_reachability": rcte_reachability,
     "union_all_missing_cols": union_all_missing_cols,
     "string_funcs": string_funcs,
     "math_funcs": math_funcs,
@@ -1902,6 +1988,29 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey, o_orderkey, CAST(pos AS INT) AS pos,
                CAST(cum_gap_days AS BIGINT) AS cum_gap_days
         FROM chain
+    """,
+    "rcte_reachability": """
+        WITH RECURSIVE mx AS (SELECT max(p_partkey) + 1 AS m FROM part),
+        edges AS (
+          SELECT p_partkey AS src,
+                 CAST((p_partkey * 2 + 1) % (SELECT m FROM mx) AS BIGINT) AS dst
+          FROM part
+          UNION ALL
+          SELECT p_partkey,
+                 CAST((p_partkey * 3 + 7) % (SELECT m FROM mx) AS BIGINT)
+          FROM part
+        ),
+        reach (root, node, depth, path) AS (
+          SELECT p_partkey, p_partkey, 0, [p_partkey]
+          FROM part WHERE p_partkey % 199 = 0
+          UNION ALL
+          SELECT r.root, e.dst, r.depth + 1, list_append(r.path, e.dst)
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.depth < 6 AND NOT list_contains(r.path, e.dst)
+        )
+        SELECT root, node, CAST(min(depth) AS INT) AS min_depth,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY root, node
     """,
     "union_all_missing_cols": """
         SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer

@@ -264,3 +264,52 @@ def test_warm_shuffle_ceilings(spark):
         qs[name](spark, SF).write.format("noop").mode("overwrite").save()
         warm = count_warm_exchanges(qs[name](spark, SF))
         assert warm <= cap, f"{name}: warm exchanges {warm} > ceiling {cap}"
+
+
+def test_rcte_per_iteration_ceilings(spark):
+    """Recursive-CTE members: the exchange walkers are blind inside
+    UnionLoopExec (r11 verdict item), so pin the per-iteration cost
+    from the recursion's logical plan (union_loop_audit — joins, scans,
+    windows executed EVERY level) and a runtime JOB ceiling (the loop
+    runs one job per iteration; a depth or fan-out regression shows up
+    as job count, whatever the per-iteration plan looks like)."""
+    import __spark_entry__ as entry_mod
+    from generic_data_ingestor_framework_spark.scale import union_loop_audit
+
+    qs = entry_mod.member_queries()
+    # (iter_joins, iter_scans, iter_windows, anchor_scans) ceilings —
+    # the loop-invariant relations (seq / edges) are session-persisted,
+    # so EVERY level must be pure in-memory joins: ZERO parquet scans
+    # and ZERO window re-derivations inside the recursion (before the
+    # r12 fix the audit read 2 scans + 2 windows/level for the chain
+    # and 6 scans/level for reachability)
+    pins = {
+        "rcte_order_chain": (2, 0, 0, 1),
+        "rcte_reachability": (1, 0, 0, 1),
+    }
+    # UnionLoop runs several AQE jobs PER ITERATION (measured ~9/level);
+    # caps sized from the sf0.001 depths (order chain: max 16 levels ->
+    # 150 jobs measured; reachability: 6 levels) with ~1.5x headroom —
+    # a depth or fan-out regression multiplies job count well past them
+    job_caps = {"rcte_order_chain": 220, "rcte_reachability": 110}
+    for name, (j, s, w, a) in pins.items():
+        df = qs[name](spark, SF)
+        loops = union_loop_audit(df)
+        assert len(loops) == 1, f"{name}: expected one UnionLoop, got {loops}"
+        u = loops[0]
+        assert u["iter_joins"] <= j, f"{name}: {u}"
+        assert u["iter_scans"] <= s, f"{name}: {u}"
+        assert u["iter_windows"] <= w, f"{name}: {u}"
+        assert u["anchor_scans"] <= a, f"{name}: {u}"
+        assert u["iter_cached"] >= 1, f"{name}: loop-invariant not cached {u}"
+        sc = spark.sparkContext
+        group = f"rcte_audit_{name}"
+        sc.setJobGroup(group, "rcte job-count pin")
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert 0 < len(jobs) <= job_caps[name], (
+            f"{name}: {len(jobs)} jobs > cap {job_caps[name]}"
+        )
