@@ -266,6 +266,38 @@ def test_warm_shuffle_ceilings(spark):
         assert warm <= cap, f"{name}: warm exchanges {warm} > ceiling {cap}"
 
 
+def test_superlinear_alarm_drift_normalized():
+    """The scale-harness alarm must fire on a genuinely superlinear
+    member even when host drift inflates every wall time, and must NOT
+    fire on a healthy member under the same drift (r11 verdict: the
+    old raw bar of data_scale × 1.6 tolerated drift multiplicatively —
+    a 12× member on a calm box passed silently)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_scale", "/root/repo/tools/bench_scale.py"
+    )
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+
+    # simulated 1.5× host drift: the linear probe's decade ratio reads
+    # 15 instead of 10; a healthy 10× member reads 15 raw, a 12× plan
+    # reads 18 raw
+    ratios = {"healthy": 15.0, "quadratic_in_waiting": 18.0, "empty": None}
+    normalized, alarms = bs.normalize_and_alarm(ratios, probe_ratio=15.0)
+    assert normalized["healthy"] == 10.0
+    assert normalized["quadratic_in_waiting"] == 12.0
+    assert normalized["empty"] is None
+    assert set(alarms) == {"quadratic_in_waiting"}
+
+    # calm box (probe at the data scale): the same 12× plan still fires
+    _, alarms_calm = bs.normalize_and_alarm({"q": 12.0}, probe_ratio=10.0)
+    assert set(alarms_calm) == {"q"}
+    # and a healthy plan on a calm box stays quiet
+    _, alarms_ok = bs.normalize_and_alarm({"q": 10.5}, probe_ratio=10.0)
+    assert not alarms_ok
+
+
 def test_rcte_per_iteration_ceilings(spark):
     """Recursive-CTE members: the exchange walkers are blind inside
     UnionLoopExec (r11 verdict item), so pin the per-iteration cost

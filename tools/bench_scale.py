@@ -30,8 +30,41 @@ from generic_data_ingestor_framework_spark.session import get_spark  # noqa: E40
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/root/repo/_scale/sf1"
 DATA_SCALE = 10.0
-DRIFT_TOL = 1.6  # measured machine-drift band (1.2-1.6×) on this box
+# Normalized alarm tolerance: member ratios are divided by the SAME-RUN
+# measured drift (probe pair, below) before comparison, so the bar sits
+# at ~data_scale instead of data_scale × worst-case drift. The r11 bar
+# (data_scale × 1.6 raw) tolerated drift MULTIPLICATIVELY — a genuinely
+# 12× member under calm conditions passed silently (r11 verdict item).
+NORM_TOL = 1.15
 RUNS = 3
+
+# Drift probe: a fixed LINEAR reference (scan + filter + 1-row agg over
+# lineitem — q6, the pushdown showcase) run at BOTH SFs at sweep start
+# and end. Its intrinsic decade ratio is ~data_scale on an idle box;
+# probe_ratio / data_scale is the same-run host drift every member
+# ratio is normalized by.
+PROBE = "q6_forecast_revenue"
+
+
+def normalize_and_alarm(
+    ratios: dict, probe_ratio: float, data_scale: float = DATA_SCALE,
+    tol: float = NORM_TOL,
+) -> tuple[dict, dict]:
+    """Pure arithmetic of the drift-normalized superlinear alarm (unit
+    tested with synthetic drift in test_scale.py): divide each member's
+    decade ratio by the measured same-run drift (probe_ratio /
+    data_scale), flag anything whose NORMALIZED ratio exceeds
+    data_scale × tol. A 12× member under 1.5× drift shows raw 18 and
+    normalized 12 → fires; a healthy 10× member under the same drift
+    shows raw 15 and normalized 10 → passes."""
+    drift = max(probe_ratio / data_scale, 1e-9)
+    normalized = {
+        n: (round(r / drift, 2) if r else None) for n, r in ratios.items()
+    }
+    alarms = {
+        n: r for n, r in normalized.items() if r and r > data_scale * tol
+    }
+    return normalized, alarms
 
 QUERIES = [
     # TPC-H shapes (facts ×10, joins key-remapped consistently)
@@ -112,6 +145,12 @@ QUERIES = [
     # compact → re-probe) and the native recursive-CTE chain walk
     "ann_index_crawl",
     "rcte_order_chain",
+    # r12: the delete/supersede lifecycle on both index families, the
+    # recall-drift audit, and the branching recursion
+    "band_index_recrawl",
+    "ann_index_recrawl",
+    "ann_recall_after_append",
+    "rcte_reachability",
 ]
 
 
@@ -182,6 +221,15 @@ def main() -> None:
     from generic_data_ingestor_framework_spark import clear_caches
 
     out = {"sf0.1": {}, "sf1": {}, "ratio": {}, "data_scale": DATA_SCALE}
+
+    def _probe_pair() -> tuple[float, float]:
+        clear_caches()
+        p01 = _run(qs[PROBE], spark, SF01)
+        p1 = _run(qs[PROBE], spark, SF1)
+        clear_caches()
+        return p01, p1
+
+    probe_start = _probe_pair()
     for name in names:
         t01 = _run(qs[name], spark, SF01)
         t1 = _run(qs[name], spark, SF1)
@@ -194,17 +242,27 @@ def main() -> None:
         # query's storage memory
         clear_caches()
 
+    probe_end = _probe_pair()
+    # drift = how far the probe's decade ratio sits from the data
+    # scale, medianed over the sweep's start/end measurements — the
+    # same-run number every member ratio is normalized by
+    probe_ratios = [probe_start[1] / probe_start[0], probe_end[1] / probe_end[0]]
+    probe_ratio = sorted(probe_ratios)[len(probe_ratios) // 2]
+    out["probe"] = {
+        "query": PROBE,
+        "start": {"sf0.1": probe_start[0], "sf1": probe_start[1]},
+        "end": {"sf0.1": probe_end[0], "sf1": probe_end[1]},
+        "ratio": round(probe_ratio, 2),
+        "drift": round(probe_ratio / DATA_SCALE, 3),
+    }
     out["skew"] = _skew_evidence(spark)
     out["minhash_width"] = _sig_width_linearity(spark)
-    # Alarm bar: ratio > data_scale × DRIFT_TOL. The r10 bar (3× the
-    # data scale = 30×) let a 10.66× quadratic-in-waiting pass
-    # silently; a healthy distributed plan should scale ≤ the data
-    # scale, and cross-run machine drift on this box is a measured
-    # 1.2-1.6× band (memory: bench-variance), so 1.6 is the tolerance
-    # — anything past it is a plan problem, not noise.
-    superlinear = {
-        n: r for n, r in out["ratio"].items() if r and r > DATA_SCALE * DRIFT_TOL
-    }
+    # Drift-normalized alarm (r12): members are compared at
+    # ~data_scale after dividing out the probe-measured drift, so a
+    # 12× plan can no longer hide inside a widened raw bar and a noisy
+    # host can no longer fire false alarms.
+    normalized, superlinear = normalize_and_alarm(out["ratio"], probe_ratio)
+    out["ratio_normalized"] = normalized
     out["superlinear_over_data_scale"] = superlinear
 
     with open("/root/repo/BENCH_SF1.json", "w") as fh:
@@ -213,6 +271,9 @@ def main() -> None:
         "metric": "sf1_decade_up",
         "median_ratio": sorted(out["ratio"].values())[len(out["ratio"]) // 2],
         "max_ratio": max(out["ratio"].values()),
+        "probe_drift": out["probe"]["drift"],
+        "median_ratio_normalized": sorted(normalized.values())[len(normalized) // 2],
+        "max_ratio_normalized": max(normalized.values()),
         "superlinear": superlinear,
         "skew": out["skew"],
     }))

@@ -5,7 +5,7 @@ DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive multiset of stringified rows.
 
 Usage: python tools/check_oracles.py [--members] [--strict] [--json OUT]
-       [sf_dir] [query_name ...]
+       [--rotate-full SEED] [sf_dir] [query_name ...]
 
 ``--json OUT`` additionally writes a CORRECTNESS-shaped artifact (one
 record per query: rows_match / schema_match / hash_match / spark_rows /
@@ -35,6 +35,14 @@ members >60 s — almost all of it NOT engine compute):
   materializing ~1M rows into Python on both sides and sorting two
   multisets. ``--full-rows`` (or ``--strict``) restores full-row
   comparison for them.
+- ``--rotate-full SEED`` (pass the round number) promotes 5
+  deterministically-chosen DIGEST_MEMBERS to full-row comparison —
+  digest-collision safety: every digest member gets a row-level check
+  every ~7 rounds on average. The selection is recorded in the
+  ``--json`` artifact.
+- With ``--json``, the artifact also carries a drift probe (q6 timed
+  at sweep start/end) and per-member ``secs_probe_units`` — member
+  times in probe units, comparable across rounds on a drifting host.
 """
 
 from __future__ import annotations
@@ -117,10 +125,31 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    rotate_seed = None
+    if "--rotate-full" in args:
+        i = args.index("--rotate-full")
+        rotate_seed = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
     argv = [a for a in args if a not in ("--members", "--strict", "--full-rows")]
     members = "--members" in args
     STRICT = "--strict" in args
     full_rows = "--full-rows" in args or STRICT
+    # Digest-collision safety (r12): the ~34 DIGEST_MEMBERS compare
+    # engine-side (n, checksum) folds only — a fold-level bug class
+    # could hide indefinitely. --rotate-full SEED (the round number)
+    # deterministically promotes 5 of them to full-row comparison per
+    # sweep, so every digest member gets a row-level check every ~7
+    # rounds. Recorded in the JSON artifact.
+    rotate_members: list[str] = []
+    if rotate_seed is not None:
+        import hashlib
+
+        ordered = sorted(
+            DIGEST_MEMBERS,
+            key=lambda n: hashlib.md5(f"{rotate_seed}:{n}".encode()).hexdigest(),
+        )
+        rotate_members = ordered[:5]
+        print(f"rotate-full seed={rotate_seed}: full-row check for {rotate_members}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     records: dict[str, dict] = {}
@@ -162,10 +191,30 @@ def main():
 
     passed, failed, rows_only = [], [], []
     pool = ThreadPoolExecutor(max_workers=2)
+    def _probe_secs() -> float:
+        """Fixed linear reference (q6 scan+agg) timed median-of-3: the
+        sweep artifact carries member times in PROBE UNITS so per-member
+        time targets stay comparable across rounds regardless of host
+        drift (r11: same-code member walls spread 27-105 s)."""
+        fn = (entry_mod.member_queries())["q6_forecast_revenue"]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return round(sorted(runs)[1], 3)
+
+    probe_start = _probe_secs() if json_out else None
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        digest = name in DIGEST_MEMBERS and name in oracles and not full_rows
+        digest = (
+            name in DIGEST_MEMBERS
+            and name in oracles
+            and not full_rows
+            and name not in rotate_members
+        )
         t0 = time.time()
         # Spark and DuckDB run CONCURRENTLY (independent engines, both
         # release the GIL) — a member's wall is max of the two sides.
@@ -247,12 +296,29 @@ def main():
     if json_out:
         import json
 
+        probe_end = _probe_secs()
+        probe_mean = round((probe_start + probe_end) / 2, 3)
+        if probe_mean > 0:
+            for rec in records.values():
+                if rec.get("secs") is not None:
+                    rec["secs_probe_units"] = round(rec["secs"] / probe_mean, 1)
         with open(json_out, "w") as f:
             json.dump(
                 {
                     "sf_dir": sf_dir,
                     "members": members,
                     "strict": STRICT,
+                    "probe": {
+                        "query": "q6_forecast_revenue",
+                        "start_secs": probe_start,
+                        "end_secs": probe_end,
+                        "mean_secs": probe_mean,
+                    },
+                    "rotate_full": (
+                        {"seed": rotate_seed, "members": rotate_members}
+                        if rotate_seed is not None
+                        else None
+                    ),
                     "n_pass": len(passed),
                     "n_fail": len(failed),
                     "n_rows_only": len(rows_only),
