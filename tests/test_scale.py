@@ -280,22 +280,26 @@ def test_superlinear_alarm_drift_normalized():
     bs = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bs)
 
-    # simulated 1.5× host drift: the linear probe's decade ratio reads
-    # 15 instead of 10; a healthy 10× member reads 15 raw, a 12× plan
-    # reads 18 raw
+    # simulated 1.5× host slowdown on each member's sf1 side (the
+    # fixed-size probe pair reads 1.5): a healthy 10× member reads 15
+    # raw, a 12× plan reads 18 raw
     ratios = {"healthy": 15.0, "quadratic_in_waiting": 18.0, "empty": None}
-    normalized, alarms = bs.normalize_and_alarm(ratios, probe_ratio=15.0)
+    drifts = {"healthy": 1.5, "quadratic_in_waiting": 1.5, "empty": 1.5}
+    normalized, alarms = bs.normalize_and_alarm(ratios, drifts)
     assert normalized["healthy"] == 10.0
     assert normalized["quadratic_in_waiting"] == 12.0
     assert normalized["empty"] is None
     assert set(alarms) == {"quadratic_in_waiting"}
 
-    # calm box (probe at the data scale): the same 12× plan still fires
-    _, alarms_calm = bs.normalize_and_alarm({"q": 12.0}, probe_ratio=10.0)
+    # calm box (pair drift 1.0): the same 12× plan still fires
+    _, alarms_calm = bs.normalize_and_alarm({"q": 12.0}, {"q": 1.0})
     assert set(alarms_calm) == {"q"}
-    # and a healthy plan on a calm box stays quiet
-    _, alarms_ok = bs.normalize_and_alarm({"q": 10.5}, probe_ratio=10.0)
+    # and a healthy plan on a calm box stays quiet (scalar drift form)
+    _, alarms_ok = bs.normalize_and_alarm({"q": 10.5}, 1.0)
     assert not alarms_ok
+    # a member missing from the drift map defaults to calm
+    n2, _ = bs.normalize_and_alarm({"q": 12.0}, {})
+    assert n2["q"] == 12.0
 
 
 def test_rcte_per_iteration_ceilings(spark):
