@@ -122,6 +122,9 @@ HEADLINE = [
     "corpus_select_budget",
     "quality_weighted_sample",
     "shard_export_assignment",
+    # r12: recall-drift audit + branching recursive CTE
+    "ann_recall_after_append",
+    "rcte_reachability",
 ]
 
 # Index-WRITE workloads (cross-run persisted index crawl loops): real
@@ -132,6 +135,10 @@ HEADLINE = [
 INDEX_BUILDS = [
     "band_index_crawl",
     "ann_index_crawl",
+    # r12: the delete/supersede lifecycle (supersede + tombstone +
+    # compaction on both index families)
+    "band_index_recrawl",
+    "ann_index_recrawl",
 ]
 
 REGRESSION_RATIO = 1.3
