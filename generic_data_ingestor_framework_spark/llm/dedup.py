@@ -1020,9 +1020,13 @@ def compact_band_index_versioned(
     base = spark.table(base_table)
     delta = spark.table(delta_table)
     touched = delta.select("doc_id").distinct()
+    # dropDuplicates: a retried supersede step re-appends identical
+    # (doc_id, band_key, gen) rows — inert at probe time (band sets),
+    # dropped here so the base never grows from retries
     live = (
         base.join(F.broadcast(touched), "doc_id", "anti")
         .unionByName(_band_delta_live(delta))
+        .dropDuplicates(["doc_id", "band_key", "gen"])
         .localCheckpoint(eager=True)
     )
     live.write.mode("overwrite").bucketBy(n_buckets, "band_key").saveAsTable(

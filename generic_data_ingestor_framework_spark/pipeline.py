@@ -593,6 +593,96 @@ def _step_ann_append(df: DataFrame, p: dict) -> DataFrame:
     return df
 
 
+def _step_ann_supersede(df: DataFrame, p: dict) -> DataFrame:
+    """Register this frame's vectors as RE-CRAWLED CHANGED content in a
+    persisted ANN index (``supersede_ann_index``) — the delete/supersede
+    crawl step next to ``ann_append``::
+
+        {"op": "ann_supersede", "root": "/idx/ann_corpus",
+         "batch_tag": "crawl43", "gen": 3, "id": "vec_id",
+         "vec": "embedding"}
+
+    Ids MAY overlap the indexed set; rows are re-encoded against the
+    SAVED quantizers at generation ``gen`` and probes stop serving the
+    old vectors immediately (latest-generation-wins). ``gen`` must
+    exceed every generation previously written for these ids — the
+    crawl loop's monotonic batch counter. Pass-through frame; same
+    per-tag overwrite retry contract as ``ann_append``; run
+    ``compact_ann_index`` periodically to drop superseded rows
+    physically."""
+    from generic_data_ingestor_framework_spark.llm.similarity import (
+        _as_double,
+        supersede_ann_index,
+    )
+
+    from pyspark.sql import functions as F
+
+    id_col = p.get("id", "vec_id")
+    vec_col = p.get("vec", "embedding")
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    supersede_ann_index(df.sparkSession, vecs, p["root"], p["batch_tag"], int(p["gen"]))
+    return df
+
+
+def _step_ann_delete(df: DataFrame, p: dict) -> DataFrame:
+    """Tombstone this frame's ids out of a persisted ANN index
+    (``delete_ann_index_ids``) — the 'document gone' crawl signal::
+
+        {"op": "ann_delete", "root": "/idx/ann_corpus",
+         "batch_tag": "crawl43_gone", "gen": 4, "id": "vec_id"}
+
+    Probes stop serving the ids immediately; compaction drops their
+    rows physically. Pass-through frame; per-tag overwrite retries."""
+    from generic_data_ingestor_framework_spark.llm.similarity import (
+        delete_ann_index_ids,
+    )
+
+    from pyspark.sql import functions as F
+
+    ids = df.select(F.col(p.get("id", "vec_id")).alias("vec_id"))
+    delete_ann_index_ids(df.sparkSession, ids, p["root"], p["batch_tag"], int(p["gen"]))
+    return df
+
+
+def _step_band_supersede(df: DataFrame, p: dict) -> DataFrame:
+    """Register this frame's documents as RE-CRAWLED CHANGED content in
+    a VERSIONED band index (``supersede_band_index``)::
+
+        {"op": "band_supersede", "delta_table": "corpus_bands_delta",
+         "gen": 2, "id": "doc_id", "text": "text"}
+
+    The docs' new bands land in the delta at generation ``gen``; their
+    old bands stop matching immediately and are physically dropped by
+    ``compact_band_index_versioned``. A re-run re-appends the same
+    rows — duplicates are inert at probe time (band sets) and dropped
+    at compaction. Pass-through frame."""
+    from generic_data_ingestor_framework_spark.llm.dedup import supersede_band_index
+
+    supersede_band_index(
+        df.sparkSession, df, p["delta_table"], int(p["gen"]),
+        p.get("id", "doc_id"), p.get("text", "text"),
+    )
+    return df
+
+
+def _step_band_delete(df: DataFrame, p: dict) -> DataFrame:
+    """Tombstone this frame's doc ids out of a versioned band index::
+
+        {"op": "band_delete", "delta_table": "corpus_bands_delta",
+         "gen": 3, "id": "doc_id"}
+
+    Pass-through frame; same retry/compaction contract as
+    ``band_supersede``."""
+    from generic_data_ingestor_framework_spark.llm.dedup import delete_band_index_docs
+
+    delete_band_index_docs(
+        df.sparkSession, df, p["delta_table"], int(p["gen"]), p.get("id", "doc_id")
+    )
+    return df
+
+
 STEP_REGISTRY: dict[str, StepFn] = {
     "filter": _step_filter,
     "select": _step_select,
@@ -619,6 +709,10 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "select_budget": _step_select_budget,
     "dedup_near_index": _step_dedup_near_index,
     "ann_append": _step_ann_append,
+    "ann_supersede": _step_ann_supersede,
+    "ann_delete": _step_ann_delete,
+    "band_supersede": _step_band_supersede,
+    "band_delete": _step_band_delete,
 }
 
 

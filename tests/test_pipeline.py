@@ -491,3 +491,132 @@ def test_pipeline_ann_append_step(spark, tmp_path):
     )
     meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
     assert meta["n_candidates"] == n0 + n_new
+
+
+def test_pipeline_ann_supersede_delete_steps(spark, tmp_path):
+    """The ann_supersede / ann_delete pipeline steps: a re-crawl spec
+    supersedes changed vectors at a new generation and tombstones gone
+    ids; the effective index reflects both immediately, re-running the
+    same spec is a no-op (per-tag overwrite), and compaction drops the
+    stale rows physically."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm import similarity
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ann_idx_pipe_sup")
+    similarity.save_ann_index(spark, sf, root)
+    n0 = spark.read.parquet(f"{root}/index_meta").collect()[0]["n_candidates"]
+
+    nq = similarity.N_QUERY
+    spec = {
+        "source": {"type": "parquet", "path": f"{sf}/embeddings.parquet"},
+        "steps": [
+            {"op": "filter", "where": f"vec_id >= {nq} AND vec_id % 11 = 0"},
+            # changed content: reversed dims at gen 1
+            {"op": "with_column", "name": "embedding", "expr": "reverse(embedding)"},
+            {"op": "ann_supersede", "root": root, "batch_tag": "re_b1", "gen": 1},
+        ],
+    }
+    df, _ = run_pipeline(spark, spec)
+    n_changed = df.count()
+    assert n_changed > 0
+    # supersede replaces, never grows: effective count unchanged
+    eff = similarity._load_index_relation(spark, root, "ivf_assigned")
+    assert eff.count() == n0
+    run_pipeline(spark, spec)  # retry: per-tag overwrite, still n0
+    assert similarity._load_index_relation(spark, root, "ivf_assigned").count() == n0
+
+    gone_spec = {
+        "source": {"type": "parquet", "path": f"{sf}/embeddings.parquet"},
+        "steps": [
+            {"op": "filter", "where": f"vec_id >= {nq} AND vec_id % 17 = 2"},
+            {"op": "ann_delete", "root": root, "batch_tag": "re_b2", "gen": 2},
+        ],
+    }
+    gone_df, _ = run_pipeline(spark, gone_spec)
+    n_gone = gone_df.count()
+    assert n_gone > 0
+    eff2 = similarity._load_index_relation(spark, root, "ivf_assigned")
+    assert eff2.count() == n0 - n_gone
+
+    similarity.compact_ann_index(spark, root)
+    raw = spark.read.parquet(f"{root}/ivf_assigned")
+    assert raw.count() == n0 - n_gone
+    assert raw.groupBy("point_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_pipeline_band_supersede_delete_steps(spark, tmp_path):
+    """The band_supersede / band_delete pipeline steps against a
+    versioned band index: changed docs' old bands die, gone docs stop
+    claiming bands, and compaction (with a retried supersede in the
+    delta) leaves exactly one copy of each live band row."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        compact_band_index_versioned,
+        dedup_against_band_index_versioned,
+        portable_hash32,
+        save_band_index_versioned,
+    )
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base_tbl, delta_tbl = "band_pipe_base", "band_pipe_delta"
+    d = load_table(spark, sf, "documents")
+    h = portable_hash32(F.col("doc_id").cast("string"))
+    corpus = d.filter(h % 2 == 0)
+    try:
+        save_band_index_versioned(
+            spark, corpus.select("doc_id", "text"), base_tbl, delta_tbl
+        )
+        spec = {
+            "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+            "steps": [
+                {"op": "sql", "query": (
+                    "SELECT doc_id, concat_ws(' ', reverse(split(text, '\\\\s+')))"
+                    " AS text FROM __df__ WHERE"
+                    " CAST(conv(substring(md5(CAST(doc_id AS STRING)),1,8),16,10)"
+                    " AS BIGINT) % 2 = 0 AND doc_id % 3 = 0"
+                )},
+                {"op": "band_supersede", "delta_table": delta_tbl, "gen": 1},
+            ],
+        }
+        changed, _ = run_pipeline(spark, spec)
+        n_changed = changed.count()
+        assert n_changed > 0
+        run_pipeline(spark, spec)  # retry: duplicate delta rows, inert
+        gone_spec = {
+            "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+            "steps": [
+                {"op": "sql", "query": (
+                    "SELECT doc_id FROM __df__ WHERE"
+                    " CAST(conv(substring(md5(CAST(doc_id AS STRING)),1,8),16,10)"
+                    " AS BIGINT) % 2 = 0 AND doc_id % 5 = 1"
+                )},
+                {"op": "band_delete", "delta_table": delta_tbl, "gen": 2},
+            ],
+        }
+        gone, _ = run_pipeline(spark, gone_spec)
+        assert gone.count() > 0
+        # old-content copies of the changed docs now admit against the
+        # effective view (their stale bands are dead)
+        copies = corpus.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+        )
+        adm = dedup_against_band_index_versioned(spark, copies, base_tbl, delta_tbl)
+        assert adm.count() > 0
+        compact_band_index_versioned(spark, base_tbl, delta_tbl)
+        base_rows = spark.table(base_tbl)
+        # retried supersede left no duplicate rows after compaction
+        dup = (
+            base_rows.groupBy("doc_id", "band_key", "gen").count()
+            .filter(F.col("count") > 1)
+        )
+        assert dup.count() == 0
+        assert base_rows.join(gone, "doc_id", "semi").count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
