@@ -1396,6 +1396,75 @@ def stream_ann_index_append(
     _run_to_completion(q, "stream_ann_index_append")
 
 
+def stream_ann_index_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """CONTINUOUS delete/supersede maintenance of the persisted ANN
+    index — the streaming (third) surface of the r12 lifecycle, next
+    to the batch gate member (``ann_index_recrawl``) and the pipeline
+    steps (``ann_supersede`` / ``ann_delete``): a crawler drops change
+    files in a directory where each record is the LATEST state of its
+    id — ``op='delete'`` tombstones it, anything else upserts its
+    vector (brand-new ids insert; existing ids supersede, re-encoded
+    with the SAVED quantizers).
+
+    Exactly-once AND ordered BY CONSTRUCTION: the micro-batch id is
+    the GENERATION (gen = batch_id + 1; base rows are gen 0) — batch
+    ids increase monotonically and a failed batch replays under the
+    SAME id, so the per-tag overwrite subdirectories plus the
+    recomputed meta count make replays no-op rewrites while later
+    batches always win latest-generation-wins probes. A delete and an
+    upsert for the same id in ONE batch resolve to the delete
+    (tombstone wins a generation tie — the defined semantics of the
+    effective view).
+
+    AvailableNow drains and stops; dropping the trigger makes it a
+    continuous maintainer. Per-batch work is batch-sized (centroid
+    scoring + PQ encode + two metadata-count jobs); run
+    ``compact_ann_index`` periodically to physically drop superseded
+    generations and tombstones."""
+    from generic_data_ingestor_framework_spark.llm.similarity import (
+        _as_double,
+        delete_ann_index_ids,
+        supersede_ann_index,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gen = int(batch_id) + 1
+        is_del = F.col(op_col) == F.lit("delete")
+        ups = batch_df.filter(~is_del | F.col(op_col).isNull()).select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        dels = batch_df.filter(is_del).select(F.col(id_col).alias("vec_id"))
+        sess = batch_df.sparkSession
+        if not ups.isEmpty():
+            supersede_ann_index(sess, ups, index_root, f"stream_s{batch_id}", gen)
+        if not dels.isEmpty():
+            delete_ann_index_ids(sess, dels, index_root, f"stream_d{batch_id}", gen)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_to_completion(q, "stream_ann_index_upsert")
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_1h_30m": window_sliding_1h_30m,

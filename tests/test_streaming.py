@@ -729,3 +729,86 @@ def test_stream_ann_index_append_exactly_once(spark, tmp_path):
     )
     meta3 = spark.read.parquet(f"{root}/index_meta").collect()[0]
     assert meta3["n_candidates"] == n0 + len(rows) + 2
+
+
+def test_stream_ann_index_upsert_delete(spark, tmp_path):
+    """The streaming delete/supersede maintainer: micro-batch ids are
+    generations, so later runs' changes beat earlier ones; upserts of
+    existing ids supersede (no growth), new ids insert, deletes
+    tombstone, a delete+upsert of the same id in one batch resolves to
+    the delete (tombstone wins a gen tie), and a rerun over the same
+    checkpoint changes nothing."""
+    import json as _json
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm import similarity
+    from generic_data_ingestor_framework_spark.streaming import (
+        stream_ann_index_upsert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ann_idx_stream_up")
+    similarity.save_ann_index(spark, sf, root)
+    n0 = spark.read.parquet(f"{root}/index_meta").collect()[0]["n_candidates"]
+
+    rows = (
+        similarity._vectors(spark, sf)
+        .filter((F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 11 == 0))
+        .select("vec_id", "v")
+        .collect()
+    )
+    assert len(rows) >= 4
+    src = tmp_path / "src_up"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("op", T.StringType()),
+    ])
+    ckpt = str(tmp_path / "ckpt_up")
+
+    def _rec(vid, v, op="upsert"):
+        return _json.dumps({"vec_id": int(vid), "embedding": list(v), "op": op})
+
+    # run 1 (gen 1): supersede every %11 id with its REVERSED vector,
+    # insert one brand-new id
+    with open(src / "c1.json", "w") as fh:
+        for r in rows:
+            fh.write(_rec(r["vec_id"], list(reversed(r["v"]))) + "\n")
+        fh.write(_rec(1_000_000, rows[0]["v"]) + "\n")
+    stream_ann_index_upsert(spark, str(src), root, ckpt, schema)
+
+    eff = similarity._load_index_relation(spark, root, "ivf_assigned")
+    assert eff.count() == n0 + 1  # supersedes replace, the new id adds
+    changed_ids = [int(r["vec_id"]) for r in rows]
+    served = {
+        int(r["point_id"]): list(r["pv"])
+        for r in eff.filter(F.col("point_id").isin(changed_ids)).collect()
+    }
+    for r in rows:
+        assert served[int(r["vec_id"])] == list(reversed(r["v"]))
+
+    # rerun, no new files: exactly-once, nothing moves
+    stream_ann_index_upsert(spark, str(src), root, ckpt, schema)
+    assert similarity._load_index_relation(spark, root, "ivf_assigned").count() == n0 + 1
+
+    # run 2 (gen 2): delete one changed id; for another, a delete AND
+    # an upsert in the SAME batch — the tombstone wins the gen tie
+    with open(src / "c2.json", "w") as fh:
+        fh.write(_rec(changed_ids[0], [], "delete") + "\n")
+        fh.write(_rec(changed_ids[1], [], "delete") + "\n")
+        fh.write(_rec(changed_ids[1], rows[1]["v"]) + "\n")
+    stream_ann_index_upsert(spark, str(src), root, ckpt, schema)
+    eff2 = similarity._load_index_relation(spark, root, "ivf_assigned")
+    assert eff2.count() == n0 + 1 - 2
+    assert eff2.filter(F.col("point_id").isin(changed_ids[:2])).count() == 0
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta["n_candidates"] == n0 - 1
+
+    # compaction drops the dead generations physically
+    similarity.compact_ann_index(spark, root)
+    raw = spark.read.parquet(f"{root}/ivf_assigned")
+    assert raw.count() == n0 - 1
+    assert raw.groupBy("point_id").count().filter(F.col("count") > 1).count() == 0
