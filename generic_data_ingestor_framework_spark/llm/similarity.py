@@ -1152,9 +1152,24 @@ def load_ann_index(
     if hadoop_exists(spark, f"{root}/index_meta"):
         meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
         n_cand = _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count()
+
+        def _tags(name: str) -> set[str]:
+            return {
+                p.rstrip("/").rsplit("/", 1)[-1]
+                for p in hadoop_list_dirs(spark, f"{root}/{name}_batches")
+            }
+
         stale = (
             meta["version"] != ANN_INDEX_VERSION
             or meta["n_candidates"] != n_cand
+            # batch-tag SYMMETRY: every append/supersede writes the same
+            # tag under both relations' batch dirs, so an asymmetric set
+            # is a mid-write crash. Counts alone cannot catch a
+            # half-written SUPERSEDE (it replaces rows — both effective
+            # counts still match the corpus), so this listing check is
+            # that path's crash probe; for appends it is a cheap
+            # pre-filter before the count probes below.
+            or _tags("ivf_assigned") != _tags("pq_codes")
             or _load_index_relation(spark, root, "ivf_assigned").count() != n_cand
             or _load_index_relation(spark, root, "pq_codes").count() != n_cand * PQ_M
         )
@@ -1389,7 +1404,10 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = load_ann_index(spark, sf_dir)
     assigned = idx["ivf_assigned"]
     per_cell = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
-    total = assigned.count()  # parquet-metadata count, no scan
+    # intentionally bypasses the probed-relation cache: with no delta
+    # batches this is a parquet-metadata count (no scan), and the audit
+    # must reflect the index AS STORED, not a session-cached copy
+    total = assigned.count()
     return per_cell.select(
         F.col("cell").cast("int").alias("cell"),
         "n_points",

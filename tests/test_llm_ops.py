@@ -2035,6 +2035,51 @@ def test_ann_index_supersede_delete_compact(spark, tmp_path):
     assert meta["n_candidates"] == eff_rows
 
 
+def test_ann_index_supersede_crash_triggers_retrain(spark, tmp_path):
+    """A crash between a SUPERSEDE's two batch writes is invisible to
+    the count probes (supersedes replace rows — both effective counts
+    still match the corpus), so load_ann_index's batch-tag SYMMETRY
+    check must catch it: assigned batch present, codes batch missing,
+    meta recreated with a matching count -> retrain anyway."""
+    import warnings
+
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        hadoop_list_dirs,
+    )
+
+    root = str(tmp_path / "ann_idx_sup_crash")
+    similarity.save_ann_index(spark, SF, root)
+    n0 = spark.read.parquet(f"{root}/index_meta").collect()[0]["n_candidates"]
+
+    changed = (
+        similarity._vectors(spark, SF)
+        .filter((F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 5 == 0))
+        .select("vec_id", F.reverse(F.col("v")).alias("v"))
+    )
+    similarity.supersede_ann_index(spark, changed, root, "sup_crash", gen=1)
+    # simulate the crash: the codes half never landed, and a foreign
+    # actor recreated a COUNT-CONSISTENT meta (worst case for probes)
+    hadoop_delete(spark, f"{root}/pq_codes_batches")
+    spark.createDataFrame(
+        [(similarity.ANN_INDEX_VERSION, int(n0))], "version int, n_candidates bigint"
+    ).write.mode("overwrite").parquet(f"{root}/index_meta")
+    # sanity: both effective counts WOULD pass — only tag symmetry fails
+    assert similarity._load_index_relation(spark, root, "ivf_assigned").count() == n0
+    assert (
+        similarity._load_index_relation(spark, root, "pq_codes").count()
+        == n0 * similarity.PQ_M
+    )
+
+    with warnings.catch_warnings(record=True) as wrec:
+        warnings.simplefilter("always")
+        idx = similarity.load_ann_index(spark, SF, root)
+    assert any("discards" in str(w.message) for w in wrec)
+    assert not hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches")
+    assert idx["ivf_assigned"].count() == n0
+    assert idx["pq_codes"].count() == n0 * similarity.PQ_M
+
+
 def test_ann_index_append_crash_triggers_retrain(spark, tmp_path):
     """load_ann_index's consistency probe: a crash between an append's
     two relation writes (assigned batch written, codes batch not, meta
