@@ -214,7 +214,7 @@ COMPOSITES: dict[str, list[str]] = {
     "filter_family": ["filter_predicates", "param_eq_filter"],
     "join_family": [
         "join_inner", "join_left_agg", "join_semi", "join_anti",
-        "fuzzy_customer_pairs",
+        "fuzzy_customer_pairs", "scd2_customer_history",
     ],
     "agg_family": [
         "agg_having_distinct", "group_concat_names", "stats_moments",

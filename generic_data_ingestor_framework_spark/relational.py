@@ -706,6 +706,120 @@ def rcte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    gen: int,
+    delete_col: str = "is_deleted",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge — the dimension-table
+    twin of the r12 index delete/supersede lifecycle, expressed as ONE
+    full-outer join (a single key shuffle; Delta/Iceberg MERGE INTO is
+    the same plan under a transaction log this engine deliberately
+    trades for commit-protocol atomicity, SURVEY §7.4).
+
+    ``history``: (key, *attrs, valid_from, valid_to) with open rows
+    carrying ``valid_to IS NULL``; ``updates``: (key, *attrs,
+    delete_col) — the batch's LATEST state per key, one row per key.
+    Semantics per key: an update with identical attrs is a NO-OP (no
+    version churn); a differing update CLOSES the open row at ``gen``
+    and opens a new one; a delete closes without a successor; a key
+    absent from ``history`` INSERTS an open row at ``gen``; closed
+    history rows pass through untouched."""
+    vt = F.col("valid_to")
+    cur = history.filter(vt.isNull())
+    closed = history.filter(vt.isNotNull())
+    c = cur.select(
+        F.col(key).alias("__k"),
+        *[F.col(a).alias(f"__c_{a}") for a in attrs],
+        F.col("valid_from").alias("__c_from"),
+    )
+    u = updates.select(
+        F.col(key).alias("__k"),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(delete_col).alias("__del"),
+        F.lit(True).alias("__has_u"),
+    )
+    j = c.join(u, "__k", "full_outer")
+    has_c = F.col("__c_from").isNotNull()
+    has_u = F.coalesce(F.col("__has_u"), F.lit(False))
+    differs = None
+    for a in attrs:
+        d = ~F.col(f"__c_{a}").eqNullSafe(F.col(f"__u_{a}"))
+        differs = d if differs is None else (differs | d)
+    is_del = F.coalesce(F.col("__del"), F.lit(False))
+    # surviving open/closed rows out of the join:
+    keep_open_cur = has_c & (~has_u | (~is_del & ~differs))
+    close_cur = has_c & has_u & (is_del | differs)
+    open_new = has_u & ~is_del & ((has_c & differs) | ~has_c)
+    gl = F.lit(gen)
+    out_cur = j.filter(keep_open_cur | close_cur).select(
+        F.col("__k").alias(key),
+        *[F.col(f"__c_{a}").alias(a) for a in attrs],
+        F.col("__c_from").alias("valid_from"),
+        F.when(close_cur, gl).otherwise(F.lit(None).cast("int")).alias("valid_to"),
+    )
+    out_new = j.filter(open_new).select(
+        F.col("__k").alias(key),
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        gl.alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    return closed.select(
+        key, *attrs, "valid_from", "valid_to"
+    ).unionByName(out_cur).unionByName(out_new)
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 gate member: seed the customer dimension as open gen-0
+    rows, then apply ONE deterministic update batch at gen 1 covering
+    every merge case — changed attrs (hash%7==0: segment rewritten, a
+    STRING change so no float-rounding boundary exists anywhere),
+    no-op updates (hash%5==0: identical attrs — must create no
+    version), deletes (hash%11==3: closed without successor; delete
+    beats change on overlap because the update row carries the delete
+    flag), and inserts (hash%17==0 re-keyed +1e6). Output: the full
+    versioned history. The DuckDB oracle replays the same merge in
+    SQL.
+
+    Scale shape: the merge is one full-outer join on the dimension
+    key (single shuffle); closed history passes through without
+    touching the join. At 100 TB the dimension is bucketed on the key
+    and the update batch broadcast or co-bucketed."""
+    cust = load_table(spark, sf_dir, "customer")
+    from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
+
+    h = portable_hash32(F.col("c_custkey").cast("string"))
+    attrs = ["c_mktsegment", "c_acctbal"]
+    history = cust.select(
+        "c_custkey",
+        *attrs,
+        F.lit(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    upd_base = cust.filter((h % 7 == 0) | (h % 5 == 0) | (h % 11 == 3)).select(
+        "c_custkey",
+        F.when(
+            (h % 11 != 3) & (h % 7 == 0),
+            F.concat(F.col("c_mktsegment"), F.lit("_v2")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+        (h % 11 == 3).alias("is_deleted"),
+    )
+    inserts = cust.filter(h % 17 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(False).alias("is_deleted"),
+    )
+    updates = upd_base.unionByName(inserts)
+    return scd2_apply(history, updates, "c_custkey", attrs, gen=1)
+
+
 def rcte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE #2 — BRANCHING frontier (multi-parent BOM
     explosion / graph reachability), the recursion shape
@@ -1809,6 +1923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subquery_cte": subquery_cte,
     "rcte_order_chain": rcte_order_chain,
     "rcte_reachability": rcte_reachability,
+    "scd2_customer_history": scd2_customer_history,
     "union_all_missing_cols": union_all_missing_cols,
     "string_funcs": string_funcs,
     "math_funcs": math_funcs,
@@ -1988,6 +2103,34 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey, o_orderkey, CAST(pos AS INT) AS pos,
                CAST(cum_gap_days AS BIGINT) AS cum_gap_days
         FROM chain
+    """,
+    "scd2_customer_history": """
+        WITH h AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM customer
+        ),
+        flags AS (
+          SELECT *,
+                 hv % 11 = 3 AS is_del,
+                 (hv % 11 <> 3 AND hv % 7 = 0) AS is_chg,
+                 (hv % 7 = 0 OR hv % 5 = 0 OR hv % 11 = 3) AS has_u
+          FROM h
+        )
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(0 AS INT) AS valid_from,
+               CAST(CASE WHEN has_u AND (is_del OR is_chg) THEN 1 END AS INT)
+                 AS valid_to
+        FROM flags
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '_v2', c_acctbal,
+               CAST(1 AS INT), CAST(NULL AS INT)
+        FROM flags WHERE has_u AND is_chg AND NOT is_del
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW', c_acctbal,
+               CAST(1 AS INT), CAST(NULL AS INT)
+        FROM h WHERE hv % 17 = 0
     """,
     "rcte_reachability": """
         WITH RECURSIVE mx AS (SELECT max(p_partkey) + 1 AS m FROM part),

@@ -307,3 +307,38 @@ def test_write_csv_roundtrip_plain_and_gzip(spark, small_df, tmp_path):
     gzpart = glob.glob(gz + "/part-*.csv.gz")[0]
     backgz = read_csv_file(spark, gzpart)
     assert {r["name"] for r in backgz.collect()} == {"a", "b", "c"}
+
+
+def test_scd2_apply_multi_generation(spark):
+    """scd2_apply across two generations: closed rows pass through,
+    a no-op update creates no version, a delete closes without a
+    successor, a RE-INSERT after a delete opens a fresh row, and a
+    second change chains versions correctly."""
+    from generic_data_ingestor_framework_spark.relational import scd2_apply
+
+    schema = "k bigint, seg string, bal double, valid_from int, valid_to int"
+    h0 = spark.createDataFrame(
+        [(1, "A", 10.0, 0, None), (2, "B", 20.0, 0, None)], schema
+    )
+    us = "k bigint, seg string, bal double, is_deleted boolean"
+    u1 = spark.createDataFrame(
+        [(1, "A2", 10.0, False), (2, "B", 20.0, True), (3, "C", 30.0, False)], us
+    )
+    h1 = scd2_apply(h0, u1, "k", ["seg", "bal"], gen=1)
+    got1 = {tuple(r) for r in h1.collect()}
+    assert got1 == {
+        (1, "A", 10.0, 0, 1), (1, "A2", 10.0, 1, None),
+        (2, "B", 20.0, 0, 1),
+        (3, "C", 30.0, 1, None),
+    }
+    # gen 2: no-op on k=1, re-insert k=2, value change on k=3
+    u2 = spark.createDataFrame(
+        [(1, "A2", 10.0, False), (2, "B9", 21.0, False), (3, "C", 31.0, False)], us
+    )
+    h2 = scd2_apply(h1, u2, "k", ["seg", "bal"], gen=2)
+    got2 = {tuple(r) for r in h2.collect()}
+    assert got2 == {
+        (1, "A", 10.0, 0, 1), (1, "A2", 10.0, 1, None),   # no-op: untouched
+        (2, "B", 20.0, 0, 1), (2, "B9", 21.0, 2, None),   # re-insert after delete
+        (3, "C", 30.0, 1, 2), (3, "C", 31.0, 2, None),    # chained versions
+    }
