@@ -46,10 +46,13 @@ rows ride the composite's ``sample`` column).
 Round 12: adds the index DELETE/SUPERSEDE lifecycle —
 ``band_index_recrawl`` / ``ann_index_recrawl`` (generation-tagged
 appends, latest-generation-wins probes, tombstone-dropping
-compaction), the recall-drift audit ``ann_recall_after_append``, and
-the branching recursive-CTE member ``rcte_reachability``. The
-authoritative member count is ``len(composite.MEMBER_QUERIES)``
-(asserted == len(MEMBER_ORACLES)+rows-only in test_composites).
+compaction) on all three surfaces (gate members, pipeline steps,
+streaming ``stream_ann_index_upsert``), the recall-drift audit
+``ann_recall_after_append``, the branching recursive-CTE member
+``rcte_reachability``, and the SCD2 dimension merge
+``scd2_customer_history``. The authoritative member count is
+``len(composite.MEMBER_QUERIES)`` (asserted ==
+len(MEMBER_ORACLES)+rows-only in test_composites).
 """
 
 from __future__ import annotations

@@ -122,9 +122,10 @@ HEADLINE = [
     "corpus_select_budget",
     "quality_weighted_sample",
     "shard_export_assignment",
-    # r12: recall-drift audit + branching recursive CTE
+    # r12: recall-drift audit + branching recursive CTE + SCD2 merge
     "ann_recall_after_append",
     "rcte_reachability",
+    "scd2_customer_history",
 ]
 
 # Index-WRITE workloads (cross-run persisted index crawl loops): real

@@ -159,6 +159,7 @@ QUERIES = [
     "ann_index_recrawl",
     "ann_recall_after_append",
     "rcte_reachability",
+    "scd2_customer_history",
 ]
 
 
