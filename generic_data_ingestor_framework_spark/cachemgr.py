@@ -47,14 +47,28 @@ _TOKEN_ATTR = "_gdifs_cache_token"
 _NEXT_TOKEN = [0]
 
 
-def _purge_except(sid: int) -> None:
-    for k in [k for k in _REGISTRY if k[0] != sid]:
+def _release(obj: object) -> None:
+    """Release executor storage held by a memoized object, if any.
+
+    ``shared_value`` is usually a driver-sized scalar, but a few callers
+    (the recursive-CTE members) memoize localCheckpointed DataFrames
+    whose blocks live on executors; dropping only the dict reference
+    would leave those blocks to the ContextCleaner's GC cadence during
+    long sweeps."""
+    unpersist = getattr(obj, "unpersist", None)
+    if callable(unpersist):
         try:
-            _REGISTRY[k].unpersist()
+            unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+
+
+def _purge_except(sid: int) -> None:
+    for k in [k for k in _REGISTRY if k[0] != sid]:
+        _release(_REGISTRY[k])
         del _REGISTRY[k]
     for k in [k for k in _VALUES if k[0] != sid]:
+        _release(_VALUES[k])
         del _VALUES[k]
 
 
@@ -90,9 +104,13 @@ def shared_persist(
 
 
 def shared_value(spark: SparkSession, key: Hashable, builder: Callable[[], object]):
-    """Memoize a driver-sized value (NOT a DataFrame) per (session, key):
-    the first call runs ``builder`` (typically one collect job), later
-    calls in the same session return the cached value with zero jobs."""
+    """Memoize a value per (session, key): the first call runs
+    ``builder`` (typically one collect job), later calls in the same
+    session return the cached value with zero jobs. Values are usually
+    driver-sized scalars, but checkpointed/persisted DataFrames are also
+    supported: ``clear_caches()`` calls ``.unpersist()`` on any value
+    that exposes it, so their executor blocks are released eagerly
+    rather than by ContextCleaner GC."""
     full = (_track(spark), key)
     if full not in _VALUES:
         _VALUES[full] = builder()
@@ -100,11 +118,11 @@ def shared_value(spark: SparkSession, key: Hashable, builder: Callable[[], objec
 
 
 def clear_caches() -> None:
-    """Unpersist and forget every registered relation (all sessions)."""
+    """Unpersist and forget every registered relation (all sessions),
+    including DataFrames memoized through ``shared_value``."""
     for df in _REGISTRY.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+        _release(df)
+    for v in _VALUES.values():
+        _release(v)
     _REGISTRY.clear()
     _VALUES.clear()

@@ -215,6 +215,7 @@ COMPOSITES: dict[str, list[str]] = {
     "join_family": [
         "join_inner", "join_left_agg", "join_semi", "join_anti",
         "fuzzy_customer_pairs", "scd2_customer_history",
+        "scd2_customer_multigen", "scd2_asof_lookup",
     ],
     "agg_family": [
         "agg_having_distinct", "group_concat_names", "stats_moments",

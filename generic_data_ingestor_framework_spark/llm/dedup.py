@@ -945,13 +945,19 @@ def delete_band_index_docs(
 def _band_delta_live(delta: DataFrame) -> DataFrame:
     """Latest-generation-wins over the delta: per doc, only the highest
     generation's rows survive; tombstones and NULL-band markers carry
-    no live bands. Window over the BATCH-SIZED delta only."""
+    no live bands. A delete and a supersede at the SAME generation
+    resolve to the delete — ``max(struct(gen, tombstone))`` puts the
+    tombstone on top of the tie (false < true), matching the ANN
+    family's documented tie rule (``_load_index_relation`` orders by
+    desc gen, desc tombstone), so a caller following that rule never
+    silently resurrects a deleted doc's bands here. Window over the
+    BATCH-SIZED delta only."""
     from pyspark.sql import Window as W
 
-    mg = F.max("gen").over(W.partitionBy("doc_id"))
+    top = F.max(F.struct("gen", "tombstone")).over(W.partitionBy("doc_id"))
     return (
-        delta.withColumn("__mg", mg)
-        .filter(F.col("gen") == F.col("__mg"))
+        delta.withColumn("__top", top)
+        .filter((F.col("gen") == F.col("__top.gen")) & ~F.col("__top.tombstone"))
         .filter(~F.col("tombstone") & F.col("band_key").isNotNull())
         .select("doc_id", "band_key", "gen")
     )
@@ -1038,10 +1044,15 @@ def compact_band_index_versioned(
     return spark.table(base_table).count()
 
 
-# re-crawled old-content copies get ids far above any corpus doc_id
-# (same class as similarity.CRAWL_OFFSET — keeps the oracle's re-keying
-# a pure addition)
-RECRAWL_OFFSET = 1_000_000
+# re-crawled old-content copies are re-keyed past max(doc_id) — the
+# offset is DERIVED (broadcast 1-row aggregate), not a fixed constant,
+# so the disjoint-id-space assumption holds at every SF (r12 ADVICE: a
+# fixed +1e6 collides with real ids once the corpus passes 1M docs)
+RECRAWL_OFFSET_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
+
+
+def _recrawl_off(d: DataFrame):
+    return F.broadcast(d.agg((F.max("doc_id") + 1).alias("__off")))
 
 
 def band_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,7 +1068,7 @@ def band_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen 1, and finds another subset (hash%7==0) GONE, tombstoning them
     at gen 2 (a doc in both is superseded then deleted; latest wins).
     A probe batch — run-1 docs plus OLD-CONTENT COPIES of every changed
-    doc (original text re-keyed +RECRAWL_OFFSET) — probes the effective
+    doc (original text re-keyed past max(doc_id)) — probes the effective
     view (phase 1) and, after compaction, the RAW base with no
     effective-view logic at all (phase 2). Equal phases pin both that
     the effective view is right and that compaction physically dropped
@@ -1080,8 +1091,8 @@ def band_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     run0 = d.filter(h % 3 == 0)
     changed = run0.filter(h % 5 == 0).select("doc_id", modified.alias("text"))
     deleted = run0.filter(h % 7 == 0).select("doc_id")
-    copies = run0.filter(h % 5 == 0).select(
-        (F.col("doc_id") + RECRAWL_OFFSET).alias("doc_id"), "lang", "text"
+    copies = run0.filter(h % 5 == 0).crossJoin(_recrawl_off(d)).select(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"), "lang", "text"
     )
     batch = d.filter(h % 3 == 1).select("doc_id", "lang", "text").unionByName(copies)
     _reset_managed_table(spark, base_tbl)
@@ -2054,7 +2065,7 @@ ORACLES["band_index_crawl"] = f"""
 # scratch — run-0 docs minus deleted (hash%7==0), with changed docs
 # (hash%5==0) carrying their re-crawled reversed-word text — then admit
 # the probe batch (run-1 docs + old-content copies re-keyed
-# +RECRAWL_OFFSET) against it with the standard rules. Phases 1
+# past max(doc_id)) against it with the standard rules. Phases 1
 # (effective view) and 2 (post-compaction raw base) must be identical,
 # so the oracle emits the admitted set twice.
 _RECRAWL_MOD = "array_to_string(list_reverse(string_split_regex(text, '\\s+')), ' ')"
@@ -2074,7 +2085,7 @@ ORACLES["band_index_recrawl"] = f"""
           UNION ALL
           SELECT doc_id, text, 1 FROM hd WHERE hv % 3 = 1
           UNION ALL
-          SELECT doc_id + {RECRAWL_OFFSET}, text, 1 FROM hd
+          SELECT doc_id + {RECRAWL_OFFSET_SQL}, text, 1 FROM hd
           WHERE hv % 3 = 0 AND hv % 5 = 0
         ),
         tokv AS (
@@ -2111,7 +2122,7 @@ ORACLES["band_index_recrawl"] = f"""
         lmap AS (
           SELECT doc_id, lang FROM hd WHERE hv % 3 = 1
           UNION ALL
-          SELECT doc_id + {RECRAWL_OFFSET}, lang FROM hd
+          SELECT doc_id + {RECRAWL_OFFSET_SQL}, lang FROM hd
           WHERE hv % 3 = 0 AND hv % 5 = 0
         )
         SELECT CAST(p.phase AS INT) AS phase, a.doc_id, l.lang

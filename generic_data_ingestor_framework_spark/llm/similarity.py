@@ -1471,7 +1471,16 @@ def compact_ann_index(spark: SparkSession, root: str) -> int:
 # decade-up) — the append contract requires ids disjoint from the
 # indexed set, and the offset keeps the oracle's re-keying a pure
 # addition.
-CRAWL_OFFSET = 1_000_000
+# Crawl/append batches are re-keyed past max(vec_id) — offsets are
+# DERIVED (broadcast 1-row aggregate / scalar subquery), not fixed
+# constants, so the disjoint-id-space assumption holds at every SF
+# (r12 ADVICE: a fixed +1e6 collides with real ids once the corpus
+# passes 1M vectors).
+CRAWL_OFFSET_SQL = "(SELECT max(vec_id) + 1 FROM embeddings)"
+
+
+def _crawl_off(vecs: DataFrame):
+    return F.broadcast(vecs.agg((F.max("vec_id") + 1).alias("__off")))
 
 
 def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1487,7 +1496,7 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the full-corpus index is saved to a crawl-only root, then a
     new crawl batch — the query vectors re-keyed to ``vec_id +
-    CRAWL_OFFSET`` (real rows, ids disjoint from the indexed set) — is
+    max(vec_id)+1`` (real rows, ids disjoint from the indexed set) — is
     appended WITHOUT retraining: assigned to its nearest SAVED
     centroid and encoded against the SAVED PQ codebooks. Both probe
     paths then serve from disk: phase 1 is the IVF top-k over the
@@ -1527,8 +1536,8 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hadoop_delete(spark, root)  # idempotent re-runs
     save_ann_index(spark, sf_dir, root)
     vecs = _vectors(spark, sf_dir)
-    batch = vecs.filter(F.col("vec_id") < N_QUERY).select(
-        (F.col("vec_id") + CRAWL_OFFSET).alias("vec_id"), "v"
+    batch = vecs.filter(F.col("vec_id") < N_QUERY).crossJoin(_crawl_off(vecs)).select(
+        (F.col("vec_id") + F.col("__off")).alias("vec_id"), "v"
     )
     append_ann_index(spark, batch, root, "crawl_b1")
 
@@ -1618,7 +1627,11 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Append-wave id offsets for the recall-drift audit (ids disjoint from
 # the corpus and from each other; pure addition keeps the oracle's
 # re-keying trivial).
-RECALL_APPEND_OFFSETS = (1_000_000, 2_000_000)
+# SQL forms of the two append-wave offsets: wave 1 re-keys by
+# max(vec_id)+1, wave 2 by twice that, so the three id spaces stay
+# pairwise disjoint at every SF (appended ids never exceed max + offset).
+RECALL_O1_SQL = "(SELECT max(vec_id) + 1 FROM embeddings)"
+RECALL_O2_SQL = "(2 * (SELECT max(vec_id) + 1 FROM embeddings))"
 
 
 def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,8 +1657,14 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: truth is queries × corpus with a broadcast query side
     — the same bounded product as ``ann_cosine_topk`` (queries are a
     handful; at 100 TB you sample them, and the member's shape is the
-    sample's); the IVF side is the standard frozen-centroid
-    assignment + probe join."""
+    sample's); the IVF side mirrors ``append_ann_index``'s encode-only
+    path: each wave assigns ONLY its appended batch to the frozen
+    centroids and the grown (corpus, assignment) pair accumulates
+    through localCheckpoints, so wave b never re-derives or re-assigns
+    waves < b (the r12 blemish: full per-wave re-derivation cost 24
+    warm shuffles and a 2.62× decade ratio). Per-point assignment is
+    independent of other points, so batch-only assignment is
+    bit-identical to full re-assignment."""
     from pyspark.sql import Window as W
 
     vecs = _vectors(spark, sf_dir)
@@ -1653,53 +1672,58 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
     q0 = vecs.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v")
     negate = F.transform(F.col("v"), lambda x: -x)
-    o1, o2 = RECALL_APPEND_OFFSETS
-    b1 = cand0.select((F.col("vec_id") + o1).alias("vec_id"), negate.alias("v"))
-    b2 = cand0.select(
-        (F.col("vec_id") + o2).alias("vec_id"), F.reverse(F.col("v")).alias("v")
+    off = _crawl_off(vecs)  # wave 1: +off, wave 2: +2*off — disjoint at any SF
+    b1 = cand0.crossJoin(off).select(
+        (F.col("vec_id") + F.col("__off")).alias("vec_id"), negate.alias("v")
+    )
+    b2 = cand0.crossJoin(off).select(
+        (F.col("vec_id") + 2 * F.col("__off")).alias("vec_id"),
+        F.reverse(F.col("v")).alias("v"),
     )
     stages = [
         (0, cand0, q0),
-        (1, cand0.unionByName(b1), q0.select("vec_id", negate.alias("v"))),
-        (
-            2,
-            cand0.unionByName(b1).unionByName(b2),
-            q0.select("vec_id", F.reverse(F.col("v")).alias("v")),
-        ),
+        (1, b1, q0.select("vec_id", negate.alias("v"))),
+        (2, b2, q0.select("vec_id", F.reverse(F.col("v")).alias("v"))),
     ]
     outs = []
-    for b, corpus, qs in stages:
+    cn_acc = a_acc = None  # checkpointed grown corpus + assignment
+    for b, batch, qs in stages:
         qn = qs.select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             _norm(F.col("v")).alias("qn"),
         )
-        cn = corpus.select(
+        cn_b = batch.select(
             F.col("vec_id").alias("point_id"),
             F.col("v").alias("pv"),
             _norm(F.col("v")).alias("pn"),
         )
+        # encode-only: assign the BATCH, append to the checkpointed state
+        a_b = _nearest_cells(cdf, cn_b, "pv", "pn", "point_id", 1)
+        cn_acc = cn_b if cn_acc is None else cn_acc.unionByName(cn_b)
+        a_acc = a_b if a_acc is None else a_acc.unionByName(a_b)
+        cn_acc = cn_acc.localCheckpoint(eager=True)
+        a_acc = a_acc.localCheckpoint(eager=True)
         sim = F.round(
             _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6
         )
         w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
         truth = (
-            cn.crossJoin(F.broadcast(qn))
+            cn_acc.crossJoin(F.broadcast(qn))
             .withColumn("cos_sim", sim)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "point_id")
         )
-        assigned = _nearest_cells(cdf, cn, "pv", "pn", "point_id", 1)
         probed = _nearest_cells(cdf, qn, "qv", "qn", "query_id", N_PROBES)
         ivf = (
-            probed.join(assigned, "cell")
+            probed.join(a_acc, "cell")
             .withColumn("cos_sim", sim)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "point_id", F.lit(1).alias("hit"))
         )
-        n_corpus = corpus.count()
+        n_corpus = cn_acc.count()
         outs.append(
             truth.join(ivf, ["query_id", "point_id"], "left")
             .agg(
@@ -2434,7 +2458,7 @@ ORACLES["ann_index_crawl"] = f"""
         {_kmeans_ctes()},
         {_ASSIGNED_CTE},
         bvec AS MATERIALIZED (
-          SELECT vec_id + {CRAWL_OFFSET} AS point_id, v AS pv,
+          SELECT vec_id + {CRAWL_OFFSET_SQL} AS point_id, v AS pv,
                  {_NORM_FAST.format(a='v')} AS pn
           FROM vecs WHERE vec_id < {N_QUERY}),
         bassign AS (
@@ -2451,7 +2475,7 @@ ORACLES["ann_index_crawl"] = f"""
         {_ivf_probe_ctes(N_PROBES, assigned_rel="assigned2")},
         {_PQ_TRAIN},
         bsub AS (
-{_pq_sub_union(f"vec_id + {CRAWL_OFFSET} AS point_id", f"vec_id < {N_QUERY}")}
+{_pq_sub_union(f"vec_id + {CRAWL_OFFSET_SQL} AS point_id", f"vec_id < {N_QUERY}")}
         ),
         bcodes AS (
           SELECT point_id, m, cell AS code FROM (
@@ -2463,7 +2487,7 @@ ORACLES["ann_index_crawl"] = f"""
         nrms2 AS (
           SELECT vec_id, v, nrm FROM nrms
           UNION ALL
-          SELECT vec_id + {CRAWL_OFFSET}, v, nrm FROM nrms
+          SELECT vec_id + {CRAWL_OFFSET_SQL}, v, nrm FROM nrms
           WHERE vec_id < {N_QUERY}),
         adc2 AS MATERIALIZED (
           SELECT l.query_id, c.point_id, SUM(l.pdot_i) AS adot_i
@@ -2511,7 +2535,7 @@ def _recall_stage_ctes(b: int) -> str:
     wave queries rq{b}, brute truth, frozen-centroid assignment+probe,
     and the per-wave aggregate agg{b} — mirrors the engine loop in
     ``ann_recall_after_append`` stage by stage."""
-    o1, o2 = RECALL_APPEND_OFFSETS
+    o1, o2 = RECALL_O1_SQL, RECALL_O2_SQL
     neg = "list_transform(v, x -> -x)"
     rev = "list_reverse(v)"
     corpus = [f"SELECT vec_id AS point_id, v FROM vecs WHERE vec_id >= {N_QUERY}"]

@@ -772,33 +772,30 @@ def scd2_apply(
     ).unionByName(out_cur).unionByName(out_new)
 
 
-def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 gate member: seed the customer dimension as open gen-0
-    rows, then apply ONE deterministic update batch at gen 1 covering
-    every merge case — changed attrs (hash%7==0: segment rewritten, a
-    STRING change so no float-rounding boundary exists anywhere),
-    no-op updates (hash%5==0: identical attrs — must create no
-    version), deletes (hash%11==3: closed without successor; delete
-    beats change on overlap because the update row carries the delete
-    flag), and inserts (hash%17==0 re-keyed +1e6). Output: the full
-    versioned history. The DuckDB oracle replays the same merge in
-    SQL.
+def _scd2_customer_parts(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the SCD2 members: the gen-0 history, the two
+    deterministic update batches, and the gen-2 touched-key set.
 
-    Scale shape: the merge is one full-outer join on the dimension
-    key (single shuffle); closed history passes through without
-    touching the join. At 100 TB the dimension is bucketed on the key
-    and the update batch broadcast or co-bucketed."""
+    Insert re-keys use ``max(c_custkey) + 1`` as the offset (a
+    broadcast 1-row aggregate — the rcte_reachability modulus class),
+    NOT a fixed constant: a fixed +1e6 collides with real customer
+    keys once the corpus passes ~1M keys (TPC-H sf≈7), silently
+    merging the "insert" into an existing key's history while the
+    oracle keeps emitting both rows. Deriving the offset keeps the
+    member SF-independent."""
     cust = load_table(spark, sf_dir, "customer")
     from generic_data_ingestor_framework_spark.llm.dedup import portable_hash32
 
     h = portable_hash32(F.col("c_custkey").cast("string"))
     attrs = ["c_mktsegment", "c_acctbal"]
+    off = F.broadcast(cust.agg((F.max("c_custkey") + 1).alias("__off")))
     history = cust.select(
         "c_custkey",
         *attrs,
         F.lit(0).alias("valid_from"),
         F.lit(None).cast("int").alias("valid_to"),
     )
+    # gen-1 batch: change / no-op / delete / insert
     upd_base = cust.filter((h % 7 == 0) | (h % 5 == 0) | (h % 11 == 3)).select(
         "c_custkey",
         F.when(
@@ -810,14 +807,103 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         (h % 11 == 3).alias("is_deleted"),
     )
-    inserts = cust.filter(h % 17 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+    inserts = cust.filter(h % 17 == 0).crossJoin(off).select(
+        (F.col("c_custkey") + F.col("__off")).alias("c_custkey"),
         F.lit("NEW").alias("c_mktsegment"),
         "c_acctbal",
         F.lit(False).alias("is_deleted"),
     )
-    updates = upd_base.unionByName(inserts)
-    return scd2_apply(history, updates, "c_custkey", attrs, gen=1)
+    updates1 = upd_base.unionByName(inserts)
+    # gen-2 batch: re-update a previously-changed key, delete a
+    # previously-inserted one, resurrect a previously-deleted one
+    reupd = cust.filter((h % 11 != 3) & (h % 7 == 0) & (h % 13 == 0)).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_v3")).alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(False).alias("is_deleted"),
+    )
+    delins = cust.filter((h % 17 == 0) & (h % 2 == 0)).crossJoin(off).select(
+        (F.col("c_custkey") + F.col("__off")).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(True).alias("is_deleted"),
+    )
+    resurrect = cust.filter((h % 11 == 3) & (h % 2 == 0)).select(
+        "c_custkey",
+        F.lit("BACK").alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(False).alias("is_deleted"),
+    )
+    updates2 = reupd.unionByName(delins).unionByName(resurrect)
+    return history, attrs, updates1, updates2
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 gate member: seed the customer dimension as open gen-0
+    rows, then apply ONE deterministic update batch at gen 1 covering
+    every merge case — changed attrs (hash%7==0: segment rewritten, a
+    STRING change so no float-rounding boundary exists anywhere),
+    no-op updates (hash%5==0: identical attrs — must create no
+    version), deletes (hash%11==3: closed without successor; delete
+    beats change on overlap because the update row carries the delete
+    flag), and inserts (hash%17==0, re-keyed past max(c_custkey)).
+    Output: the full versioned history. The DuckDB oracle replays the
+    same merge in SQL.
+
+    Scale shape: the merge is one full-outer join on the dimension
+    key (single shuffle); closed history passes through without
+    touching the join. At 100 TB the dimension is bucketed on the key
+    and the update batch broadcast or co-bucketed."""
+    history, attrs, updates1, _ = _scd2_customer_parts(spark, sf_dir)
+    return scd2_apply(history, updates1, "c_custkey", attrs, gen=1)
+
+
+def scd2_customer_multigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-generation SCD2 (r12 verdict item): chain a SECOND batch
+    at gen 2 onto ``scd2_customer_history``'s gen-1 state, covering the
+    three lifecycle transitions one batch cannot express — RE-UPDATE a
+    previously-changed key (its open ``_v2`` row closes at 2, ``_v3``
+    opens), DELETE a previously-inserted key (the gen-1 ``NEW`` row
+    closes without successor), and RESURRECT a previously-deleted key
+    (no open row exists, so the merge INSERTS a fresh ``BACK`` row at
+    gen 2 while the closed gen-0 row stays untouched) — the SCD2 twin
+    of the index lifecycle's latest-generation-wins probe. Output: the
+    full two-generation history; the DuckDB oracle replays both merges.
+
+    Scale shape: two full-outer joins on the dimension key; each
+    batch's join is against only the OPEN slice of the history."""
+    history, attrs, updates1, updates2 = _scd2_customer_parts(spark, sf_dir)
+    hist1 = scd2_apply(history, updates1, "c_custkey", attrs, gen=1)
+    return scd2_apply(hist1, updates2, "c_custkey", attrs, gen=2)
+
+
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME read over the two-generation SCD2 history — the
+    read pattern dimension history exists for. For every key the gen-2
+    batch touches (re-updated, deleted-insert, resurrected), return its
+    state AS OF gen 1 and AS OF gen 2: a row is visible at gen g iff
+    ``valid_from <= g < coalesce(valid_to, +inf)``. The before/after
+    pairing pins the snapshot semantics where they discriminate most —
+    resurrected keys are ABSENT at 1 and present at 2, deleted inserts
+    the reverse, re-updated keys flip ``_v2``→``_v3``.
+
+    Scale shape: the snapshot is a pure filter over the history (no
+    extra shuffle); the touched-key restriction is a semi join against
+    the batch-sized gen-2 update set."""
+    history, attrs, updates1, updates2 = _scd2_customer_parts(spark, sf_dir)
+    hist1 = scd2_apply(history, updates1, "c_custkey", attrs, gen=1)
+    hist2 = scd2_apply(hist1, updates2, "c_custkey", attrs, gen=2)
+    keys = updates2.select("c_custkey").distinct()
+
+    def snap(g: int) -> DataFrame:
+        vis = (F.col("valid_from") <= g) & (
+            F.col("valid_to").isNull() | (F.col("valid_to") > g)
+        )
+        return hist2.filter(vis).join(keys, "c_custkey", "semi").select(
+            F.lit(g).alias("asof_gen"), "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+
+    return snap(1).unionByName(snap(2))
 
 
 def rcte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1924,6 +2010,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rcte_order_chain": rcte_order_chain,
     "rcte_reachability": rcte_reachability,
     "scd2_customer_history": scd2_customer_history,
+    "scd2_customer_multigen": scd2_customer_multigen,
+    "scd2_asof_lookup": scd2_asof_lookup,
     "union_all_missing_cols": union_all_missing_cols,
     "string_funcs": string_funcs,
     "math_funcs": math_funcs,
@@ -2128,9 +2216,102 @@ ORACLES: dict[str, str] = {
                CAST(1 AS INT), CAST(NULL AS INT)
         FROM flags WHERE has_u AND is_chg AND NOT is_del
         UNION ALL
-        SELECT c_custkey + 1000000, 'NEW', c_acctbal,
+        SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+               'NEW', c_acctbal,
                CAST(1 AS INT), CAST(NULL AS INT)
         FROM h WHERE hv % 17 = 0
+    """,
+    "scd2_customer_multigen": """
+        WITH f AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv,
+                 (SELECT max(c_custkey) + 1 FROM customer) AS off
+          FROM customer
+        ),
+        g AS (
+          SELECT *,
+                 hv % 11 = 3 AS del1,
+                 (hv % 11 <> 3 AND hv % 7 = 0) AS chg1,
+                 hv % 17 = 0 AS ins1,
+                 hv % 13 = 0 AS r13,
+                 hv % 2 = 0 AS r2
+          FROM f
+        )
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(0 AS INT) AS valid_from,
+               CAST(CASE WHEN del1 OR chg1 THEN 1 END AS INT) AS valid_to
+        FROM g
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '_v2', c_acctbal,
+               CAST(1 AS INT), CAST(CASE WHEN r13 THEN 2 END AS INT)
+        FROM g WHERE chg1
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '_v3', c_acctbal,
+               CAST(2 AS INT), CAST(NULL AS INT)
+        FROM g WHERE chg1 AND r13
+        UNION ALL
+        SELECT c_custkey + off, 'NEW', c_acctbal,
+               CAST(1 AS INT), CAST(CASE WHEN r2 THEN 2 END AS INT)
+        FROM g WHERE ins1
+        UNION ALL
+        SELECT c_custkey, 'BACK', c_acctbal,
+               CAST(2 AS INT), CAST(NULL AS INT)
+        FROM g WHERE del1 AND r2
+    """,
+    "scd2_asof_lookup": """
+        WITH f AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv,
+                 (SELECT max(c_custkey) + 1 FROM customer) AS off
+          FROM customer
+        ),
+        g AS (
+          SELECT *,
+                 hv % 11 = 3 AS del1,
+                 (hv % 11 <> 3 AND hv % 7 = 0) AS chg1,
+                 hv % 17 = 0 AS ins1,
+                 hv % 13 = 0 AS r13,
+                 hv % 2 = 0 AS r2
+          FROM f
+        ),
+        hist AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CAST(0 AS INT) AS valid_from,
+                 CAST(CASE WHEN del1 OR chg1 THEN 1 END AS INT) AS valid_to
+          FROM g
+          UNION ALL
+          SELECT c_custkey, c_mktsegment || '_v2', c_acctbal,
+                 CAST(1 AS INT), CAST(CASE WHEN r13 THEN 2 END AS INT)
+          FROM g WHERE chg1
+          UNION ALL
+          SELECT c_custkey, c_mktsegment || '_v3', c_acctbal,
+                 CAST(2 AS INT), CAST(NULL AS INT)
+          FROM g WHERE chg1 AND r13
+          UNION ALL
+          SELECT c_custkey + off, 'NEW', c_acctbal,
+                 CAST(1 AS INT), CAST(CASE WHEN r2 THEN 2 END AS INT)
+          FROM g WHERE ins1
+          UNION ALL
+          SELECT c_custkey, 'BACK', c_acctbal,
+                 CAST(2 AS INT), CAST(NULL AS INT)
+          FROM g WHERE del1 AND r2
+        ),
+        touched AS (
+          SELECT c_custkey FROM g WHERE chg1 AND r13
+          UNION
+          SELECT c_custkey + off FROM g WHERE ins1 AND r2
+          UNION
+          SELECT c_custkey FROM g WHERE del1 AND r2
+        )
+        SELECT gg.asof_gen, h.c_custkey, h.c_mktsegment, h.c_acctbal
+        FROM hist h
+        JOIN touched t ON t.c_custkey = h.c_custkey
+        CROSS JOIN (SELECT CAST(1 AS INT) AS asof_gen
+                    UNION ALL SELECT CAST(2 AS INT)) gg
+        WHERE h.valid_from <= gg.asof_gen
+          AND (h.valid_to IS NULL OR h.valid_to > gg.asof_gen)
     """,
     "rcte_reachability": """
         WITH RECURSIVE mx AS (SELECT max(p_partkey) + 1 AS m FROM part),

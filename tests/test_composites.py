@@ -54,6 +54,29 @@ def test_doc_member_counts_match_registry():
     assert not rows_only, f"rows-only members (weaker gate): {sorted(rows_only)}"
 
 
+def test_doc_member_count_literals_match_registry():
+    """The r10/r11/r12 stale-count class, finally pinned at the source:
+    any CURRENT-STATE member count quoted in README/COVERAGE carries a
+    ``<!-- member-count -->`` marker immediately before the number, and
+    this test asserts every marked number equals the live registry.
+    Historical per-round rows stay unmarked (they describe immutable
+    artifacts); a new current-state literal without the marker is a
+    review problem, but the marked ones can never go stale silently."""
+    import re
+    from pathlib import Path
+
+    n = len(composite.MEMBER_QUERIES)
+    found = 0
+    for doc in ("README.md", "COVERAGE.md"):
+        text = Path(__file__).resolve().parents[1].joinpath(doc).read_text()
+        for m in re.finditer(r"<!-- member-count -->(\d+)(?:/(\d+))?", text):
+            found += 1
+            assert int(m.group(1)) == n, f"{doc} quotes {m.group(1)} members; registry holds {n}"
+            if m.group(2):
+                assert int(m.group(2)) == n, f"{doc} quotes /{m.group(2)} members; registry holds {n}"
+    assert found >= 2, "member-count markers missing from README/COVERAGE"
+
+
 @pytest.mark.parametrize(
     "member",
     [  # cheap representatives, one per module family

@@ -412,6 +412,28 @@ def test_cachemgr_shared_value_memoizes_per_session(spark):
     assert v1 is v2 and v1["x"] == 42 and len(calls) == 1
 
 
+def test_cachemgr_clear_unpersists_shared_value_dataframes(spark):
+    """clear_caches must RELEASE executor storage held by DataFrames
+    memoized through shared_value (the rcte members memoize
+    localCheckpointed frames there — r12 ADVICE: dropping only the dict
+    reference leaves the checkpoint blocks to ContextCleaner GC during
+    long sweeps)."""
+    from generic_data_ingestor_framework_spark import cachemgr
+
+    released = []
+
+    class FakeCkpt:
+        def unpersist(self):
+            released.append(1)
+
+    cachemgr.shared_value(spark, ("ckpt-probe",), FakeCkpt)
+    cachemgr.clear_caches()
+    assert released == [1]
+    # scalars without .unpersist() pass through clear_caches untouched
+    cachemgr.shared_value(spark, ("scalar-probe",), lambda: 7)
+    cachemgr.clear_caches()
+
+
 def test_multimodal_real_codecs_roundtrip(spark):
     """The real-codec path end-to-end: fixture BMP/WAV bytes are valid
     (stdlib wave reads the WAV; the BMP parser recovers the header
@@ -1870,6 +1892,47 @@ def test_band_index_versioned_supersede_delete(spark, tmp_path):
 
         # delta is truncated (schema intact, zero rows)
         assert spark.table(delta_tbl).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
+
+
+def test_band_delta_gen_tie_tombstone_wins(spark):
+    """A delete and a supersede at the SAME generation must resolve to
+    the delete on the band side (r12 ADVICE): the ANN family documents
+    tombstone-wins-a-gen-tie (`_load_index_relation` orders by desc
+    gen, desc tombstone), so `_band_delta_live` resolving the same tie
+    to the supersede would silently resurrect a deleted doc's bands for
+    a caller following the documented rule. Checked at both probe time
+    (effective view) and compaction (physical rows)."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        _band_delta_live,
+        compact_band_index_versioned,
+        delete_band_index_docs,
+        save_band_index_versioned,
+        supersede_band_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    base_tbl, delta_tbl = "band_tie_base", "band_tie_delta"
+    try:
+        save_band_index_versioned(spark, docs, base_tbl, delta_tbl, n_buckets=2)
+        changed = docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))).alias("text"),
+        )
+        # SAME generation: supersede then delete
+        supersede_band_index(spark, changed, delta_tbl, gen=1)
+        delete_band_index_docs(spark, docs.select("doc_id"), delta_tbl, gen=1)
+
+        # effective view: the doc carries NO live bands
+        assert _band_delta_live(spark.table(delta_tbl)).count() == 0
+        # compaction: the doc's rows are physically gone
+        compact_band_index_versioned(spark, base_tbl, delta_tbl, n_buckets=2)
+        assert spark.table(base_tbl).filter(F.col("doc_id") == 1).count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
