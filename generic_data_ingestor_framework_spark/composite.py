@@ -250,6 +250,7 @@ COMPOSITES: dict[str, list[str]] = {
         "dedup_minhash_sig", "dedup_minhash_sig_wide",
         "dedup_minhash_lsh_pairs_wide", "dedup_minhash_accuracy",
         "lsh_scurve_audit", "band_index_crawl", "band_index_recrawl",
+        "band_index_pressure",
     ],
     "embed_stats": [
         "embed_norms", "label_centroid_dims", "embed_quantize_int8",

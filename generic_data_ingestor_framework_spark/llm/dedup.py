@@ -978,7 +978,15 @@ def dedup_against_band_index_versioned(
     ``delta_table=None`` probes the raw base alone — correct only
     post-compaction, which is exactly what the recrawl gate member uses
     it to PROVE (stale rows physically surviving compaction make the
-    raw probe diverge from the oracle)."""
+    raw probe diverge from the oracle).
+
+    GUARD: the masking anti join BROADCASTS the delta's doc set, which
+    is only safe while the delta stays batch-sized. Rather than let a
+    compaction-starved index walk into a silent driver-side blowup,
+    the probe refuses loudly once the delta's row count (a metadata
+    read — an upper bound on its doc count) estimates past the
+    session's broadcast budget; ``maybe_compact_band_index`` is the
+    policy that keeps the pressure below this line."""
     from pyspark.sql import Window as W
 
     base = spark.table(base_table)
@@ -986,7 +994,21 @@ def dedup_against_band_index_versioned(
     if delta_table is None:
         hit = nb.join(base, "band_key", "semi").select(id_col).distinct()
     else:
+        from generic_data_ingestor_framework_spark.scale import (
+            broadcast_threshold_bytes,
+        )
+
         delta = spark.table(delta_table)
+        budget = broadcast_threshold_bytes(spark)
+        est = delta.count() * BCAST_BYTES_PER_ID
+        if 0 < budget < est:
+            raise RuntimeError(
+                f"versioned band index delta too large to broadcast-mask "
+                f"(~{est} bytes estimated vs {budget} budget): run "
+                f"compact_band_index_versioned('{base_table}', "
+                f"'{delta_table}') or the band_auto_compact pipeline step "
+                f"before probing"
+            )
         touched = delta.select("doc_id").distinct()
         live_base = base.join(F.broadcast(touched), "doc_id", "anti")
         live_delta = _band_delta_live(delta)
@@ -1013,6 +1035,121 @@ def dedup_against_band_index_versioned(
     )
 
 
+# Broadcast-size estimate for one masked doc id: an 8-byte key plus
+# hash-relation overhead (Spark's LongHashedRelation is ~2-4x the raw
+# key bytes). Deliberately conservative — the pressure policy should
+# compact well before the driver is at risk.
+BCAST_BYTES_PER_ID = 32
+
+
+def band_index_pressure_stats(
+    spark: SparkSession, base_table: str, delta_table: str
+) -> dict:
+    """Delta/base PRESSURE of a versioned band index — the band twin of
+    ``ann_index_pressure_stats``. The probe path masks the bucketed
+    base with a BROADCAST anti join on the delta's doc set
+    (``dedup_against_band_index_versioned``); that is safe only while
+    the delta stays batch-sized, and nothing about the LSM discipline
+    enforces it — a crawl loop that defers compaction long enough
+    silently turns the broadcast into a driver OOM. This measures the
+    contract: doc-grain ratio (``pressure_bp``) and the estimated
+    broadcast bytes vs the session's broadcast budget. Counts are
+    metadata/aggregate-sized jobs over the (batch-sized) delta plus one
+    distinct-count over the base's doc column."""
+    from generic_data_ingestor_framework_spark.scale import broadcast_threshold_bytes
+
+    base_docs = spark.table(base_table).select("doc_id").distinct().count()
+    delta = spark.table(delta_table)
+    delta_rows = delta.count()
+    delta_docs = delta.select("doc_id").distinct().count()
+    threshold = broadcast_threshold_bytes(spark)
+    est_bytes = delta_docs * BCAST_BYTES_PER_ID
+    return {
+        "base_docs": base_docs,
+        "delta_rows": delta_rows,
+        "delta_docs": delta_docs,
+        "pressure_bp": (delta_docs * 10000) // base_docs if base_docs else 10000,
+        "est_broadcast_bytes": est_bytes,
+        "broadcast_threshold_bytes": threshold,
+        "over_broadcast_budget": 0 < threshold < est_bytes,
+    }
+
+
+def maybe_compact_band_index(
+    spark: SparkSession,
+    base_table: str,
+    delta_table: str,
+    max_delta_ratio: float = 0.10,
+    n_buckets: int = 32,
+) -> dict:
+    """AUTO-COMPACT policy for a versioned band index: compact when the
+    delta's doc set exceeds ``max_delta_ratio`` of the base's docs OR
+    its estimated broadcast size exceeds the session's broadcast
+    budget — the enforcement arm of the batch-sized-delta contract
+    (``band_index_pressure_stats``). A crawl pipeline runs this after
+    its supersede/delete steps (pipeline op ``band_auto_compact``) so
+    deferred compaction can never silently accumulate into a
+    driver-sized broadcast. Returns the pressure stats plus the
+    decision (``compacted``, ``reason``)."""
+    stats = band_index_pressure_stats(spark, base_table, delta_table)
+    over_ratio = stats["delta_docs"] > max_delta_ratio * stats["base_docs"]
+    reason = (
+        "delta_ratio" if over_ratio
+        else "broadcast_budget" if stats["over_broadcast_budget"]
+        else ""
+    )
+    if reason and stats["delta_rows"] > 0:
+        compact_band_index_versioned(spark, base_table, delta_table, n_buckets)
+        return {**stats, "compacted": True, "reason": reason}
+    return {**stats, "compacted": False, "reason": reason}
+
+
+def band_index_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate member for the COMPACTION-PRESSURE policy (r12 verdict #1):
+    drive the recrawl cohorts (seed hash%3==0, supersede hash%5==0 at
+    gen 1, tombstone hash%7==0 at gen 2) into a versioned band index,
+    measure the delta/base pressure, run ``maybe_compact_band_index``
+    at the default 10% policy — the ~31% touched cohort exceeds it at
+    every SF, so the policy MUST fire — and measure again. Stage 1 pins
+    the observed pressure (delta docs = the touched cohort, base docs =
+    seed docs with >=1 band); stage 2 pins the enforcement (delta
+    drained, pressure 0, ``compacted`` true). The DuckDB oracle
+    recomputes both stages from the hash cohorts and the >=3-token
+    bandability rule.
+
+    Scale shape: the pressure probe is aggregate-sized (two distinct
+    counts + a metadata count); compaction is the one full rewrite the
+    policy exists to schedule."""
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash32(F.col("doc_id").cast("string"))
+    from generic_data_ingestor_framework_spark.fileops import sf_tag
+
+    tag = sf_tag(sf_dir)
+    base_tbl = f"band_pressure_idx_{tag}"
+    delta_tbl = f"band_pressure_delta_{tag}"
+    modified = F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+")))
+    run0 = d.filter(h % 3 == 0)
+    changed = run0.filter(h % 5 == 0).select("doc_id", modified.alias("text"))
+    deleted = run0.filter(h % 7 == 0).select("doc_id")
+    _reset_managed_table(spark, base_tbl)
+    _reset_managed_table(spark, delta_tbl)
+    save_band_index_versioned(spark, run0.select("doc_id", "text"), base_tbl, delta_tbl)
+    supersede_band_index(spark, changed, delta_tbl, gen=1)
+    delete_band_index_docs(spark, deleted, delta_tbl, gen=2)
+    p1 = band_index_pressure_stats(spark, base_tbl, delta_tbl)
+    dec = maybe_compact_band_index(spark, base_tbl, delta_tbl)
+    p2 = band_index_pressure_stats(spark, base_tbl, delta_tbl)
+    rows = [
+        (1, p1["base_docs"], p1["delta_docs"], p1["pressure_bp"], False),
+        (2, p2["base_docs"], p2["delta_docs"], p2["pressure_bp"], dec["compacted"]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage int, base_docs bigint, delta_docs bigint, pressure_bp bigint, "
+        "compacted boolean",
+    )
+
+
 def compact_band_index_versioned(
     spark: SparkSession, base_table: str, delta_table: str, n_buckets: int = 32
 ) -> int:
@@ -1025,12 +1162,16 @@ def compact_band_index_versioned(
     Single-writer contract (see ``_reset_managed_table``)."""
     base = spark.table(base_table)
     delta = spark.table(delta_table)
+    # NO forced-broadcast hint here (unlike the probe path): compaction
+    # must be able to drain exactly the oversized delta the probe guard
+    # refuses — AQE still broadcasts a batch-sized touched set at
+    # runtime, and an oversized one merges as a shuffle join.
     touched = delta.select("doc_id").distinct()
     # dropDuplicates: a retried supersede step re-appends identical
     # (doc_id, band_key, gen) rows — inert at probe time (band sets),
     # dropped here so the base never grows from retries
     live = (
-        base.join(F.broadcast(touched), "doc_id", "anti")
+        base.join(touched, "doc_id", "anti")
         .unionByName(_band_delta_live(delta))
         .dropDuplicates(["doc_id", "band_key", "gen"])
         .localCheckpoint(eager=True)
@@ -1681,6 +1822,7 @@ QUERIES = {
     "dedup_incremental_near": dedup_incremental_near,
     "band_index_crawl": band_index_crawl,
     "band_index_recrawl": band_index_recrawl,
+    "band_index_pressure": band_index_pressure,
 }
 
 def _sig_cte(n_perm: int) -> str:
@@ -2128,6 +2270,42 @@ ORACLES["band_index_recrawl"] = f"""
         SELECT CAST(p.phase AS INT) AS phase, a.doc_id, l.lang
         FROM adm a JOIN lmap l USING (doc_id)
         CROSS JOIN (VALUES (1), (2)) AS p(phase)
+"""
+
+# Pressure-gate oracle: the cohort arithmetic is pure hashing, and a
+# doc carries bands iff it has >=1 shingle (>=3 whitespace tokens — the
+# same length rule the recrawl oracle's shingle CTE encodes). Stage 2
+# replays compaction's survivor set: tombstoned docs (hash%7==0) die,
+# changed docs keep bands (word reversal preserves token count), docs
+# unshingleable before stay unshingleable after.
+ORACLES["band_index_pressure"] = f"""
+        WITH hd AS (
+          SELECT doc_id, text,
+                 {_HASH_SQL.format(c="CAST(doc_id AS VARCHAR)")} AS hv
+          FROM documents
+        ),
+        run0 AS (SELECT * FROM hd WHERE hv % 3 = 0),
+        banded AS (
+          SELECT doc_id, hv FROM run0
+          WHERE len(string_split_regex(lower(text), '\\s+')) >= 3
+        ),
+        touched AS (
+          SELECT doc_id FROM run0 WHERE hv % 5 = 0 OR hv % 7 = 0
+        ),
+        n AS (
+          SELECT (SELECT count(*) FROM banded) AS base1,
+                 (SELECT count(*) FROM touched) AS delta1,
+                 (SELECT count(*) FROM banded WHERE hv % 7 <> 0) AS base2
+        )
+        SELECT CAST(1 AS INT) AS stage, CAST(base1 AS BIGINT) AS base_docs,
+               CAST(delta1 AS BIGINT) AS delta_docs,
+               CAST((delta1 * 10000) // base1 AS BIGINT) AS pressure_bp,
+               FALSE AS compacted
+        FROM n
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST(base2 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), TRUE
+        FROM n
 """
 
 ORACLES["dedup_minhash_accuracy"] = f"""

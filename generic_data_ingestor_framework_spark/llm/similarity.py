@@ -1026,7 +1026,9 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     return f"{wh}/ann_index_{sf_tag(sf_dir)}"
 
 
-def _load_index_relation(spark: SparkSession, root: str, name: str) -> DataFrame:
+def _load_index_relation(
+    spark: SparkSession, root: str, name: str, allow_large_delta: bool = False
+) -> DataFrame:
     """EFFECTIVE view of an index relation: base plus every appended
     batch directory (see ``append_ann_index`` — each batch lives in its
     own subdirectory so a retried append overwrites itself instead of
@@ -1061,6 +1063,33 @@ def _load_index_relation(spark: SparkSession, root: str, name: str) -> DataFrame
     from functools import reduce
     from pyspark.sql import Window as W
 
+    from generic_data_ingestor_framework_spark.llm.dedup import BCAST_BYTES_PER_ID
+    from generic_data_ingestor_framework_spark.scale import broadcast_threshold_bytes
+
+    # GUARD (r12 verdict #1): the mark set is broadcast below, which is
+    # safe only while the delta stays batch-sized. Refuse loudly — with
+    # the fix named — before a compaction-starved index walks into a
+    # silent driver-side blowup. Row counts are parquet-metadata reads;
+    # pq_codes carries PQ_M rows per id, so divide for the id bound.
+    # ``allow_large_delta`` is the compaction/maintenance path: no
+    # guard and NO forced-broadcast hints (AQE still broadcasts a
+    # small side at runtime; an oversized one merges as a shuffle
+    # join) — compaction must be able to drain exactly the delta the
+    # guard refuses to probe.
+    budget = broadcast_threshold_bytes(spark)
+    if budget > 0 and not allow_large_delta:
+        rows_per_id = PQ_M if name == "pq_codes" else 1
+        n_ids_upper = sum(d.count() for d in deltas) // rows_per_id + sum(
+            t.count() for t in tombs
+        )
+        if n_ids_upper * BCAST_BYTES_PER_ID > budget:
+            raise RuntimeError(
+                f"ANN index delta too large to broadcast-mask "
+                f"(~{n_ids_upper * BCAST_BYTES_PER_ID} bytes estimated vs "
+                f"{budget} budget): run compact_ann_index('{root}') or the "
+                f"ann_auto_compact pipeline step before probing"
+            )
+
     delta = reduce(DataFrame.unionByName, deltas) if deltas else None
     marks = [t.select("point_id", "gen", F.lit(True).alias("tomb")) for t in tombs]
     if delta is not None:
@@ -1075,11 +1104,12 @@ def _load_index_relation(spark: SparkSession, root: str, name: str) -> DataFrame
         .filter(F.col("__rn") == 1)
         .select("point_id", "gen", "tomb")
     )
-    out = df.join(F.broadcast(win.select("point_id")), "point_id", "anti")
+    hint = (lambda d: d) if allow_large_delta else F.broadcast
+    out = df.join(hint(win.select("point_id")), "point_id", "anti")
     if delta is not None:
         live = win.filter(~F.col("tomb")).select("point_id", "gen")
         out = out.unionByName(
-            delta.join(F.broadcast(live), ["point_id", "gen"]).drop("gen")
+            delta.join(hint(live), ["point_id", "gen"]).drop("gen")
         )
     return out
 
@@ -1247,7 +1277,7 @@ def append_ann_index(
         n_new = new_vectors.count()
     finally:
         new_vectors.unpersist()
-    n_total = _load_index_relation(spark, root, "ivf_assigned").count()
+    n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
     _write_index_meta(spark, root, n_total)
     return n_new
 
@@ -1297,7 +1327,7 @@ def supersede_ann_index(
         n_new = new_vectors.count()
     finally:
         new_vectors.unpersist()
-    n_total = _load_index_relation(spark, root, "ivf_assigned").count()
+    n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
     _write_index_meta(spark, root, n_total)
     return n_new
 
@@ -1322,7 +1352,7 @@ def delete_ann_index_ids(
     ids.select(
         F.col("vec_id").alias("point_id"), F.lit(gen).alias("gen")
     ).write.mode("overwrite").parquet(f"{root}/tombstones/{tag}")
-    n_total = _load_index_relation(spark, root, "ivf_assigned").count()
+    n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
     _write_index_meta(spark, root, n_total)
     return n_total
 
@@ -1449,11 +1479,11 @@ def compact_ann_index(spark: SparkSession, root: str) -> int:
     # are PHYSICALLY dropped here — the delete/supersede debt a crawl
     # loop accumulates is paid at compaction, and the tombstone dirs
     # themselves are cleared below.
-    assigned = _load_index_relation(spark, root, "ivf_assigned")
+    assigned = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(
         f"{root}/ivf_assigned_compact"
     )
-    codes = _load_index_relation(spark, root, "pq_codes")
+    codes = _load_index_relation(spark, root, "pq_codes", allow_large_delta=True)
     codes.write.mode("overwrite").parquet(f"{root}/pq_codes_compact")
     for name in ("ivf_assigned", "pq_codes"):
         hadoop_delete(spark, f"{root}/{name}")
@@ -1467,10 +1497,71 @@ def compact_ann_index(spark: SparkSession, root: str) -> int:
     return n_total
 
 
-# Crawl-batch ids live far above any corpus vec_id (max 20k at the
-# decade-up) — the append contract requires ids disjoint from the
-# indexed set, and the offset keeps the oracle's re-keying a pure
-# addition.
+def ann_index_pressure_stats(spark: SparkSession, root: str) -> dict:
+    """Delta/base PRESSURE of a persisted ANN index — the vector twin
+    of ``dedup.band_index_pressure_stats``: the effective view masks
+    the base with a BROADCAST anti join on the delta's mark set
+    (gen-tagged supersede ids + tombstones — see
+    ``_load_index_relation``), safe only while that set stays
+    batch-sized. Plain append batches are unioned, never broadcast, so
+    they count toward the base, not the delta. Counts are parquet-
+    metadata reads plus one distinct over the (batch-sized) marks."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_list_dirs
+    from generic_data_ingestor_framework_spark.llm.dedup import BCAST_BYTES_PER_ID
+    from generic_data_ingestor_framework_spark.scale import broadcast_threshold_bytes
+
+    base_ids = spark.read.parquet(f"{root}/ivf_assigned").count()
+    marks = []
+    for sub in hadoop_list_dirs(spark, f"{root}/ivf_assigned_batches"):
+        b = spark.read.parquet(sub)
+        if "gen" in b.columns:
+            marks.append(b.select("point_id"))
+        else:
+            base_ids += b.count()
+    for sub in hadoop_list_dirs(spark, f"{root}/tombstones"):
+        marks.append(spark.read.parquet(sub).select("point_id"))
+    if marks:
+        from functools import reduce
+
+        delta_ids = reduce(DataFrame.unionByName, marks).distinct().count()
+    else:
+        delta_ids = 0
+    threshold = broadcast_threshold_bytes(spark)
+    est_bytes = delta_ids * BCAST_BYTES_PER_ID
+    return {
+        "base_ids": base_ids,
+        "delta_ids": delta_ids,
+        "pressure_bp": (delta_ids * 10000) // base_ids if base_ids else 10000,
+        "est_broadcast_bytes": est_bytes,
+        "broadcast_threshold_bytes": threshold,
+        "over_broadcast_budget": 0 < threshold < est_bytes,
+    }
+
+
+def maybe_compact_ann_index(
+    spark: SparkSession, root: str, max_delta_ratio: float = 0.10
+) -> dict:
+    """AUTO-COMPACT policy for a persisted ANN index: compact when the
+    delta's mark set exceeds ``max_delta_ratio`` of the base ids OR its
+    estimated broadcast size exceeds the session's broadcast budget —
+    the enforcement arm of the batch-sized-delta contract. A crawl
+    pipeline runs this after its supersede/delete steps (pipeline op
+    ``ann_auto_compact``); between runs, ``_load_index_relation``'s
+    guard refuses oversized broadcasts loudly. Returns the pressure
+    stats plus the decision."""
+    stats = ann_index_pressure_stats(spark, root)
+    over_ratio = stats["delta_ids"] > max_delta_ratio * stats["base_ids"]
+    reason = (
+        "delta_ratio" if over_ratio
+        else "broadcast_budget" if stats["over_broadcast_budget"]
+        else ""
+    )
+    if reason and stats["delta_ids"] > 0:
+        compact_ann_index(spark, root)
+        return {**stats, "compacted": True, "reason": reason}
+    return {**stats, "compacted": False, "reason": reason}
+
+
 # Crawl/append batches are re-keyed past max(vec_id) — offsets are
 # DERIVED (broadcast 1-row aggregate / scalar subquery), not fixed
 # constants, so the disjoint-id-space assumption holds at every SF

@@ -667,6 +667,51 @@ def _step_band_supersede(df: DataFrame, p: dict) -> DataFrame:
     return df
 
 
+def _step_ann_auto_compact(df: DataFrame, p: dict) -> DataFrame:
+    """Enforce the batch-sized-delta contract on a persisted ANN index
+    (``maybe_compact_ann_index``) — run after supersede/delete steps::
+
+        {"op": "ann_auto_compact", "root": "/idx/ann_corpus",
+         "max_delta_ratio": 0.1}
+
+    Compacts when the delta's mark set exceeds ``max_delta_ratio`` of
+    the base ids or the session's broadcast budget; otherwise a cheap
+    metadata probe. Without this policy a crawl spec that defers
+    compaction accumulates delta until the probe-side broadcast guard
+    refuses loudly. Pass-through frame."""
+    from generic_data_ingestor_framework_spark.llm.similarity import (
+        maybe_compact_ann_index,
+    )
+
+    maybe_compact_ann_index(
+        df.sparkSession, p["root"], float(p.get("max_delta_ratio", 0.10))
+    )
+    return df
+
+
+def _step_band_auto_compact(df: DataFrame, p: dict) -> DataFrame:
+    """Enforce the batch-sized-delta contract on a versioned band index
+    (``maybe_compact_band_index``) — the band twin of
+    ``ann_auto_compact``::
+
+        {"op": "band_auto_compact", "base_table": "corpus_bands",
+         "delta_table": "corpus_bands_delta", "max_delta_ratio": 0.1}
+
+    Pass-through frame."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        maybe_compact_band_index,
+    )
+
+    maybe_compact_band_index(
+        df.sparkSession,
+        p["base_table"],
+        p["delta_table"],
+        float(p.get("max_delta_ratio", 0.10)),
+        int(p.get("n_buckets", 32)),
+    )
+    return df
+
+
 def _step_band_delete(df: DataFrame, p: dict) -> DataFrame:
     """Tombstone this frame's doc ids out of a versioned band index::
 
@@ -711,8 +756,10 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "ann_append": _step_ann_append,
     "ann_supersede": _step_ann_supersede,
     "ann_delete": _step_ann_delete,
+    "ann_auto_compact": _step_ann_auto_compact,
     "band_supersede": _step_band_supersede,
     "band_delete": _step_band_delete,
+    "band_auto_compact": _step_band_auto_compact,
 }
 
 

@@ -113,6 +113,24 @@ def repartitioned_write(
     )
 
 
+def broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` as plain bytes (-1 =
+    broadcasting disabled). The conf value may carry a binary-size
+    suffix (``10MB``, ``512k``, ``10485760b``); the index
+    compaction-pressure policies compare their delta-size estimates
+    against this budget, so the parse must accept every form Spark
+    does."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    return int(raw) * mult
+
+
 def explain_string(df: DataFrame, mode: str = "simple") -> str:
     """The physical plan as text (for plan-shape assertions/audits)."""
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)

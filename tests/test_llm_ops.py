@@ -3,6 +3,7 @@ DuckDB oracle gate, tools/check_oracles.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from generic_data_ingestor_framework_spark.llm import dedup, similarity, textstats
@@ -1936,6 +1937,110 @@ def test_band_delta_gen_tie_tombstone_wins(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
+
+
+def test_band_index_pressure_policy_and_guard(spark):
+    """The batch-sized-delta contract, ENFORCED (r12 verdict #1): with
+    the broadcast budget shrunk below the delta's estimated size, the
+    probe refuses LOUDLY (RuntimeError naming the compaction fix)
+    instead of silently broadcasting; ``maybe_compact_band_index``
+    fires on the broadcast-budget trigger (ratio not exceeded), drains
+    the delta, and the probe serves again."""
+    from generic_data_ingestor_framework_spark.llm import dedup as dd
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    h = dd.portable_hash32(F.col("doc_id").cast("string"))
+    corpus = d.filter(h % 3 == 0)
+    changed = corpus.filter(h % 50 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))).alias("text"),
+    )
+    batch = d.filter(h % 3 == 1).select("doc_id", "lang", "text")
+    base_tbl, delta_tbl = "band_ptest_base", "band_ptest_delta"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        dd.save_band_index_versioned(
+            spark, corpus.select("doc_id", "text"), base_tbl, delta_tbl
+        )
+        dd.supersede_band_index(spark, changed, delta_tbl, gen=1)
+        n_changed = changed.count()
+        assert n_changed > 0
+        # shrink the budget below the delta's estimate -> loud refusal
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16b")
+        with pytest.raises(RuntimeError, match="compact_band_index_versioned"):
+            dd.dedup_against_band_index_versioned(
+                spark, batch, base_tbl, delta_tbl
+            ).count()
+        # the policy's broadcast trigger fires at a ratio that would NOT
+        # (h%50 cohort is ~2% of the base, under the 10% default)
+        stats = dd.band_index_pressure_stats(spark, base_tbl, delta_tbl)
+        assert stats["over_broadcast_budget"] and stats["pressure_bp"] < 1000
+        dec = dd.maybe_compact_band_index(spark, base_tbl, delta_tbl)
+        assert dec["compacted"] and dec["reason"] == "broadcast_budget"
+        # drained: pressure zero, probe serves under the tiny budget
+        after = dd.band_index_pressure_stats(spark, base_tbl, delta_tbl)
+        assert after["delta_docs"] == 0 and after["pressure_bp"] == 0
+        assert (
+            dd.dedup_against_band_index_versioned(
+                spark, batch, base_tbl, delta_tbl
+            ).count()
+            >= 0
+        )
+        # and an under-budget, under-ratio delta does NOT compact
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        dd.supersede_band_index(spark, changed, delta_tbl, gen=2)
+        dec2 = dd.maybe_compact_band_index(spark, base_tbl, delta_tbl)
+        assert not dec2["compacted"] and dec2["reason"] == ""
+        assert dd.band_index_pressure_stats(spark, base_tbl, delta_tbl)[
+            "delta_docs"
+        ] == n_changed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
+
+
+def test_ann_index_pressure_policy_and_guard(spark, tmp_path):
+    """ANN twin of the band pressure test: an oversized delta makes the
+    effective view refuse loudly; ``maybe_compact_ann_index`` drains it
+    (compaction itself runs guard-free with AQE-decided joins); plain
+    appends never count as delta pressure."""
+    root = str(tmp_path / "ann_pidx")
+    similarity.save_ann_index(spark, SF, root)
+    vecs = similarity._vectors(spark, SF)
+    changed = vecs.filter(
+        (F.col("vec_id") >= similarity.N_QUERY) & (F.col("vec_id") % 11 == 0)
+    ).select("vec_id", F.reverse(F.col("v")).alias("v"))
+    n_changed = changed.count()
+    assert n_changed > 0
+    similarity.supersede_ann_index(spark, changed, root, "p1", gen=1)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16b")
+        with pytest.raises(RuntimeError, match="compact_ann_index"):
+            similarity._load_index_relation(spark, root, "ivf_assigned").count()
+        stats = similarity.ann_index_pressure_stats(spark, root)
+        assert stats["delta_ids"] == n_changed and stats["over_broadcast_budget"]
+        dec = similarity.maybe_compact_ann_index(spark, root)
+        assert dec["compacted"] and dec["reason"] == "broadcast_budget"
+        after = similarity.ann_index_pressure_stats(spark, root)
+        assert after["delta_ids"] == 0 and after["pressure_bp"] == 0
+        # effective view serves again under the tiny budget (no delta)
+        assert (
+            similarity._load_index_relation(spark, root, "ivf_assigned").count()
+            == stats["base_ids"]
+        )
+        # plain appends are unioned, not broadcast-masked: no pressure
+        app = vecs.filter(F.col("vec_id") < similarity.N_QUERY).crossJoin(
+            similarity._crawl_off(vecs)
+        ).select((F.col("vec_id") + F.col("__off")).alias("vec_id"), "v")
+        similarity.append_ann_index(spark, app, root, "p2")
+        st2 = similarity.ann_index_pressure_stats(spark, root)
+        assert st2["delta_ids"] == 0 and not st2["over_broadcast_budget"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
 def test_ann_index_persist_load_equals_session(spark, tmp_path):

@@ -620,3 +620,78 @@ def test_pipeline_band_supersede_delete_steps(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
+
+
+def test_pipeline_auto_compact_steps(spark, tmp_path):
+    """The ann_auto_compact / band_auto_compact policy steps: below the
+    delta-ratio threshold they are metadata-probe no-ops; above it they
+    drain the delta in the same spec run — so a crawl spec with the
+    policy appended can never accumulate a driver-sized broadcast mask
+    (r12 verdict #1)."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm import similarity
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        band_index_pressure_stats,
+        portable_hash32,
+        save_band_index_versioned,
+    )
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    sf = "/root/testdata/sf0.001"
+    # --- ANN side: supersede ~9% of ids, policy at 20% -> no-op;
+    # policy at 5% -> compacts
+    root = str(tmp_path / "ann_idx_autoc")
+    similarity.save_ann_index(spark, sf, root)
+    nq = similarity.N_QUERY
+    spec = {
+        "source": {"type": "parquet", "path": f"{sf}/embeddings.parquet"},
+        "steps": [
+            {"op": "filter", "where": f"vec_id >= {nq} AND vec_id % 11 = 0"},
+            {"op": "with_column", "name": "embedding", "expr": "reverse(embedding)"},
+            {"op": "ann_supersede", "root": root, "batch_tag": "ac_b1", "gen": 1},
+            {"op": "ann_auto_compact", "root": root, "max_delta_ratio": 0.20},
+        ],
+    }
+    run_pipeline(spark, spec)
+    st = similarity.ann_index_pressure_stats(spark, root)
+    assert st["delta_ids"] > 0, "20% policy must not fire at ~9% pressure"
+    spec["steps"][-1]["max_delta_ratio"] = 0.05
+    run_pipeline(spark, spec)
+    st2 = similarity.ann_index_pressure_stats(spark, root)
+    assert st2["delta_ids"] == 0, "5% policy must drain the ~9% delta"
+
+    # --- band side: same shape through band_auto_compact
+    base_tbl, delta_tbl = "band_autoc_base", "band_autoc_delta"
+    d = load_table(spark, sf, "documents")
+    h = portable_hash32(F.col("doc_id").cast("string"))
+    corpus = d.filter(h % 2 == 0)
+    try:
+        save_band_index_versioned(
+            spark, corpus.select("doc_id", "text"), base_tbl, delta_tbl
+        )
+        bspec = {
+            "source": {"type": "parquet", "path": f"{sf}/documents.parquet"},
+            "steps": [
+                {"op": "sql", "query": (
+                    "SELECT doc_id, concat_ws(' ', reverse(split(text, '\\\\s+')))"
+                    " AS text FROM __df__ WHERE"
+                    " CAST(conv(substring(md5(CAST(doc_id AS STRING)),1,8),16,10)"
+                    " AS BIGINT) % 2 = 0 AND doc_id % 3 = 0"
+                )},
+                {"op": "band_supersede", "delta_table": delta_tbl, "gen": 1},
+                {"op": "band_auto_compact", "base_table": base_tbl,
+                 "delta_table": delta_tbl, "max_delta_ratio": 0.95},
+            ],
+        }
+        run_pipeline(spark, bspec)
+        assert band_index_pressure_stats(spark, base_tbl, delta_tbl)["delta_docs"] > 0
+        bspec["steps"][-1]["max_delta_ratio"] = 0.01
+        run_pipeline(spark, bspec)
+        assert (
+            band_index_pressure_stats(spark, base_tbl, delta_tbl)["delta_docs"] == 0
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
