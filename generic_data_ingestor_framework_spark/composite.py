@@ -282,7 +282,7 @@ COMPOSITES: dict[str, list[str]] = {
     ],
     "term_stats": [
         "corpus_bigram_topk", "tfidf_top_terms", "tfidf_cosine_pairs", "bpe_train_merges",
-        "bpe_vocab_topk", "bpe_encode_docs", "bm25_topk",
+        "bpe_train_merges_batched", "bpe_vocab_topk", "bpe_encode_docs", "bm25_topk",
         "retrieval_qlm_topk", "retrieval_rrf_fusion",
     ],
     "nb_family": ["nb_lang_predictions", "nb_lang_confusion", "nb_holdout_confusion",

@@ -500,8 +500,105 @@ _MERGE_ROWS = "\nUNION ALL\n".join(
     for k in range(1, BPE_MERGES + 1)
 )
 
+def _bpe_batched_ctes() -> str:
+    """DuckDB twin of ``train_from_words_batched`` at the gate's
+    operating point (``BATCH_MERGES`` merges, ``BATCH_M`` per round,
+    pool ``4*BATCH_M``): per round, count pairs, take the ordered
+    candidate pool, replay the greedy symbol-disjoint admission with a
+    RECURSIVE CTE walking the pool in order (state = admitted batch +
+    used-symbol list — the exact ``_greedy_disjoint`` rule), then apply
+    the admitted merges sequentially with the same double-space
+    transform as the sequential oracle. ``BATCH_MERGES`` rounds are
+    unrolled (every non-degenerate round admits >= 1, so that is the
+    worst case); completed rounds no-op via the chr(0) fallback."""
+    pool = 4 * BATCH_M
+    ctes = [
+        f"""bw0 AS MATERIALIZED (
+          SELECT word, cnt, regexp_replace(word, '(.)', '\\1 ', 'g') || '{END_MARK}' AS s
+          FROM (
+            SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+            ) WHERE tok <> '' GROUP BY tok
+          )
+        )"""
+    ]
+    for r in range(1, BATCH_MERGES + 1):
+        np_expr = (
+            " + ".join(f"(SELECT len(batch) FROM sel{i})" for i in range(1, r))
+            or "0"
+        )
+        admit = (
+            f"len(g.batch) < LEAST({BATCH_M}, "
+            f"{BATCH_MERGES} - (SELECT np FROM nm{r})) "
+            f"AND NOT list_contains(g.used, string_split(c.pair, ' ')[1]) "
+            f"AND NOT list_contains(g.used, string_split(c.pair, ' ')[2])"
+        )
+        s_expr = "s"
+        for k in range(1, BATCH_M + 1):
+            pat = (
+                f"(SELECT ' ' || replace(batch[{k}].pair, ' ', '  ') || ' ' "
+                f"FROM sel{r} WHERE len(batch) >= {k})"
+            )
+            rep = (
+                f"(SELECT ' ' || replace(batch[{k}].pair, ' ', '') || ' ' "
+                f"FROM sel{r} WHERE len(batch) >= {k})"
+            )
+            s_expr = (
+                f"trim(replace(replace(replace(' ' || {s_expr} || ' ', ' ', '  '), "
+                f"COALESCE({pat}, chr(0)), COALESCE({rep}, chr(0))), '  ', ' '))"
+            )
+        ctes.append(
+            f"""pr{r} AS (
+          SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(cnt) AS BIGINT) AS c
+          FROM (
+            SELECT unnest(generate_series(1, len(l) - 1)) AS i, l, cnt
+            FROM (SELECT string_split(s, ' ') AS l, cnt FROM bw{r - 1})
+          ) GROUP BY pair
+        ),
+        cd{r} AS MATERIALIZED (
+          SELECT pair, c, row_number() OVER (ORDER BY c DESC, pair) AS rn
+          FROM (SELECT pair, c FROM pr{r} ORDER BY c DESC, pair LIMIT {pool})
+        ),
+        nm{r} AS (SELECT {np_expr} AS np),
+        sel{r} AS MATERIALIZED (
+          WITH RECURSIVE g(rn, batch, used) AS (
+            SELECT 0,
+                   CAST([] AS STRUCT(pair VARCHAR, c BIGINT)[]),
+                   CAST([] AS VARCHAR[])
+            UNION ALL
+            SELECT c.rn,
+                   CASE WHEN {admit}
+                        THEN list_append(g.batch,
+                               {{'pair': c.pair, 'c': c.c}})
+                        ELSE g.batch END,
+                   CASE WHEN {admit}
+                        THEN list_concat(g.used,
+                               [string_split(c.pair, ' ')[1],
+                                string_split(c.pair, ' ')[2],
+                                replace(c.pair, ' ', '')])
+                        ELSE g.used END
+            FROM g JOIN cd{r} c ON c.rn = g.rn + 1
+          )
+          SELECT batch FROM g ORDER BY rn DESC LIMIT 1
+        ),
+        bw{r} AS MATERIALIZED (
+          SELECT word, cnt, {s_expr} AS s FROM bw{r - 1}
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+_BATCHED_MERGE_ROWS = "\nUNION ALL\n".join(
+    f"SELECT CAST((SELECT np FROM nm{r}) + {k} AS INT) AS rank,"
+    f" batch[{k}].pair AS pair, replace(batch[{k}].pair, ' ', '') AS merged,"
+    f" batch[{k}].c AS n_occ FROM sel{r} WHERE len(batch) >= {k}"
+    for r in range(1, BATCH_MERGES + 1)
+    for k in range(1, BATCH_M + 1)
+)
+
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
+    "bpe_train_merges_batched": bpe_train_merges_batched,
     "bpe_vocab_topk": bpe_vocab_topk,
     "bpe_encode_docs": bpe_encode_docs,
 }
@@ -510,6 +607,10 @@ ORACLES = {
     "bpe_train_merges": f"""
         WITH {_bpe_ctes()}
         SELECT * FROM ({_MERGE_ROWS}) ORDER BY rank
+    """,
+    "bpe_train_merges_batched": f"""
+        WITH RECURSIVE {_bpe_batched_ctes()}
+        SELECT * FROM ({_BATCHED_MERGE_ROWS}) ORDER BY rank
     """,
     "bpe_vocab_topk": f"""
         WITH {_bpe_ctes()}
