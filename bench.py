@@ -126,6 +126,13 @@ HEADLINE = [
     "ann_recall_after_append",
     "rcte_reachability",
     "scd2_customer_history",
+    # r13: multi-generation SCD2 + point-in-time read, batched BPE
+    # selection, keyed-rotation pseudonymization, k-anonymity audit
+    "scd2_customer_multigen",
+    "scd2_asof_lookup",
+    "bpe_train_merges_batched",
+    "pseudonymize_keyed_rotation",
+    "k_anonymity_audit",
 ]
 
 # Index-WRITE workloads (cross-run persisted index crawl loops): real
@@ -140,6 +147,9 @@ INDEX_BUILDS = [
     # compaction on both index families)
     "band_index_recrawl",
     "ann_index_recrawl",
+    # r13: the compaction-pressure policy gate (save + supersede +
+    # delete + auto-compact)
+    "band_index_pressure",
 ]
 
 REGRESSION_RATIO = 1.3

@@ -298,7 +298,10 @@ COMPOSITES: dict[str, list[str]] = {
         "shard_export_assignment", "mix_resample_equalized",
         "quality_weighted_sample",
     ],
-    "privacy_family": ["pseudonymize_users", "redact_pii"],
+    "privacy_family": [
+        "pseudonymize_users", "redact_pii",
+        "pseudonymize_keyed_rotation", "k_anonymity_audit",
+    ],
     # streaming families
     "event_windows": [
         "window_tumbling_hourly", "window_sliding_1h_30m", "events_multi_rollup",

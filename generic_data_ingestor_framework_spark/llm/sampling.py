@@ -224,8 +224,117 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_pseudo(user_col, epoch: int):
+    """Keyed pseudonym for ``user_col`` at key epoch ``epoch``: the
+    epoch secret is derived (md5 of a root label + epoch) and mixed
+    into the keyed digest — the salted-HMAC shape, portable to DuckDB.
+    Different epochs produce unlinkable pseudonym spaces."""
+    secret = F.md5(F.lit(f"pseud-root:{epoch}"))
+    return F.md5(F.concat(secret, F.lit(":"), user_col.cast("string")))
+
+
+def pseudonymize_keyed_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-ROTATED pseudonymization (r12 verdict #7): pseudonyms are
+    keyed by a derived per-epoch secret, and rotating to a new epoch
+    requires only a TRANSLATION TABLE built from the distinct-user
+    dimension — old pseudonym → new pseudonym — never a re-read of the
+    raw-key corpus (the stored events carry only epoch-1 pseudonyms;
+    the raw user_id exists solely in the key dimension). The member
+    re-keys the epoch-1 event stream through that table and checks it
+    against direct epoch-2 pseudonymization: ``n_rekey_mismatch`` MUST
+    be zero, and the per-epoch distinct-pseudonym counts must both
+    equal the true user count (keyed digests stay collision-free and
+    referential integrity survives rotation). ``pseudo_checksum`` is an
+    order-insensitive integer fold of the epoch-2 pseudonyms so the
+    gate pins the actual pseudonym VALUES, not just counts.
+
+    Scale shape: the translation table is user-dimension-sized
+    (broadcast or co-bucketed at 100 TB); the re-key is one hash join
+    on the old pseudonym; everything else is map-side md5."""
+    e = load_table(spark, sf_dir, "events")
+    p1 = _epoch_pseudo(F.col("user_id"), 1)
+    p2 = _epoch_pseudo(F.col("user_id"), 2)
+    stored = e.select("event_id", "event_type", p1.alias("user_pseudo_e1"))
+    trans = (
+        e.select("user_id").distinct()
+        .select(p1.alias("user_pseudo_e1"), p2.alias("user_pseudo_e2"))
+    )
+    rekeyed = stored.join(trans, "user_pseudo_e1")
+    direct = e.select("event_id", p2.alias("direct_e2"))
+    j = rekeyed.join(direct, "event_id")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_pseudo_e1").cast("bigint").alias("n_users_e1"),
+        F.countDistinct("user_pseudo_e2").cast("bigint").alias("n_users_e2"),
+        F.sum(
+            F.when(F.col("user_pseudo_e2") != F.col("direct_e2"), 1).otherwise(0)
+        ).cast("bigint").alias("n_rekey_mismatch"),
+        F.sum(portable_hash32(F.col("user_pseudo_e2")))
+        .cast("bigint")
+        .alias("pseudo_checksum"),
+    )
+
+
+K_ANON_THRESHOLDS = (2, 5, 10, 25)
+ACCTBAL_BUCKET = 1000  # quasi-identifier coarsening grain for c_acctbal
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over a quasi-identifier tuple (r12 verdict
+    #7): a released dimension is k-anonymous when every QI group holds
+    at least k rows — smaller groups re-identify. QI here is
+    ``(c_nationkey, c_mktsegment, floor(c_acctbal / 1000))`` — the
+    classic coarsened demographic triple. Output: one row per policy
+    threshold k with the number of groups below k, the rows at
+    re-identification risk, and their corpus share in basis points
+    (pure integer math). The release decision an operator reads before
+    publishing a pseudonymized dimension — pairs with the rotation
+    member, which protects the DIRECT identifier this audit does not
+    cover.
+
+    Scale shape: one groupBy on the QI tuple (single shuffle,
+    map-side combinable), then a threshold × group-size broadcast
+    fold over the aggregate-sized group histogram."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("bigint").alias("bal_bucket"),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    ks = spark.createDataFrame([(k,) for k in K_ANON_THRESHOLDS], "k int")
+    tot = groups.agg(
+        F.sum("gsz").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return (
+        groups.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("gsz") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below_k"),
+            F.sum(F.when(F.col("gsz") < F.col("k"), F.col("gsz")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below_k"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "groups_below_k",
+            "rows_below_k",
+            F.expr("(rows_below_k * 10000) DIV n_rows").alias("risk_share_bp"),
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+        )
+        .orderBy("k")
+    )
+
+
 QUERIES = {
     "shard_export_assignment": shard_export_assignment,
+    "pseudonymize_keyed_rotation": pseudonymize_keyed_rotation,
+    "k_anonymity_audit": k_anonymity_audit,
     "mix_resample_equalized": mix_resample_equalized,
     "sample_hash_mod": sample_hash_mod,
     "redact_pii": redact_pii,
@@ -315,5 +424,51 @@ ORACLES = {
     "pseudonymize_users": """
         SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS user_pseudo, event_type
         FROM events
+    """,
+    "pseudonymize_keyed_rotation": f"""
+        WITH p AS (
+          SELECT event_id, event_type,
+                 md5(md5('pseud-root:1') || ':' || CAST(user_id AS VARCHAR)) AS p1,
+                 md5(md5('pseud-root:2') || ':' || CAST(user_id AS VARCHAR)) AS p2
+          FROM events
+        ),
+        trans AS (
+          SELECT DISTINCT
+                 md5(md5('pseud-root:1') || ':' || CAST(user_id AS VARCHAR)) AS p1,
+                 md5(md5('pseud-root:2') || ':' || CAST(user_id AS VARCHAR)) AS p2
+          FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT j.p1) AS BIGINT) AS n_users_e1,
+               CAST(count(DISTINCT t.p2) AS BIGINT) AS n_users_e2,
+               CAST(sum(CASE WHEN t.p2 <> j.p2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rekey_mismatch,
+               CAST(sum({_HASH_SQL.format(c='t.p2')}) AS BIGINT) AS pseudo_checksum
+        FROM p j JOIN trans t ON t.p1 = j.p1
+        GROUP BY event_type
+    """,
+    "k_anonymity_audit": f"""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal_bucket,
+                 CAST(count(*) AS BIGINT) AS gsz
+          FROM customer GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT CAST(sum(gsz) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_groups
+          FROM g
+        ),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in K_ANON_THRESHOLDS)}]) AS k)
+        SELECT CAST(k AS INT) AS k,
+               CAST(sum(CASE WHEN gsz < k THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_k,
+               CAST(sum(CASE WHEN gsz < k THEN gsz ELSE 0 END) AS BIGINT)
+                 AS rows_below_k,
+               CAST((sum(CASE WHEN gsz < k THEN gsz ELSE 0 END) * 10000)
+                    // (SELECT n_rows FROM tot) AS BIGINT) AS risk_share_bp,
+               (SELECT n_groups FROM tot) AS n_groups
+        FROM g, ks GROUP BY k ORDER BY k
     """,
 }

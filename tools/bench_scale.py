@@ -160,6 +160,17 @@ QUERIES = [
     "ann_recall_after_append",
     "rcte_reachability",
     "scd2_customer_history",
+    # r13: multi-gen SCD2 + as-of read, the compaction-pressure gate,
+    # batched BPE, privacy depth, and the FIRST streaming member in the
+    # decade sweep (stateful session windows: state scaling evidence the
+    # r12 verdict flagged as missing)
+    "scd2_customer_multigen",
+    "scd2_asof_lookup",
+    "band_index_pressure",
+    "bpe_train_merges_batched",
+    "pseudonymize_keyed_rotation",
+    "k_anonymity_audit",
+    "stream_session_windows",
 ]
 
 
