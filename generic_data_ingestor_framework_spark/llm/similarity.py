@@ -1836,7 +1836,10 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         probed = _nearest_cells(cdf, qn, "qv", "qn", "query_id", N_PROBES)
         ivf = (
-            probed.join(a_acc, "cell")
+            # broadcast the queries×n_probes side: the corpus-sized
+            # assignment must not shuffle for a handful of probe rows
+            F.broadcast(probed)
+            .join(a_acc, "cell")
             .withColumn("cos_sim", sim)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
