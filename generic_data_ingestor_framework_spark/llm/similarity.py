@@ -1446,6 +1446,45 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def ann_retrain_decision(
+    stats_rows,
+    recall_rows,
+    max_cell_share_bp: int = 2000,
+    min_recall_bp: int = 8000,
+) -> dict:
+    """The RETRAIN decision as a pure function over the two index-health
+    gauges — ``ann_index_stats`` (COST: per-cell share of the corpus;
+    one mega-cell turns the n_probes/k probe contract into a full scan
+    for every query routed there) and ``ann_recall_after_append``
+    (RECALL: the frozen quantizer's drift as off-distribution appends
+    accumulate). Retrain when the hottest cell exceeds
+    ``max_cell_share_bp`` OR any wave's recall falls below
+    ``min_recall_bp``. Driver-side arithmetic over two aggregate-sized
+    gauge outputs (collected rows or (cell, share)/(batch, recall)
+    tuples) — the train-once/append-forever contract's other
+    enforcement arm, next to ``maybe_compact_ann_index`` (which keeps
+    probes cheap; this keeps them CORRECT and BALANCED)."""
+    def _get(row, key, idx):
+        try:
+            return row[key]
+        except (KeyError, TypeError, IndexError):
+            return row[idx]
+
+    hottest = max((_get(r, "share_bp", 2) for r in stats_rows), default=0)
+    worst = min((_get(r, "recall_bp", 4) for r in recall_rows), default=10000)
+    reasons = []
+    if hottest > max_cell_share_bp:
+        reasons.append(f"cell_skew:{hottest}bp>{max_cell_share_bp}bp")
+    if worst < min_recall_bp:
+        reasons.append(f"recall_drift:{worst}bp<{min_recall_bp}bp")
+    return {
+        "retrain": bool(reasons),
+        "reasons": reasons,
+        "hottest_cell_share_bp": hottest,
+        "worst_wave_recall_bp": worst,
+    }
+
+
 def compact_ann_index(spark: SparkSession, root: str) -> int:
     """MAJOR COMPACTION for a persisted ANN index: fold every appended
     batch subdirectory into the base relations and clear the batch

@@ -2106,6 +2106,35 @@ def test_ann_index_pressure_policy_and_guard(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
+def test_ann_retrain_decision_policy(spark):
+    """The retrain policy over the two health gauges: quiet on a
+    balanced, high-recall index; fires on cell skew OR recall drift
+    with the offending gauge named; works over the REAL gauge outputs
+    (ann_index_stats + ann_recall_after_append rows) as well as plain
+    tuples."""
+    ok = similarity.ann_retrain_decision(
+        [(0, 100, 900), (1, 110, 1000)], [(0, 1000, 15, 15, 9500)]
+    )
+    assert not ok["retrain"] and ok["reasons"] == []
+    skew = similarity.ann_retrain_decision(
+        [(0, 900, 8000), (1, 20, 200)], [(0, 1000, 15, 15, 9500)]
+    )
+    assert skew["retrain"] and skew["reasons"][0].startswith("cell_skew")
+    drift = similarity.ann_retrain_decision(
+        [(0, 100, 900)], [(0, 1000, 15, 15, 9500), (1, 2000, 15, 11, 7333)]
+    )
+    assert drift["retrain"] and drift["reasons"][0].startswith("recall_drift")
+    # real gauge outputs at the gate SF
+    stats = similarity.ann_index_stats(spark, SF).collect()
+    recall = similarity.ann_recall_after_append(spark, SF).collect()
+    dec = similarity.ann_retrain_decision(stats, recall)
+    assert set(dec) == {
+        "retrain", "reasons", "hottest_cell_share_bp", "worst_wave_recall_bp"
+    }
+    assert dec["hottest_cell_share_bp"] == max(r["share_bp"] for r in stats)
+    assert dec["worst_wave_recall_bp"] == min(r["recall_bp"] for r in recall)
+
+
 def test_ann_index_persist_load_equals_session(spark, tmp_path):
     """save→load must reproduce the session-built IVF and PQ results
     exactly; a stale index (wrong candidate count in the meta) must
