@@ -133,6 +133,7 @@ HEADLINE = [
     "bpe_train_merges_batched",
     "pseudonymize_keyed_rotation",
     "k_anonymity_audit",
+    "k_anonymize_generalize",
 ]
 
 # Index-WRITE workloads (cross-run persisted index crawl loops): real

@@ -301,6 +301,7 @@ COMPOSITES: dict[str, list[str]] = {
     "privacy_family": [
         "pseudonymize_users", "redact_pii",
         "pseudonymize_keyed_rotation", "k_anonymity_audit",
+        "k_anonymize_generalize",
     ],
     # streaming families
     "event_windows": [

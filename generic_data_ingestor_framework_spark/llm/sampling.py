@@ -331,10 +331,78 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON_K = 10
+COARSE_BUCKET = 5000  # level-1 generalization grain for c_acctbal
+
+
+def k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity ENFORCEMENT — the operator the audit motivates:
+    per-group bottom-up generalization over a fixed QI ladder. Level 0
+    is the audit's tuple ``(nation, segment, floor(bal/1000))``; level
+    1 coarsens the balance to /5000 buckets; level 2 drops the balance;
+    level 3 keeps only the nation; rows whose level-3 group is still
+    below k are SUPPRESSED (level -1). Each row takes the FINEST level
+    whose group (counted over ALL rows — released coarser rows still
+    carry level-L-compatible values, so they belong to the anonymity
+    set) reaches ``K_ANON_K``; level is a function of the group, so
+    every member of a group releases at the same granularity. Output:
+    per level, the row count and the MINIMUM group size among assigned
+    rows — the gate thereby pins the anonymity property itself
+    (min >= k at every released level) cross-engine, not just counts.
+
+    Scale shape: four window counts over progressively coarser key
+    prefixes (Catalyst plans them as hash aggregates re-joined by key;
+    at 100 TB you pre-aggregate the L0 histogram once — aggregate-sized
+    — and roll the coarser levels up from it, which is what the window
+    over the coarsest keys degenerates to) plus one final group-by-level
+    fold."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    b0 = F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("bigint")
+    b1 = F.floor(F.col("c_acctbal") / COARSE_BUCKET).cast("bigint")
+    qi = c.select(
+        "c_nationkey", "c_mktsegment", b0.alias("bal0"), b1.alias("bal1")
+    )
+    s0 = F.count(F.lit(1)).over(
+        W.partitionBy("c_nationkey", "c_mktsegment", "bal0")
+    )
+    s1 = F.count(F.lit(1)).over(
+        W.partitionBy("c_nationkey", "c_mktsegment", "bal1")
+    )
+    s2 = F.count(F.lit(1)).over(W.partitionBy("c_nationkey", "c_mktsegment"))
+    s3 = F.count(F.lit(1)).over(W.partitionBy("c_nationkey"))
+    k = F.lit(K_ANON_K)
+    level = (
+        F.when(s0 >= k, 0)
+        .when(s1 >= k, 1)
+        .when(s2 >= k, 2)
+        .when(s3 >= k, 3)
+        .otherwise(-1)
+    )
+    gsz = (
+        F.when(s0 >= k, s0)
+        .when(s1 >= k, s1)
+        .when(s2 >= k, s2)
+        .when(s3 >= k, s3)
+        .otherwise(s3)
+    )
+    return (
+        qi.select(level.cast("int").alias("level"), gsz.cast("bigint").alias("gsz"))
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("gsz").alias("min_group_sz"),
+        )
+        .orderBy("level")
+    )
+
+
 QUERIES = {
     "shard_export_assignment": shard_export_assignment,
     "pseudonymize_keyed_rotation": pseudonymize_keyed_rotation,
     "k_anonymity_audit": k_anonymity_audit,
+    "k_anonymize_generalize": k_anonymize_generalize,
     "mix_resample_equalized": mix_resample_equalized,
     "sample_hash_mod": sample_hash_mod,
     "redact_pii": redact_pii,
@@ -470,5 +538,38 @@ ORACLES = {
                     // (SELECT n_rows FROM tot) AS BIGINT) AS risk_share_bp,
                (SELECT n_groups FROM tot) AS n_groups
         FROM g, ks GROUP BY k ORDER BY k
+    """,
+    "k_anonymize_generalize": f"""
+        WITH q AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal0,
+                 CAST(floor(c_acctbal / {COARSE_BUCKET}) AS BIGINT) AS bal1
+          FROM customer
+        ),
+        s AS (
+          SELECT
+            count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal0) AS s0,
+            count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal1) AS s1,
+            count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS s2,
+            count(*) OVER (PARTITION BY c_nationkey) AS s3
+          FROM q
+        ),
+        lv AS (
+          SELECT CASE WHEN s0 >= {K_ANON_K} THEN 0
+                      WHEN s1 >= {K_ANON_K} THEN 1
+                      WHEN s2 >= {K_ANON_K} THEN 2
+                      WHEN s3 >= {K_ANON_K} THEN 3
+                      ELSE -1 END AS level,
+                 CASE WHEN s0 >= {K_ANON_K} THEN s0
+                      WHEN s1 >= {K_ANON_K} THEN s1
+                      WHEN s2 >= {K_ANON_K} THEN s2
+                      WHEN s3 >= {K_ANON_K} THEN s3
+                      ELSE s3 END AS gsz
+          FROM s
+        )
+        SELECT CAST(level AS INT) AS level,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(gsz) AS BIGINT) AS min_group_sz
+        FROM lv GROUP BY level ORDER BY level
     """,
 }

@@ -667,6 +667,54 @@ def _step_band_supersede(df: DataFrame, p: dict) -> DataFrame:
     return df
 
 
+def _step_scd2_apply(df: DataFrame, p: dict) -> DataFrame:
+    """Apply this frame as an SCD2 update batch to a DIMENSION HISTORY
+    table — the dimension twin of the index supersede/delete steps::
+
+        {"op": "scd2_apply", "table": "dim_customer_hist",
+         "key": "c_custkey", "attrs": ["c_mktsegment", "c_acctbal"],
+         "gen": 3, "delete_col": "is_deleted"}
+
+    The frame carries the batch's LATEST state per key
+    (key, *attrs, delete_col). An absent table is seeded with the
+    batch's non-deleted rows as open rows at ``gen``. ``gen`` is the
+    crawl loop's monotonic batch counter (must exceed every generation
+    already in the table). RETRY-SAFE by merge semantics, not by tags:
+    re-applying the same batch is a no-op — an identical update creates
+    no version, a delete of an already-closed key closes nothing, an
+    insert whose key is now open with identical attrs is a no-op. The
+    overwrite stages through a localCheckpoint so the write never reads
+    the table it replaces. Pass-through frame."""
+    from generic_data_ingestor_framework_spark.relational import scd2_apply
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    key, attrs = p["key"], list(p["attrs"])
+    gen = int(p["gen"])
+    delete_col = p.get("delete_col", "is_deleted")
+    batch = df.select(
+        key,
+        *attrs,
+        (F.col(delete_col) if delete_col in df.columns else F.lit(False)).alias(
+            delete_col
+        ),
+    )
+    table = p["table"]
+    if spark.catalog.tableExists(table):
+        hist = spark.table(table)
+        merged = scd2_apply(hist, batch, key, attrs, gen, delete_col)
+    else:
+        merged = batch.filter(~F.col(delete_col)).select(
+            key,
+            *attrs,
+            F.lit(gen).alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+        )
+    merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(table)
+    return df
+
+
 def _step_ann_auto_compact(df: DataFrame, p: dict) -> DataFrame:
     """Enforce the batch-sized-delta contract on a persisted ANN index
     (``maybe_compact_ann_index``) — run after supersede/delete steps::
@@ -757,6 +805,7 @@ STEP_REGISTRY: dict[str, StepFn] = {
     "ann_supersede": _step_ann_supersede,
     "ann_delete": _step_ann_delete,
     "ann_auto_compact": _step_ann_auto_compact,
+    "scd2_apply": _step_scd2_apply,
     "band_supersede": _step_band_supersede,
     "band_delete": _step_band_delete,
     "band_auto_compact": _step_band_auto_compact,

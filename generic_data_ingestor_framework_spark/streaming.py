@@ -1465,6 +1465,80 @@ def stream_ann_index_upsert(
     _run_to_completion(q, "stream_ann_index_upsert")
 
 
+def stream_scd2_apply(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    key: str,
+    attrs: list[str],
+    delete_col: str = "is_deleted",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """CONTINUOUS SCD2 maintenance of a dimension history table — the
+    streaming (third) surface of the dimension lifecycle, next to the
+    batch gate members (``scd2_customer_multigen`` / ``scd2_asof_lookup``)
+    and the pipeline step (``scd2_apply``): a CDC feed drops change
+    files where each record is the LATEST state of its key —
+    ``delete_col`` true closes the key without successor, a differing
+    record closes-and-opens, an identical record is a no-op, a new key
+    inserts, a re-inserted key resurrects.
+
+    Exactly-once TWICE over: the micro-batch id is the GENERATION
+    (gen = batch_id + 1; seed rows are gen 0 — the same contract as
+    ``stream_ann_index_upsert``), so a failed batch replays under the
+    same generation; AND the merge itself is idempotent (re-applying a
+    batch the table already reflects changes nothing), so even a replay
+    AFTER its overwrite committed is a no-op rewrite. An absent table
+    is seeded by the first batch's non-deleted rows as open rows.
+
+    AvailableNow drains and stops; dropping the trigger makes it a
+    continuous applier. Per-batch work is one full-outer merge on the
+    key against only the OPEN slice (at 100 TB: bucket the history by
+    the key; the batch side broadcasts)."""
+    from generic_data_ingestor_framework_spark.relational import scd2_apply
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gen = int(batch_id) + 1
+        sess = batch_df.sparkSession
+        batch = batch_df.select(
+            key,
+            *attrs,
+            (
+                F.col(delete_col)
+                if delete_col in batch_df.columns
+                else F.lit(False)
+            ).alias(delete_col),
+        )
+        if sess.catalog.tableExists(table):
+            merged = scd2_apply(sess.table(table), batch, key, attrs, gen, delete_col)
+        else:
+            merged = batch.filter(~F.col(delete_col)).select(
+                key,
+                *attrs,
+                F.lit(gen).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+            )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(table)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_to_completion(q, "stream_scd2_apply")
+    # foreachBatch runs in a CLONED session; surface the rewritten table
+    # to the caller's catalog (see stream_upsert's refresh contract)
+    spark.catalog.refreshTable(table)
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_1h_30m": window_sliding_1h_30m,

@@ -622,6 +622,69 @@ def test_pipeline_band_supersede_delete_steps(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
 
 
+def test_pipeline_scd2_apply_step(spark):
+    """The scd2_apply pipeline step: seeds an absent history table,
+    merges change/delete/insert batches at later generations, and a
+    re-run of the SAME spec is a no-op by merge semantics (identical
+    update -> no version churn; delete of a closed key closes nothing)
+    — the dimension twin of the index supersede/delete steps."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.pipeline import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    tbl = "dim_scd2_step_test"
+    seed = {
+        "source": {"type": "parquet", "path": f"{sf}/customer.parquet"},
+        "steps": [
+            {"op": "sql", "query": (
+                "SELECT c_custkey, c_mktsegment, false AS is_deleted"
+                " FROM __df__ WHERE c_custkey <= 40"
+            )},
+            {"op": "scd2_apply", "table": tbl, "key": "c_custkey",
+             "attrs": ["c_mktsegment"], "gen": 0},
+        ],
+    }
+    upd = {
+        "source": {"type": "parquet", "path": f"{sf}/customer.parquet"},
+        "steps": [
+            {"op": "sql", "query": (
+                "SELECT c_custkey,"
+                " CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment || '_v2'"
+                "      ELSE c_mktsegment END AS c_mktsegment,"
+                " c_custkey % 5 = 1 AS is_deleted"
+                " FROM __df__ WHERE c_custkey <= 40"
+            )},
+            {"op": "scd2_apply", "table": tbl, "key": "c_custkey",
+             "attrs": ["c_mktsegment"], "gen": 1},
+        ],
+    }
+    try:
+        run_pipeline(spark, seed)
+        hist0 = spark.table(tbl)
+        n_keys = hist0.count()
+        assert n_keys > 0
+        assert hist0.filter(F.col("valid_to").isNotNull()).count() == 0
+
+        run_pipeline(spark, upd)
+        hist1 = spark.table(tbl).collect()
+        open_rows = [r for r in hist1 if r["valid_to"] is None]
+        closed = [r for r in hist1 if r["valid_to"] == 1]
+        # changed evens (not deleted) reopened as _v2; deleted odds closed
+        assert any(r["c_mktsegment"].endswith("_v2") for r in open_rows)
+        assert all(
+            not r["c_mktsegment"].endswith("_v2") for r in closed
+        )
+        assert len(closed) > 0
+
+        # retry the SAME spec: merge semantics make it a no-op
+        run_pipeline(spark, upd)
+        hist2 = spark.table(tbl).collect()
+        assert sorted(map(tuple, hist2)) == sorted(map(tuple, hist1))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_pipeline_auto_compact_steps(spark, tmp_path):
     """The ann_auto_compact / band_auto_compact policy steps: below the
     delta-ratio threshold they are metadata-probe no-ops; above it they

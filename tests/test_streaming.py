@@ -812,3 +812,75 @@ def test_stream_ann_index_upsert_delete(spark, tmp_path):
     raw = spark.read.parquet(f"{root}/ivf_assigned")
     assert raw.count() == n0 - 1
     assert raw.groupBy("point_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_scd2_apply_maintainer(spark, tmp_path):
+    """The streaming SCD2 maintainer: micro-batch ids are generations,
+    the first batch seeds the history, later batches close-and-open /
+    delete / resurrect, a rerun over the same checkpoint changes
+    nothing (no new batches), and a NEW file after restart applies at
+    the next generation — the dimension twin of
+    stream_ann_index_upsert."""
+    import json as _json
+
+    import pyspark.sql.types as T
+
+    from generic_data_ingestor_framework_spark.streaming import stream_scd2_apply
+
+    src = tmp_path / "scd2_cdc"
+    src.mkdir()
+    ckpt = str(tmp_path / "scd2_ckpt")
+    tbl = "dim_scd2_stream_test"
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seg", T.StringType()),
+            T.StructField("is_deleted", T.BooleanType()),
+        ]
+    )
+
+    def write_batch(name, recs):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in recs) + "\n"
+        )
+
+    try:
+        # batch 0 seeds, then a SECOND drain applies batch 1 (changes
+        # k=1, deletes k=2, inserts k=4) — write-run-write-run so batch
+        # order never depends on file mtime ties (two files written in
+        # the same tick can drain in either order)
+        write_batch("b0.json", [
+            {"k": 1, "seg": "A", "is_deleted": False},
+            {"k": 2, "seg": "B", "is_deleted": False},
+            {"k": 3, "seg": "C", "is_deleted": False},
+        ])
+        stream_scd2_apply(spark, str(src), tbl, ckpt, schema, "k", ["seg"])
+        write_batch("b1.json", [
+            {"k": 1, "seg": "A2", "is_deleted": False},
+            {"k": 2, "seg": "B", "is_deleted": True},
+            {"k": 3, "seg": "C", "is_deleted": False},  # no-op
+            {"k": 4, "seg": "D", "is_deleted": False},
+        ])
+        stream_scd2_apply(spark, str(src), tbl, ckpt, schema, "k", ["seg"])
+        rows = {(r["k"], r["seg"], r["valid_from"], r["valid_to"])
+                for r in spark.table(tbl).collect()}
+        assert rows == {
+            (1, "A", 1, 2), (1, "A2", 2, None),
+            (2, "B", 1, 2),
+            (3, "C", 1, None),
+            (4, "D", 2, None),
+        }
+
+        # rerun over the same checkpoint: no new batches, nothing moves
+        stream_scd2_apply(spark, str(src), tbl, ckpt, schema, "k", ["seg"])
+        assert {(r["k"], r["seg"], r["valid_from"], r["valid_to"])
+                for r in spark.table(tbl).collect()} == rows
+
+        # restart with a NEW file: resurrect k=2 at gen 3
+        write_batch("b2.json", [{"k": 2, "seg": "B9", "is_deleted": False}])
+        stream_scd2_apply(spark, str(src), tbl, ckpt, schema, "k", ["seg"])
+        rows3 = {(r["k"], r["seg"], r["valid_from"], r["valid_to"])
+                 for r in spark.table(tbl).collect()}
+        assert rows3 == rows | {(2, "B9", 3, None)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -170,6 +170,7 @@ QUERIES = [
     "bpe_train_merges_batched",
     "pseudonymize_keyed_rotation",
     "k_anonymity_audit",
+    "k_anonymize_generalize",
     "stream_session_windows",
 ]
 
