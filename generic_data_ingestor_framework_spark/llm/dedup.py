@@ -983,10 +983,11 @@ def dedup_against_band_index_versioned(
     GUARD: the masking anti join BROADCASTS the delta's doc set, which
     is only safe while the delta stays batch-sized. Rather than let a
     compaction-starved index walk into a silent driver-side blowup,
-    the probe refuses loudly once the delta's row count (a metadata
-    read — an upper bound on its doc count) estimates past the
-    session's broadcast budget; ``maybe_compact_band_index`` is the
-    policy that keeps the pressure below this line."""
+    the probe refuses loudly once the delta's DISTINCT doc count — the
+    exact set the mask broadcasts, and the same quantity
+    ``band_index_pressure_stats`` / ``maybe_compact_band_index`` police
+    — estimates past the session's broadcast budget, so the compaction
+    policy's trigger always dominates this guard."""
     from pyspark.sql import Window as W
 
     base = spark.table(base_table)
@@ -1000,7 +1001,8 @@ def dedup_against_band_index_versioned(
 
         delta = spark.table(delta_table)
         budget = broadcast_threshold_bytes(spark)
-        est = delta.count() * BCAST_BYTES_PER_ID
+        touched = delta.select("doc_id").distinct()
+        est = touched.count() * BCAST_BYTES_PER_ID
         if 0 < budget < est:
             raise RuntimeError(
                 f"versioned band index delta too large to broadcast-mask "
@@ -1009,14 +1011,16 @@ def dedup_against_band_index_versioned(
                 f"'{delta_table}') or the band_auto_compact pipeline step "
                 f"before probing"
             )
-        touched = delta.select("doc_id").distinct()
-        live_base = base.join(F.broadcast(touched), "doc_id", "anti")
+        # budget <= 0 = operator disabled broadcasting: honor it by
+        # dropping the forced hints too (AQE decides the join side).
+        hint = F.broadcast if budget > 0 else (lambda d: d)
+        live_base = base.join(hint(touched), "doc_id", "anti")
         live_delta = _band_delta_live(delta)
         hit = (
             nb.join(live_base, "band_key", "semi")
             .select(id_col)
             .unionByName(
-                nb.join(F.broadcast(live_delta), "band_key", "semi").select(id_col)
+                nb.join(hint(live_delta), "band_key", "semi").select(id_col)
             )
             .distinct()
         )

@@ -1075,7 +1075,10 @@ def _load_index_relation(
     # guard and NO forced-broadcast hints (AQE still broadcasts a
     # small side at runtime; an oversized one merges as a shuffle
     # join) — compaction must be able to drain exactly the delta the
-    # guard refuses to probe.
+    # guard refuses to probe. budget <= 0 means the operator disabled
+    # broadcasting session-wide: honor that by dropping the forced
+    # hint too (AQE decides), which also removes the blowup the guard
+    # exists to prevent.
     budget = broadcast_threshold_bytes(spark)
     if budget > 0 and not allow_large_delta:
         rows_per_id = PQ_M if name == "pq_codes" else 1
@@ -1104,7 +1107,7 @@ def _load_index_relation(
         .filter(F.col("__rn") == 1)
         .select("point_id", "gen", "tomb")
     )
-    hint = (lambda d: d) if allow_large_delta else F.broadcast
+    hint = (lambda d: d) if (allow_large_delta or budget <= 0) else F.broadcast
     out = df.join(hint(win.select("point_id")), "point_id", "anti")
     if delta is not None:
         live = win.filter(~F.col("tomb")).select("point_id", "gen")

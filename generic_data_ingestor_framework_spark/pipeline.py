@@ -678,8 +678,10 @@ def _step_scd2_apply(df: DataFrame, p: dict) -> DataFrame:
     The frame carries the batch's LATEST state per key
     (key, *attrs, delete_col). An absent table is seeded with the
     batch's non-deleted rows as open rows at ``gen``. ``gen`` is the
-    crawl loop's monotonic batch counter (must exceed every generation
-    already in the table). RETRY-SAFE by merge semantics, not by tags:
+    crawl loop's monotonic batch counter — VALIDATED before merging: a
+    stale gen below the table's newest ``valid_from`` raises instead of
+    silently writing inverted history rows. RETRY-SAFE by merge
+    semantics, not by tags:
     re-applying the same batch is a no-op — an identical update creates
     no version, a delete of an already-closed key closes nothing, an
     insert whose key is now open with identical attrs is a no-op. The
@@ -702,7 +704,10 @@ def _step_scd2_apply(df: DataFrame, p: dict) -> DataFrame:
     )
     table = p["table"]
     if spark.catalog.tableExists(table):
+        from generic_data_ingestor_framework_spark.relational import scd2_validate_gen
+
         hist = spark.table(table)
+        scd2_validate_gen(hist, gen)
         merged = scd2_apply(hist, batch, key, attrs, gen, delete_col)
     else:
         merged = batch.filter(~F.col(delete_col)).select(

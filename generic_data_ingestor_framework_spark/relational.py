@@ -772,6 +772,25 @@ def scd2_apply(
     ).unionByName(out_cur).unionByName(out_new)
 
 
+def scd2_validate_gen(history: DataFrame, gen: int) -> None:
+    """Refuse a STALE generation before an SCD2 merge. ``gen`` must be
+    the crawl loop's monotonic batch counter; replaying a spec with a
+    generation BELOW the table's newest ``valid_from`` would close open
+    rows at ``valid_to < valid_from`` — inverted history rows that no
+    downstream as-of read can interpret. ``gen == max(valid_from)`` is
+    allowed: that is the idempotent replay of the CURRENT batch, whose
+    merge is a documented no-op. One cheap driver-side aggregate."""
+    row = history.agg(F.max("valid_from").alias("m")).first()
+    newest = row["m"] if row and row["m"] is not None else None
+    if newest is not None and gen < int(newest):
+        raise ValueError(
+            f"scd2_apply: stale generation {gen} < table's newest "
+            f"valid_from {newest}; replaying an old batch would write "
+            f"inverted history rows (valid_to < valid_from). Use the "
+            f"crawl loop's current batch counter."
+        )
+
+
 def _scd2_customer_parts(spark: SparkSession, sf_dir: str):
     """Shared fixture for the SCD2 members: the gen-0 history, the two
     deterministic update batches, and the gen-2 touched-key set.

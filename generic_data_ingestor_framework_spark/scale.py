@@ -123,12 +123,19 @@ def broadcast_threshold_bytes(spark) -> int:
     raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")).strip().lower()
     mult = 1
     for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+                      ("tb", 1 << 40), ("pb", 1 << 50),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40), ("p", 1 << 50), ("b", 1)):
         if raw.endswith(suffix):
             raw = raw[: -len(suffix)]
             mult = m
             break
-    return int(raw) * mult
+    try:
+        return int(raw) * mult
+    except ValueError:
+        # An unparseable operator-set value must not crash the pressure
+        # probes; fall back to Spark's 10 MiB default budget.
+        return 10 * (1 << 20)
 
 
 def explain_string(df: DataFrame, mode: str = "simple") -> str:

@@ -1486,12 +1486,18 @@ def stream_scd2_apply(
     inserts, a re-inserted key resurrects.
 
     Exactly-once TWICE over: the micro-batch id is the GENERATION
-    (gen = batch_id + 1; seed rows are gen 0 — the same contract as
+    (gen = batch_id + 1 — the same contract as
     ``stream_ann_index_upsert``), so a failed batch replays under the
     same generation; AND the merge itself is idempotent (re-applying a
     batch the table already reflects changes nothing), so even a replay
     AFTER its overwrite committed is a no-op rewrite. An absent table
-    is seeded by the first batch's non-deleted rows as open rows.
+    is seeded by the first micro-batch's non-deleted rows as open rows
+    AT THAT BATCH'S generation (gen 1 when batch 0 creates the table)
+    — unlike the batch members, whose pre-existing seed rows are gen 0;
+    a stream-created table simply has no gen-0 era. A stale generation
+    (below the table's newest ``valid_from``, possible only if an
+    external writer advanced the table past the stream's checkpoint)
+    fails the batch loudly via ``scd2_validate_gen``.
 
     AvailableNow drains and stops; dropping the trigger makes it a
     continuous applier. Per-batch work is one full-outer merge on the
@@ -1514,7 +1520,13 @@ def stream_scd2_apply(
             ).alias(delete_col),
         )
         if sess.catalog.tableExists(table):
-            merged = scd2_apply(sess.table(table), batch, key, attrs, gen, delete_col)
+            from generic_data_ingestor_framework_spark.relational import (
+                scd2_validate_gen,
+            )
+
+            hist = sess.table(table)
+            scd2_validate_gen(hist, gen)
+            merged = scd2_apply(hist, batch, key, attrs, gen, delete_col)
         else:
             merged = batch.filter(~F.col(delete_col)).select(
                 key,

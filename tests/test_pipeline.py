@@ -681,6 +681,21 @@ def test_pipeline_scd2_apply_step(spark):
         run_pipeline(spark, upd)
         hist2 = spark.table(tbl).collect()
         assert sorted(map(tuple, hist2)) == sorted(map(tuple, hist1))
+
+        # a STALE generation (below the table's newest valid_from)
+        # must refuse loudly instead of writing inverted history rows
+        import pytest
+
+        stale = dict(upd)
+        stale["steps"] = [
+            upd["steps"][0],
+            {"op": "scd2_apply", "table": tbl, "key": "c_custkey",
+             "attrs": ["c_mktsegment"], "gen": 0},
+        ]
+        with pytest.raises(Exception, match="stale generation"):
+            run_pipeline(spark, stale)
+        hist3 = spark.table(tbl).collect()
+        assert sorted(map(tuple, hist3)) == sorted(map(tuple, hist1))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 

@@ -349,3 +349,84 @@ def test_rcte_per_iteration_ceilings(spark):
         assert 0 < len(jobs) <= job_caps[name], (
             f"{name}: {len(jobs)} jobs > cap {job_caps[name]}"
         )
+
+
+def test_broadcast_threshold_bytes_suffixes_and_fallback(spark):
+    """Every byte-size form Spark accepts parses — including t/tb/p/pb
+    (ADVICE r13) — and an unparseable operator-set value falls back to
+    the 10 MiB default instead of crashing the pressure probes."""
+    from generic_data_ingestor_framework_spark.scale import broadcast_threshold_bytes
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    cases = {
+        "10485760": 10 << 20,
+        "10485760b": 10 << 20,
+        "512k": 512 << 10,
+        "10MB": 10 << 20,
+        "2g": 2 << 30,
+        "1tb": 1 << 40,
+        "1t": 1 << 40,
+        "1pb": 1 << 50,
+        "-1": -1,
+    }
+    try:
+        for raw, want in cases.items():
+            spark.conf.set(key, raw)
+            assert broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, orig)
+
+    # Spark's own conf validation rejects garbage at set() time, so the
+    # parse fallback is exercised through a stub session (the probes
+    # must degrade to the 10 MiB default, never crash).
+    class _Conf:
+        def get(self, k, d=None):
+            return "not-a-size"
+
+    class _Stub:
+        conf = _Conf()
+
+    assert broadcast_threshold_bytes(_Stub()) == 10 << 20
+
+
+def test_versioned_probes_respect_broadcast_optout(spark, tmp_path):
+    """autoBroadcastJoinThreshold=-1 means the operator disabled
+    broadcasting: the versioned band/ANN probes must not force a
+    broadcast hint in that config (ADVICE r13) — the plan carries no
+    broadcast exchange, and results are unchanged."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        dedup_against_band_index_versioned,
+        save_band_index_versioned,
+        supersede_band_index,
+    )
+    from generic_data_ingestor_framework_spark.relational import load_table
+    from generic_data_ingestor_framework_spark.scale import explain_string
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").limit(60).cache()
+    base_tbl, delta_tbl = "band_optout_base", "band_optout_delta"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        save_band_index_versioned(spark, docs, base_tbl, delta_tbl)
+        supersede_band_index(
+            spark, docs.limit(5), delta_tbl, 1, "doc_id", "text"
+        )
+        probe = dedup_against_band_index_versioned(
+            spark, docs.limit(20), base_tbl, delta_tbl
+        )
+        expected = sorted(r["doc_id"] for r in probe.collect())
+
+        spark.conf.set(key, "-1")
+        probe_off = dedup_against_band_index_versioned(
+            spark, docs.limit(20), base_tbl, delta_tbl
+        )
+        plan = explain_string(probe_off, "formatted")
+        assert "BroadcastExchange" not in plan
+        assert sorted(r["doc_id"] for r in probe_off.collect()) == expected
+    finally:
+        spark.conf.set(key, orig)
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {delta_tbl}")
+        docs.unpersist()
