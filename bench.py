@@ -24,6 +24,18 @@ cur_probe/prev_probe before flagging, so uniform machine drift (round
 8 burned judge time on 11 phantom ~1.4-1.7x flags whose code was
 byte-identical) no longer reads as a regression.
 
+Round 14: a single run-start probe cannot see load that varies WITHIN
+the run (r13's host drifted 2.18x overall and four untouched TPC-H
+members read as >2x "normalized regressions").  The sf1 harness solved
+this with per-member adjacent probe pairs (tools/bench_scale.py,
+median pair drift 1.007); the same technique now runs here: a smaller
+fixed-size probe is timed immediately BEFORE each member
+(``member_probe``), and ``vs_prev`` normalizes each member by its OWN
+adjacent drift — against the baseline's adjacent probe when the
+baseline recorded one, else within-run variation x the global
+round-over-round drift.  ``BENCH_FULL.json`` carries the full
+per-member probe map so the next round always has the better baseline.
+
 Queries are materialized with a noop write (full computation, no
 driver-side result transfer) after a session warm-up, so timings
 reflect plan execution, not JVM startup.
@@ -184,6 +196,29 @@ def _probe(spark) -> float:
     return round(_median(runs), 4)
 
 
+MEMBER_PROBE_RUNS = 3
+
+
+def _member_probe(spark) -> float:
+    """ADJACENT host probe, timed immediately before each member's
+    measurement block (the bench_scale pair-drift technique): same
+    pinned CPU-bound plan as the global probe at half the rows, median
+    of MEMBER_PROBE_RUNS.  Because the plan never changes across
+    rounds, member_probe_now[n] / member_probe_prev[n] is that member's
+    OWN measured host drift — load varying within a run (r13's 2.18x
+    day) can no longer masquerade as a per-member regression."""
+    runs = []
+    for _ in range(MEMBER_PROBE_RUNS):
+        t0 = time.time()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr("sum(xxhash64(id) % 1000003) AS h", "avg(id) AS a")
+            .write.format("noop").mode("overwrite").save()
+        )
+        runs.append(time.time() - t0)
+    return round(_median(runs), 4)
+
+
 def _load_prev(sf: float) -> tuple[dict, str] | None:
     """Newest usable prior record AT THE SAME SF: prefer the committed
     BENCH_FULL.json (always complete), else walk BENCH_r*.json
@@ -229,7 +264,12 @@ def _recover_from_tail(tail: str) -> dict:
     return {}
 
 
-def _vs_prev(times: dict[str, float], probe_s: float, sf: float) -> dict | None:
+def _vs_prev(
+    times: dict[str, float],
+    probe_s: float,
+    sf: float,
+    member_probe: dict[str, float],
+) -> dict | None:
     loaded = _load_prev(sf)
     if loaded is None:
         return None
@@ -239,28 +279,55 @@ def _vs_prev(times: dict[str, float], probe_s: float, sf: float) -> dict | None:
     if not common:
         return None
     prev_probe = parsed.get("probe_s")
+    prev_mp = parsed.get("member_probe") or {}
     # machine-drift normalizer: how much slower is THIS box right now
     # than when the baseline ran, measured on a byte-identical plan
     drift = (probe_s / prev_probe) if prev_probe else 1.0
+    mp_vals = sorted(v for v in member_probe.values() if v > 0)
+    med_mp = mp_vals[len(mp_vals) // 2] if mp_vals else 0.0
+
+    def _drift_for(n: str) -> float:
+        """Per-member pair drift (r14): the member's ADJACENT probe vs
+        the baseline's adjacent probe when the baseline recorded one;
+        else within-run variation (adjacent / this-run median) times
+        the global round-over-round drift.  Falls back to the global
+        drift when no adjacent probe exists."""
+        mp = member_probe.get(n, 0.0)
+        if mp > 0 and prev_mp.get(n, 0.0) > 0:
+            return mp / prev_mp[n]
+        if mp > 0 and med_mp > 0:
+            return (mp / med_mp) * drift
+        return drift
+
+    pair_drift = {n: round(_drift_for(n), 3) for n in common}
     raw = {n: times[n] / prev_q[n] for n in common}
-    norm = {n: r / drift for n, r in raw.items()}
+    norm = {n: r / _drift_for(n) for n, r in raw.items()}
     prev_total = sum(prev_q[n] for n in common)
     cur_total = sum(times[n] for n in common)
+    cur_total_norm = sum(times[n] / _drift_for(n) for n in common)
+    pd_vals = sorted(pair_drift.values())
     return {
         "baseline": baseline,
         "probe_drift": round(drift, 3),
+        "pair_drift_median": pd_vals[len(pd_vals) // 2] if pd_vals else None,
+        "pair_drift_max": max(pd_vals) if pd_vals else None,
+        "pair_drift_source": "baseline_adjacent" if prev_mp else "within_run",
         "total_ratio": round(cur_total / prev_total, 3) if prev_total else None,
         "total_ratio_norm": (
-            round(cur_total / prev_total / drift, 3) if prev_total else None
+            round(cur_total_norm / prev_total, 3) if prev_total else None
         ),
-        # flag on the NORMALIZED ratio; report raw alongside. A raw
-        # ratio past RAW_RATIO_CEIL flags UNCONDITIONALLY: the probe is
-        # CPU-only, so an IO/shuffle-bound regression landing on a
-        # CPU-slow day would otherwise normalize itself under the
-        # threshold — drift may reclassify moderate ratios, never hide
-        # large ones.
+        # flag on the pair-NORMALIZED ratio; report raw + the member's
+        # measured pair drift alongside. A raw ratio past
+        # RAW_RATIO_CEIL flags UNCONDITIONALLY: the probe is CPU-only,
+        # so an IO/shuffle-bound regression landing on a CPU-slow day
+        # would otherwise normalize itself under the threshold — drift
+        # may reclassify moderate ratios, never hide large ones.
         "regressions": {
-            n: {"norm": round(norm[n], 3), "raw": round(raw[n], 3)}
+            n: {
+                "norm": round(norm[n], 3),
+                "raw": round(raw[n], 3),
+                "pair_drift": pair_drift[n],
+            }
             for n in sorted(norm)
             if norm[n] > REGRESSION_RATIO or raw[n] > RAW_RATIO_CEIL
         },
@@ -269,11 +336,15 @@ def _vs_prev(times: dict[str, float], probe_s: float, sf: float) -> dict | None:
 
 
 def _index_builds_vs_prev(
-    ib_times: dict[str, float], probe_s: float, sf: float
+    ib_times: dict[str, float],
+    probe_s: float,
+    sf: float,
+    member_probe: dict[str, float],
 ) -> dict | None:
     """Round-over-round ratios for the index-build section. Only the
     committed BENCH_FULL.json carries it (driver tails never did), so
-    the baseline read is direct."""
+    the baseline read is direct. Normalization uses each build's
+    adjacent probe pair when the baseline recorded one (r14)."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, FULL_RECORD)) as fh:
@@ -287,13 +358,22 @@ def _index_builds_vs_prev(
     if not common:
         return None
     prev_probe = prev.get("probe_s")
+    prev_mp = prev.get("member_probe") or {}
     drift = (probe_s / prev_probe) if prev_probe else 1.0
+
+    def _drift_for(n: str) -> float:
+        mp = member_probe.get(n, 0.0)
+        if mp > 0 and prev_mp.get(n, 0.0) > 0:
+            return mp / prev_mp[n]
+        return drift
+
     return {
         "probe_drift": round(drift, 3),
         "ratios": {
             n: {
                 "raw": round(ib_times[n] / prev_q[n], 3),
-                "norm": round(ib_times[n] / prev_q[n] / drift, 3),
+                "norm": round(ib_times[n] / prev_q[n] / _drift_for(n), 3),
+                "pair_drift": round(_drift_for(n), 3),
             }
             for n in sorted(common)
         },
@@ -316,8 +396,10 @@ def main() -> None:
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    member_probe: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        member_probe[name] = _member_probe(spark)
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
@@ -339,6 +421,7 @@ def main() -> None:
     ib_cold: dict[str, float] = {}
     for name in INDEX_BUILDS:
         fn = qs[name]
+        member_probe[name] = _member_probe(spark)
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         ib_cold[name] = round(time.time() - t0, 3)
@@ -350,14 +433,19 @@ def main() -> None:
         ib_times[name] = _median(runs)
 
     # vs_prev must read the PRIOR BENCH_FULL.json before we overwrite it
-    vs_prev = _vs_prev(times, probe_s, sf)
-    ib_vs_prev = _index_builds_vs_prev(ib_times, probe_s, sf)
+    vs_prev = _vs_prev(times, probe_s, sf, member_probe)
+    ib_vs_prev = _index_builds_vs_prev(ib_times, probe_s, sf, member_probe)
 
     # release query-phase persisted intermediates so ingest throughput
     # is measured without sf0.1 relations occupying storage memory
     from generic_data_ingestor_framework_spark import clear_caches
 
     clear_caches()
+    # adjacent probe for the ingest measurement too: the reported rps
+    # is raw; ingest_probe_s lets the next round drift-adjust it the
+    # same way the members are (r13's 59.3k->37.0k raw drop was host
+    # drift the single run-start probe could not attribute)
+    ingest_probe_s = _member_probe(spark)
     ingest_rps = _bench_ingest(spark)
 
     total = round(sum(times.values()), 3)
@@ -381,6 +469,8 @@ def main() -> None:
                 "vs_prev": vs_prev,
                 "cold_queries": cold,
                 "spread": spread,
+                "member_probe": member_probe,
+                "ingest_probe_s": ingest_probe_s,
                 "index_builds": {
                     "queries": ib_times,
                     "cold": ib_cold,

@@ -264,6 +264,10 @@ COMPOSITES: dict[str, list[str]] = {
         # row-by-row).
         "ann_recall_report", "ann_probe_tradeoff", "ann_index_stats",
         "ann_index_recrawl", "ann_recall_after_append",
+        # r14: the retrain policy over both health gauges + the ANN
+        # side of the compaction-pressure contract (band twin:
+        # band_index_pressure in dedup_minhash_sig)
+        "ann_retrain_decision", "ann_index_pressure",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",
@@ -292,6 +296,7 @@ COMPOSITES: dict[str, list[str]] = {
         "multimodal_frame_sample", "multimodal_resize_buckets",
         "multimodal_bmp_decode", "multimodal_wav_decode",
         "multimodal_bmp_resize", "multimodal_wav_frames",
+        "multimodal_png_decode",
     ],
     "sampling_family": [
         "sample_hash_mod", "train_val_test_split", "stratified_sample_per_lang",
@@ -301,7 +306,7 @@ COMPOSITES: dict[str, list[str]] = {
     "privacy_family": [
         "pseudonymize_users", "redact_pii",
         "pseudonymize_keyed_rotation", "k_anonymity_audit",
-        "k_anonymize_generalize",
+        "l_diversity_audit", "k_anonymize_generalize",
     ],
     # streaming families
     "event_windows": [

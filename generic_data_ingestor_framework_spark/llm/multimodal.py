@@ -4,16 +4,17 @@ Image/audio/video ride through the engine as ``binary`` columns with
 typed metadata alongside. Two tiers:
 
 - REAL codecs over the production read path: ``multimodal_bmp_decode``
-  / ``multimodal_wav_decode`` write genuine BMP (struct-packed 24bpp)
-  and WAV (stdlib ``wave``) fixture files, read them back through the
-  ``binaryFile`` source, and parse the actual bytes with pure-python
-  decoders inside ``mapInPandas``. The fixtures are derived
-  deterministically from ``doc_id`` formulas, so the DuckDB oracle
-  recomputes the expected width/height/intensity/sample statistics
-  from arithmetic alone — any bug in the encoder, the binaryFile read,
-  or the parser breaks the cross-engine match.
+  / ``multimodal_wav_decode`` / ``multimodal_png_decode`` write genuine
+  BMP (struct-packed 24bpp), WAV (stdlib ``wave``), and PNG (stdlib
+  ``zlib`` deflate, all five scanline filters) fixture files, read
+  them back through the ``binaryFile`` source, and parse the actual
+  bytes with pure-python decoders inside ``mapInPandas``. The fixtures
+  are derived deterministically from ``doc_id`` formulas, so the
+  DuckDB oracle recomputes the expected width/height/intensity/sample
+  statistics from arithmetic alone — any bug in the encoder, the
+  binaryFile read, or the parser breaks the cross-engine match.
 - Plumbing-shape stubs for codecs whose libraries are absent here
-  (JPEG/PNG/ffmpeg): ``decode_stub``/``frame_sample_stub``/
+  (JPEG/ffmpeg): ``decode_stub``/``frame_sample_stub``/
   ``resize_stub`` derive deterministic features from raw bytes so the
   Arrow batch shape, schema, 1→K expansion, and partitioning — exactly
   what a PIL/ffmpeg body would use — stay reproducible and
@@ -251,13 +252,86 @@ def _wav_bytes(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (filter type 4): pick the neighbor —
+    left a, above b, upper-left c — closest to the linear estimate
+    a + b − c, ties resolved left, above, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    """A genuine 8-bit GRAYSCALE PNG built with stdlib ``zlib`` only:
+    signature, IHDR, one deflate-compressed IDAT, IEND. Scanline
+    filters CYCLE through all five types (None/Sub/Up/Average/Paeth,
+    row y uses filter y % 5), so a decoder must implement every
+    unfilter — including the Paeth predictor — to reproduce the pixel
+    statistics; pixel (x, y) is ``(doc_id + 3y + 7x) % 256``."""
+    import zlib
+
+    w = 12 + doc_id % 12
+    h = 6 + doc_id % 6
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        row = bytes((doc_id + 3 * y + 7 * x) % 256 for x in range(w))
+        ft = y % 5
+        raw.append(ft)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                raw.append(row[x])
+            elif ft == 1:
+                raw.append((row[x] - a) % 256)
+            elif ft == 2:
+                raw.append((row[x] - b) % 256)
+            elif ft == 3:
+                raw.append((row[x] - (a + b) // 2) % 256)
+            else:
+                raw.append((row[x] - _paeth(a, b, c)) % 256)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Bump when the fixture corpus gains members: the version is part of
+# the directory name, so an older round's _COMPLETE-marked dir (which
+# would lack the new files) is never reused. v2: + PNG fixtures.
+FIXTURE_VERSION = 2
+
+
 def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the BMP/WAV fixture corpus for ``sf_dir`` (driver-
-    sized: ≤40 small files) and return its path. The path is
-    DETERMINISTIC per sf_dir and reused across sessions and
-    clear_caches() calls (a ``_COMPLETE`` marker gates reuse), so
-    repeated gate/bench runs never accumulate orphaned temp dirs —
-    fixture bytes are pure functions of doc_id, making reuse safe."""
+    """Materialize the BMP/WAV/PNG fixture corpus for ``sf_dir``
+    (driver-sized: ≤60 small files) and return its path. The path is
+    DETERMINISTIC per (sf_dir, FIXTURE_VERSION) and reused across
+    sessions and clear_caches() calls (a ``_COMPLETE`` marker gates
+    reuse), so repeated gate/bench runs never accumulate orphaned temp
+    dirs — fixture bytes are pure functions of doc_id, making reuse
+    safe."""
     import hashlib
     import tempfile
     from pathlib import Path as _P
@@ -265,7 +339,9 @@ def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
 
     def build() -> str:
-        tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+        tag = hashlib.md5(
+            f"{sf_dir}|v{FIXTURE_VERSION}".encode()
+        ).hexdigest()[:12]
         d = _P(tempfile.gettempdir()) / f"gdif_mm_fixtures_{tag}"
         if (d / "_COMPLETE").exists():
             return str(d)
@@ -280,6 +356,7 @@ def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         for i in ids:
             (d / f"img_{i}.bmp").write_bytes(_bmp_bytes(i))
             (d / f"snd_{i}.wav").write_bytes(_wav_bytes(i))
+            (d / f"pic_{i}.png").write_bytes(_png_bytes(i))
         (d / "_COMPLETE").write_text("ok")
         return str(d)
 
@@ -356,6 +433,123 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
     )
     return src.mapInPandas(_decode_bmp_batches, schema=_BMP_SCHEMA)
+
+
+_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("color_type", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def parse_png(b: bytes) -> tuple[int, int, int, int, float]:
+    """Pure-python PNG decode (stdlib ``zlib`` inflate + full scanline
+    unfilter — r13 verdict #5: the one real raster codec the BMP/WAV
+    tier lacked): walk the chunk stream, parse IHDR, inflate the
+    concatenated IDAT data, reverse all five filter types per
+    scanline, and fold the reconstructed pixels into a mean. Supports
+    the fixture profile (8-bit grayscale, no interlace) and refuses
+    anything else loudly — a wrong-profile payload must surface as the
+    NULL-feature row, not a silently wrong mean."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG profile")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG pixel data truncated")
+    total = 0
+    prev = bytes(w)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        recon = bytearray(w)
+        for x in range(w):
+            a = recon[x - 1] if x else 0
+            bb = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + a
+            elif ft == 2:
+                v = line[x] + bb
+            elif ft == 3:
+                v = line[x] + (a + bb) // 2
+            elif ft == 4:
+                v = line[x] + _paeth(a, bb, c)
+            else:
+                raise ValueError(f"unknown PNG filter {ft}")
+            recon[x] = v % 256
+        total += sum(recon)
+        prev = bytes(recon)
+    return w, h, 8, 0, round(total / (w * h) / 255.0, 6)
+
+
+def _decode_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # record-level continue-on-error, same contract as the BMP decoder
+    for pdf in batches:
+        feats = []
+        for b in pdf["content"]:
+            try:
+                feats.append(parse_png(bytes(b)))
+            except Exception:
+                feats.append((None, None, None, None, None))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pd.Series([f[0] for f in feats], dtype="Int32"),
+                "height": pd.Series([f[1] for f in feats], dtype="Int32"),
+                "bit_depth": pd.Series([f[2] for f in feats], dtype="Int32"),
+                "color_type": pd.Series([f[3] for f in feats], dtype="Int32"),
+                "mean_intensity": [f[4] for f in feats],
+            }
+        )
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode over the production path: binaryFile scan of the
+    fixture corpus → partition-parallel stdlib-zlib inflate + unfilter
+    via mapInPandas (the `multimodal_bmp_decode` contract on a
+    compressed format: the decoder must reverse deflate AND all five
+    PNG scanline filters to reproduce the oracle's pixel formula).
+    File-granular parallelism, payload bytes never shuffle; only the
+    typed feature rows leave the map stage."""
+    d = fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(d)
+    )
+    src = files.select(
+        F.regexp_extract(F.col("path"), r"pic_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+    return src.mapInPandas(_decode_png_batches, schema=_PNG_SCHEMA)
 
 
 _WAV_SCHEMA = T.StructType(
@@ -556,6 +750,7 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_bmp_decode": multimodal_bmp_decode,
+    "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_bmp_resize": multimodal_bmp_resize,
     "multimodal_wav_frames": multimodal_wav_frames,
@@ -581,6 +776,25 @@ ORACLES = {
                CAST(24 AS INT) AS bpp,
                round(CAST(sum(v * (16 + doc_id % 16) * 3) AS DOUBLE)
                      / CAST(sum((16 + doc_id % 16) * 3) AS DOUBLE) / 255.0, 6)
+                 AS mean_intensity
+        FROM px GROUP BY doc_id
+    """,
+    # The PNG oracle is the same pixel-formula arithmetic as the BMP
+    # one: matching it requires the Spark side to have deflated,
+    # inflated, and unfiltered (all five filter types) correctly.
+    "multimodal_png_decode": f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE {FIXTURE_PRED}),
+        px AS (
+          SELECT doc_id, (doc_id + 3 * t.y + 7 * u.x) % 256 AS v
+          FROM ids, range(0, 12) t(y), range(0, 24) u(x)
+          WHERE t.y < 6 + doc_id % 6 AND u.x < 12 + doc_id % 12
+        )
+        SELECT doc_id,
+               CAST(12 + doc_id % 12 AS INT) AS width,
+               CAST(6 + doc_id % 6 AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(0 AS INT) AS color_type,
+               round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6)
                  AS mean_intensity
         FROM px GROUP BY doc_id
     """,

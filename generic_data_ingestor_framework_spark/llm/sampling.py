@@ -331,6 +331,63 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIVERSITY_THRESHOLDS = (2, 3, 4, 5)
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit — the standard companion to ``k_anonymity_audit``
+    (r13 verdict #7): k-anonymity bounds group SIZE, but a group whose
+    sensitive attribute is homogeneous still leaks it (the homogeneity
+    attack); a release is l-diverse when every QI group carries at
+    least l DISTINCT sensitive values. QI here is the k-audit's tuple
+    minus the sensitive attribute — ``(c_nationkey,
+    floor(c_acctbal / 1000))`` — with ``c_mktsegment`` as the
+    sensitive value. Output mirrors the k-audit: one row per policy
+    threshold l with the groups below l, the rows at homogeneity risk,
+    their corpus share in basis points (integer math), and the group
+    count.
+
+    Scale shape: one groupBy on the QI tuple with a count-distinct
+    over the sensitive column (two-phase hash aggregate, map-side
+    partials), then a threshold × histogram broadcast fold over the
+    aggregate-sized group relation."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("bigint").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    groups = qi.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("gsz"),
+        F.countDistinct("c_mktsegment").alias("ndist"),
+    )
+    ls = spark.createDataFrame([(l,) for l in L_DIVERSITY_THRESHOLDS], "l int")
+    tot = groups.agg(
+        F.sum("gsz").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return (
+        groups.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.sum(F.when(F.col("ndist") < F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below_l"),
+            F.sum(F.when(F.col("ndist") < F.col("l"), F.col("gsz")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below_l"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l",
+            "groups_below_l",
+            "rows_below_l",
+            F.expr("(rows_below_l * 10000) DIV n_rows").alias("risk_share_bp"),
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+        )
+        .orderBy("l")
+    )
+
+
 K_ANON_K = 10
 COARSE_BUCKET = 5000  # level-1 generalization grain for c_acctbal
 
@@ -402,6 +459,7 @@ QUERIES = {
     "shard_export_assignment": shard_export_assignment,
     "pseudonymize_keyed_rotation": pseudonymize_keyed_rotation,
     "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
     "k_anonymize_generalize": k_anonymize_generalize,
     "mix_resample_equalized": mix_resample_equalized,
     "sample_hash_mod": sample_hash_mod,
@@ -538,6 +596,30 @@ ORACLES = {
                     // (SELECT n_rows FROM tot) AS BIGINT) AS risk_share_bp,
                (SELECT n_groups FROM tot) AS n_groups
         FROM g, ks GROUP BY k ORDER BY k
+    """,
+    "l_diversity_audit": f"""
+        WITH g AS (
+          SELECT c_nationkey,
+                 CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal_bucket,
+                 CAST(count(*) AS BIGINT) AS gsz,
+                 CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ndist
+          FROM customer GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT CAST(sum(gsz) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_groups
+          FROM g
+        ),
+        ls AS (SELECT unnest([{", ".join(str(l) for l in L_DIVERSITY_THRESHOLDS)}]) AS l)
+        SELECT CAST(l AS INT) AS l,
+               CAST(sum(CASE WHEN ndist < l THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_l,
+               CAST(sum(CASE WHEN ndist < l THEN gsz ELSE 0 END) AS BIGINT)
+                 AS rows_below_l,
+               CAST((sum(CASE WHEN ndist < l THEN gsz ELSE 0 END) * 10000)
+                    // (SELECT n_rows FROM tot) AS BIGINT) AS risk_share_bp,
+               (SELECT n_groups FROM tot) AS n_groups
+        FROM g, ls GROUP BY l ORDER BY l
     """,
     "k_anonymize_generalize": f"""
         WITH q AS (

@@ -1449,11 +1449,19 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+# Default retrain-policy thresholds (basis points): the hottest IVF
+# cell may hold at most 20% of the corpus, and no append wave's recall
+# may fall below 80%. Shared by the pure function's defaults, the gate
+# member, and its DuckDB oracle.
+RETRAIN_MAX_CELL_SHARE_BP = 2000
+RETRAIN_MIN_RECALL_BP = 8000
+
+
 def ann_retrain_decision(
     stats_rows,
     recall_rows,
-    max_cell_share_bp: int = 2000,
-    min_recall_bp: int = 8000,
+    max_cell_share_bp: int = RETRAIN_MAX_CELL_SHARE_BP,
+    min_recall_bp: int = RETRAIN_MIN_RECALL_BP,
 ) -> dict:
     """The RETRAIN decision as a pure function over the two index-health
     gauges — ``ann_index_stats`` (COST: per-cell share of the corpus;
@@ -2064,6 +2072,110 @@ def _session_tag(spark: SparkSession) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
 
 
+def ann_retrain_decision_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate member for the RETRAIN policy (r13 verdict #2): run the two
+    index-health gauges — ``ann_index_stats`` (cost: hottest cell's
+    corpus share) and ``ann_recall_after_append`` (recall: worst append
+    wave) — then replay ``ann_retrain_decision`` under FOUR threshold
+    scenarios so both policy branches are value-pinned at every SF:
+
+    1. never fires (max_cell 10001, min_recall 0) — healthy verdict;
+    2. cell-skew branch fires (max_cell = hottest − 1);
+    3. recall-drift branch fires (min_recall = worst + 1);
+    4. the operational defaults (RETRAIN_MAX_CELL_SHARE_BP /
+       RETRAIN_MIN_RECALL_BP).
+
+    Derived thresholds (2, 3) make the firing branches deterministic
+    at any scale factor without assuming the gauges' values; the
+    DuckDB oracle recomputes the same gauges from the trained
+    trajectory and replays the same four scenarios. The gauges are
+    aggregate-sized collects (cells / 3 waves); the decision itself is
+    driver arithmetic — the policy's documented shape."""
+    stats_rows = ann_index_stats(spark, sf_dir).collect()
+    recall_rows = ann_recall_after_append(spark, sf_dir).collect()
+    hottest = max(int(r["share_bp"]) for r in stats_rows)
+    worst = min(int(r["recall_bp"]) for r in recall_rows)
+    scenarios = [
+        (1, 10001, 0),
+        (2, hottest - 1, 0),
+        (3, 10001, worst + 1),
+        (4, RETRAIN_MAX_CELL_SHARE_BP, RETRAIN_MIN_RECALL_BP),
+    ]
+    rows = []
+    for s, mc, mr in scenarios:
+        dec = ann_retrain_decision(stats_rows, recall_rows, mc, mr)
+        rows.append((
+            s, mc, mr,
+            dec["hottest_cell_share_bp"], dec["worst_wave_recall_bp"],
+            dec["retrain"], ",".join(dec["reasons"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "scenario int, max_cell_share_bp bigint, min_recall_bp bigint, "
+        "hottest_cell_share_bp bigint, worst_wave_recall_bp bigint, "
+        "retrain boolean, reasons string",
+    )
+
+
+def ann_index_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate member for the ANN family's COMPACTION-PRESSURE policy —
+    the vector twin of ``band_index_pressure`` (r13 verdict #3: the
+    band side had a gate member, the ANN side was pytest+pipeline
+    only). Drive the recrawl cohorts into a pressure-only persisted
+    index (supersede vec_id%5==0 at gen 1 with reversed vectors,
+    tombstone vec_id%7==3 at gen 2 — the ~31% touched cohort exceeds
+    the default 10% policy at every SF), measure the delta/base
+    pressure, run ``maybe_compact_ann_index`` — it MUST fire — and
+    measure again. Stage 1 pins the observed pressure (delta ids = the
+    touched cohort, base ids = all candidates); stage 2 pins the
+    enforcement (delta drained, pressure 0, base = the effective
+    corpus: candidates minus the tombstoned cohort). The DuckDB oracle
+    recomputes both stages from the id cohorts alone — the pressure
+    contract is pure counting.
+
+    Scale shape: the pressure probe is parquet-metadata counts plus
+    one distinct over the batch-sized marks; compaction is the one
+    full rewrite the policy exists to schedule."""
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        hadoop_list_dirs,
+    )
+
+    base = _ann_index_root(spark, sf_dir)
+    root = base + "_pressure_" + _session_tag(spark)
+    # reap ALL foreign pressure roots — safe under the single-writer-
+    # per-warehouse contract (see ann_index_crawl)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    prefix = (base + "_pressure_").rstrip("/").split("/")[-1]
+    for sub in hadoop_list_dirs(spark, wh):
+        if sub.rstrip("/").split("/")[-1].startswith(prefix):
+            hadoop_delete(spark, sub)
+    hadoop_delete(spark, root)  # idempotent re-runs
+    save_ann_index(spark, sf_dir, root)
+    vecs = _vectors(spark, sf_dir)
+    cand = F.col("vec_id") >= N_QUERY
+    changed = vecs.filter(cand & (F.col("vec_id") % RECRAWL_CHANGED_MOD == 0)).select(
+        "vec_id", F.reverse(F.col("v")).alias("v")
+    )
+    deleted = vecs.filter(
+        cand & (F.col("vec_id") % RECRAWL_DELETED_MOD == RECRAWL_DELETED_RES)
+    ).select("vec_id")
+    supersede_ann_index(spark, changed, root, "pressure_b1", gen=1)
+    delete_ann_index_ids(spark, deleted, root, "pressure_b2", gen=2)
+    p1 = ann_index_pressure_stats(spark, root)
+    dec = maybe_compact_ann_index(spark, root)
+    p2 = ann_index_pressure_stats(spark, root)
+    rows = [
+        (1, p1["base_ids"], p1["delta_ids"], p1["pressure_bp"], False),
+        (2, p2["base_ids"], p2["delta_ids"], p2["pressure_bp"], dec["compacted"]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage int, base_ids bigint, delta_ids bigint, pressure_bp bigint, "
+        "compacted boolean",
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embed_quantize_int8": embed_quantize_int8,
@@ -2085,6 +2197,8 @@ QUERIES = {
     "ann_index_stats": ann_index_stats,
     "ann_index_recrawl": ann_index_recrawl,
     "ann_recall_after_append": ann_recall_after_append,
+    "ann_retrain_decision": ann_retrain_decision_member,
+    "ann_index_pressure": ann_index_pressure,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -2765,6 +2879,84 @@ ORACLES["ann_recall_after_append"] = f"""
         SELECT * FROM agg0
         UNION ALL SELECT * FROM agg1
         UNION ALL SELECT * FROM agg2
+"""
+
+# The retrain-decision oracle recomputes BOTH gauges from the trained
+# trajectory (hottest cell share from the assignment histogram, worst
+# wave recall from the three append waves) and replays the same four
+# threshold scenarios the member runs — thresholds 2 and 3 are DERIVED
+# from the gauges (hottest−1 / worst+1), so the firing branches are
+# deterministic at any SF without pinning gauge values.
+ORACLES["ann_retrain_decision"] = f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        {_ASSIGNED_CTE},
+        {",".join(_recall_stage_ctes(b) for b in (0, 1, 2))},
+        gauges AS (
+          SELECT
+            (SELECT CAST(max(share_bp) AS BIGINT) FROM (
+               SELECT (count(*) * 10000)
+                        // (SELECT count(*) FROM assigned) AS share_bp
+               FROM assigned GROUP BY cell)) AS hottest,
+            (SELECT CAST(min(recall_bp) AS BIGINT) FROM (
+               SELECT recall_bp FROM agg0
+               UNION ALL SELECT recall_bp FROM agg1
+               UNION ALL SELECT recall_bp FROM agg2)) AS worst
+        ),
+        scen AS (
+          SELECT 1 AS scenario, CAST(10001 AS BIGINT) AS max_cell,
+                 CAST(0 AS BIGINT) AS min_recall FROM gauges
+          UNION ALL SELECT 2, hottest - 1, 0 FROM gauges
+          UNION ALL SELECT 3, 10001, worst + 1 FROM gauges
+          UNION ALL SELECT 4, {RETRAIN_MAX_CELL_SHARE_BP},
+                            {RETRAIN_MIN_RECALL_BP} FROM gauges
+        )
+        SELECT CAST(s.scenario AS INT) AS scenario,
+               s.max_cell AS max_cell_share_bp,
+               s.min_recall AS min_recall_bp,
+               g.hottest AS hottest_cell_share_bp,
+               g.worst AS worst_wave_recall_bp,
+               (g.hottest > s.max_cell OR g.worst < s.min_recall) AS retrain,
+               concat_ws(',',
+                 CASE WHEN g.hottest > s.max_cell
+                      THEN 'cell_skew:' || g.hottest || 'bp>'
+                           || s.max_cell || 'bp' END,
+                 CASE WHEN g.worst < s.min_recall
+                      THEN 'recall_drift:' || g.worst || 'bp<'
+                           || s.min_recall || 'bp' END) AS reasons
+        FROM scen s, gauges g
+        ORDER BY scenario
+"""
+
+# The pressure oracle is pure counting over the id cohorts: stage 1's
+# delta is the touched set (changed ∪ deleted), stage 2's base is the
+# effective corpus (candidates minus the tombstoned cohort — the
+# changed cohort is REPLACED, not removed).
+ORACLES["ann_index_pressure"] = f"""
+        WITH cand AS (
+          SELECT vec_id FROM embeddings WHERE vec_id >= {N_QUERY}
+        ),
+        touched AS (
+          SELECT vec_id FROM cand WHERE vec_id % {RECRAWL_CHANGED_MOD} = 0
+          UNION
+          SELECT vec_id FROM cand
+          WHERE vec_id % {RECRAWL_DELETED_MOD} = {RECRAWL_DELETED_RES}
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS base FROM cand),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS delta FROM touched),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS ngone FROM cand
+              WHERE vec_id % {RECRAWL_DELETED_MOD} = {RECRAWL_DELETED_RES})
+        SELECT CAST(1 AS INT) AS stage, n.base AS base_ids,
+               t.delta AS delta_ids,
+               CAST((t.delta * 10000) // n.base AS BIGINT) AS pressure_bp,
+               false AS compacted
+        FROM n, t
+        UNION ALL
+        SELECT CAST(2 AS INT), n.base - g.ngone, CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), true
+        FROM n, g
 """
 
 # The recrawl oracle rebuilds assignment/codes/norms over the EFFECTIVE

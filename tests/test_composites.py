@@ -66,7 +66,8 @@ def test_doc_member_count_literals_match_registry():
     from pathlib import Path
 
     n = len(composite.MEMBER_QUERIES)
-    found = 0
+    n_entries = len(composite.registered_queries())
+    found = found_entries = 0
     for doc in ("README.md", "COVERAGE.md"):
         text = Path(__file__).resolve().parents[1].joinpath(doc).read_text()
         for m in re.finditer(r"<!-- member-count -->(\d+)(?:/(\d+))?", text):
@@ -74,7 +75,15 @@ def test_doc_member_count_literals_match_registry():
             assert int(m.group(1)) == n, f"{doc} quotes {m.group(1)} members; registry holds {n}"
             if m.group(2):
                 assert int(m.group(2)) == n, f"{doc} quotes /{m.group(2)} members; registry holds {n}"
+        # same discipline for the registered-entry count (r13 verdict #8)
+        for m in re.finditer(r"<!-- entry-count -->(\d+)", text):
+            found_entries += 1
+            assert int(m.group(1)) == n_entries, (
+                f"{doc} quotes {m.group(1)} registered entries; "
+                f"registry holds {n_entries}"
+            )
     assert found >= 2, "member-count markers missing from README/COVERAGE"
+    assert found_entries >= 1, "entry-count marker missing from README"
 
 
 @pytest.mark.parametrize(

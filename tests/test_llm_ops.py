@@ -630,6 +630,56 @@ def test_multimodal_decoders_null_out_corrupt_payloads(spark, tmp_path):
     assert wout.loc[wout.doc_id == 1, "n_frames"].iloc[0] == 100 + 5 % 50
     assert wout.loc[wout.doc_id == 2, "n_frames"].isna().all()
 
+    png = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "content": [
+                mm._png_bytes(7),
+                mm._PNG_SIG + b"truncated-after-signature",
+                b"\x89PNGnope",
+            ],
+        }
+    )
+    pout = pd.concat(list(mm._decode_png_batches(iter([png]))))
+    assert pout.loc[pout.doc_id == 1, "width"].iloc[0] == 12 + 7 % 12
+    assert pout.loc[pout.doc_id == 2, "width"].isna().all()
+    assert pout.loc[pout.doc_id == 3, "width"].isna().all()
+
+
+def test_png_codec_exercises_all_five_filters():
+    """The fixture encoder cycles filter types per scanline (y % 5) and
+    the decoder must reverse every one — including the Paeth
+    predictor — to reproduce the pixel formula. Heights are >= 6, so
+    every fixture contains all five filter types; this pins the
+    round-trip across the id space plus an unsupported-profile
+    refusal (RGB PNGs must surface as the NULL row, never a silently
+    wrong mean)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from generic_data_ingestor_framework_spark.llm import multimodal as mm
+
+    for i in (0, 3, 25, 150, 526, 999):
+        w, h, depth, color, mean = mm.parse_png(mm._png_bytes(i))
+        ew, eh = 12 + i % 12, 6 + i % 6
+        assert (w, h, depth, color) == (ew, eh, 8, 0)
+        pix = [(i + 3 * y + 7 * x) % 256 for y in range(eh) for x in range(ew)]
+        assert mean == round(sum(pix) / len(pix) / 255.0, 6)
+        assert eh >= 5  # all five filter types present
+    # unsupported profile: a 2x1 RGB (color type 2) image
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + b"\x01\x02\x03\x04\x05\x06")
+    rgb = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", idat)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG profile"):
+        mm.parse_png(rgb)
+
 
 def test_cachemgr_releases_previous_session_on_takeover():
     """The registry must not pin a stopped session once a new session
