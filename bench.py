@@ -163,6 +163,10 @@ INDEX_BUILDS = [
     # r13: the compaction-pressure policy gate (save + supersede +
     # delete + auto-compact)
     "band_index_pressure",
+    # r14: the ANN-side pressure gate and the streaming index
+    # maintainer (save + 2 CDC micro-batches + effective-view probe)
+    "ann_index_pressure",
+    "stream_ann_index_maintain",
 ]
 
 REGRESSION_RATIO = 1.3

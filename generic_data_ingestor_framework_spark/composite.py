@@ -264,10 +264,12 @@ COMPOSITES: dict[str, list[str]] = {
         # row-by-row).
         "ann_recall_report", "ann_probe_tradeoff", "ann_index_stats",
         "ann_index_recrawl", "ann_recall_after_append",
-        # r14: the retrain policy over both health gauges + the ANN
+        # r14: the retrain policy over both health gauges, the ANN
         # side of the compaction-pressure contract (band twin:
-        # band_index_pressure in dedup_minhash_sig)
+        # band_index_pressure in dedup_minhash_sig), and the streaming
+        # index maintainer served end-to-end
         "ann_retrain_decision", "ann_index_pressure",
+        "stream_ann_index_maintain",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",

@@ -2176,6 +2176,112 @@ def ann_index_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate member for the STREAMING ANN index maintainer
+    (``streaming.stream_ann_index_upsert`` — r13 verdict #6: the
+    stateful maintainer that matters at 100 TB had no measured scaling
+    number): save the full-corpus index to a member-owned root, drop
+    the recrawl cohorts as a crawler's CDC files — batch 0 upserts
+    every vec_id%5==0 candidate with its dimension-reversed vector
+    (gen 1), batch 1 deletes every vec_id%7==3 candidate (gen 2) —
+    drain the availableNow stream, then serve IVF top-k from the
+    EFFECTIVE view. The result must equal ``ann_index_recrawl``'s
+    phase 1 exactly (same cohorts, same transforms, generations
+    assigned by micro-batch id instead of explicit arguments), so the
+    oracle recomputes assignment and probe over the effective corpus
+    from the saved quantizers.
+
+    The change files are driver-written fixtures (a crawler's drop
+    files are batch-sized by definition); the maintainer itself is the
+    distributed path under test — per-batch centroid scoring + PQ
+    encode through the SAVED quantizers, per-tag overwrite
+    subdirectories, meta recomputed from the effective view. Scale
+    shape: per-batch work is batch-sized; the final probe is the
+    standard cell-gated join."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from generic_data_ingestor_framework_spark.fileops import (
+        hadoop_delete,
+        hadoop_list_dirs,
+    )
+
+    base = _ann_index_root(spark, sf_dir)
+    root = base + "_streamidx_" + _session_tag(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    prefix = (base + "_streamidx_").rstrip("/").split("/")[-1]
+    for sub in hadoop_list_dirs(spark, wh):
+        if sub.rstrip("/").split("/")[-1].startswith(prefix):
+            hadoop_delete(spark, sub)
+    hadoop_delete(spark, root)  # idempotent re-runs
+    save_ann_index(spark, sf_dir, root)
+
+    vecs = _vectors(spark, sf_dir)
+    cand = F.col("vec_id") >= N_QUERY
+    changed = vecs.filter(cand & (F.col("vec_id") % RECRAWL_CHANGED_MOD == 0)).select(
+        "vec_id", F.reverse(F.col("v")).alias("v")
+    )
+    deleted = vecs.filter(
+        cand & (F.col("vec_id") % RECRAWL_DELETED_MOD == RECRAWL_DELETED_RES)
+    ).select("vec_id")
+
+    src = tempfile.mkdtemp(prefix="gdif_annstream_src_")
+    ckpt = tempfile.mkdtemp(prefix="gdif_annstream_ckpt_")
+    try:
+        with open(f"{src}/00_upserts.json", "w") as fh:
+            for r in changed.collect():
+                fh.write(_json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["v"]),
+                     "op": "upsert"}
+                ) + "\n")
+        with open(f"{src}/01_deletes.json", "w") as fh:
+            for r in deleted.collect():
+                fh.write(_json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": [], "op": "delete"}
+                ) + "\n")
+        # micro-batch order IS the generation order: pin it via mtime
+        # (the file source picks oldest-first), one file per trigger
+        now = os.path.getmtime(f"{src}/00_upserts.json")
+        os.utime(f"{src}/00_upserts.json", (now - 10, now - 10))
+        os.utime(f"{src}/01_deletes.json", (now, now))
+
+        from pyspark.sql import types as T
+
+        from generic_data_ingestor_framework_spark.streaming import (
+            stream_ann_index_upsert,
+        )
+
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("op", T.StringType()),
+        ])
+        stream_ann_index_upsert(spark, src, root, ckpt, schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    cdf = spark.read.parquet(f"{root}/ivf_centroids")
+    assigned = _load_index_relation(spark, root, "ivf_assigned")
+    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
+    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    return _ivf_topk(
+        spark,
+        sf_dir,
+        N_PROBES,
+        cdf=cdf,
+        assigned=assigned.filter(F.col("cell").isin(cells)),
+        probed=probed,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embed_quantize_int8": embed_quantize_int8,
@@ -2199,6 +2305,7 @@ QUERIES = {
     "ann_recall_after_append": ann_recall_after_append,
     "ann_retrain_decision": ann_retrain_decision_member,
     "ann_index_pressure": ann_index_pressure,
+    "stream_ann_index_maintain": stream_ann_index_maintain,
 }
 
 _DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
@@ -2928,6 +3035,41 @@ ORACLES["ann_retrain_decision"] = f"""
                            || s.min_recall || 'bp' END) AS reasons
         FROM scen s, gauges g
         ORDER BY scenario
+"""
+
+# The streaming maintainer lands the recrawl cohorts through
+# micro-batch generations; the served result must equal the batch
+# recrawl's phase 1 — assignment and probe recomputed over the
+# effective corpus from the saved (original-corpus-trained) quantizers.
+ORACLES["stream_ann_index_maintain"] = f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_ctes()},
+        evecs AS MATERIALIZED (
+          SELECT vec_id, v FROM vecs WHERE vec_id < {N_QUERY}
+          UNION ALL
+          SELECT vec_id,
+                 CASE WHEN vec_id % {RECRAWL_CHANGED_MOD} = 0
+                      THEN list_reverse(v) ELSE v END AS v
+          FROM vecs
+          WHERE vec_id >= {N_QUERY}
+            AND vec_id % {RECRAWL_DELETED_MOD} <> {RECRAWL_DELETED_RES}
+        ),
+        ecand AS MATERIALIZED (
+          SELECT vec_id AS point_id, v AS pv, {_NORM_FAST.format(a='v')} AS pn
+          FROM evecs WHERE vec_id >= {N_QUERY}),
+        eassign AS MATERIALIZED (
+          SELECT c.point_id, c.pv, c.pn, -p.pick.nc AS cell FROM (
+            SELECT c.point_id,
+                   max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
+                         / (c.pn * s.cn), 6),
+                       nc := -s.centroid_id)) AS pick
+            FROM ecand c, {_CENT_FINAL} s GROUP BY c.point_id) p
+          JOIN ecand c USING (point_id)),
+        {_ivf_probe_ctes(N_PROBES, assigned_rel="eassign")}
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM ivf
 """
 
 # The pressure oracle is pure counting over the id cohorts: stage 1's

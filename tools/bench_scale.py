@@ -172,6 +172,15 @@ QUERIES = [
     "k_anonymity_audit",
     "k_anonymize_generalize",
     "stream_session_windows",
+    # r14: the new gate members — retrain policy (runs both gauges),
+    # the ANN pressure/auto-compact cycle, the STREAMING index
+    # maintainer (the stateful one that matters at 100 TB — r13
+    # verdict #6), l-diversity, and the real PNG decode
+    "ann_retrain_decision",
+    "ann_index_pressure",
+    "stream_ann_index_maintain",
+    "l_diversity_audit",
+    "multimodal_png_decode",
 ]
 
 
