@@ -1804,9 +1804,12 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     grown corpus is the lazy union of those checkpointed blocks — wave
     b never re-scores waves < b against the centroids (the r12
     blemish: full per-wave re-assignment cost 24 warm shuffles and a
-    2.62× decade ratio), and both the brute truth and the probe join
-    read the SAME assignment relation (it carries the vectors and
-    norms), so nothing corpus-sized is materialized twice. Per-point
+    2.62× decade ratio), and the brute truth and the IVF probe are a
+    SINGLE fused pass over the assignment relation (r13 verdict #4:
+    the probe join used to re-scan the corpus and re-compute every
+    dot product; now in-probe membership is a broadcast (query, cell)
+    lookup and both ranks come from one window), so the grown corpus
+    is scanned once per wave, not twice. Per-point
     assignment is independent of other points, so batch-only
     assignment is bit-identical to full re-assignment. The re-key
     offset, the candidate count, and the per-batch checkpoints are
@@ -1875,32 +1878,47 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = F.round(
             _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6
         )
-        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
-        truth = (
-            a_acc.select("point_id", "pv", "pn")
-            .crossJoin(F.broadcast(qn))
-            .withColumn("cos_sim", sim)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "point_id")
-        )
+        # FUSED truth+IVF pass (r13 verdict #4): one corpus scan per
+        # wave instead of two. The crossJoin rows carry the point's
+        # assigned cell, so "would the IVF probe see this point" is a
+        # broadcast (query_id, cell) lookup — in_probe — not a second
+        # corpus-sized join, and every dot product is computed ONCE.
+        # Both ranks come from the SAME window order: truth rank is
+        # row_number; the IVF rank of an in-probe row is the running
+        # count of in-probe rows up to it (identical to row_number
+        # over the probe-filtered subset under the same ordering).
+        # A hit is then truth_rank<=K ∧ in_probe ∧ ivf_rank<=K, and the
+        # old truth⋈ivf recall join collapses into the aggregate.
         probed = _nearest_cells(cdf, qn, "qv", "qn", "query_id", N_PROBES)
-        ivf = (
-            # broadcast the queries×n_probes side: the corpus-sized
-            # assignment must not shuffle for a handful of probe rows
-            F.broadcast(probed)
-            .join(a_acc, "cell")
+        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
+        w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        scored = (
+            a_acc.select("point_id", "pv", "pn", "cell")
+            .crossJoin(F.broadcast(qn))
+            .join(
+                F.broadcast(
+                    probed.select("query_id", "cell", F.lit(1).alias("in_probe"))
+                ),
+                ["query_id", "cell"],
+                "left",
+            )
             .withColumn("cos_sim", sim)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "point_id", F.lit(1).alias("hit"))
+            .withColumn("truth_rank", F.row_number().over(w))
+            .withColumn(
+                "ivf_rank", F.sum(F.coalesce("in_probe", F.lit(0))).over(w_run)
+            )
+            .filter(F.col("truth_rank") <= TOP_K)
         )
         n_corpus = (b + 1) * n_cand  # 1:1 batches — no count job
         outs.append(
-            truth.join(ivf, ["query_id", "point_id"], "left")
-            .agg(
+            scored.agg(
                 F.count(F.lit(1)).alias("k"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                F.sum(
+                    (
+                        (F.col("in_probe") == 1)
+                        & (F.col("ivf_rank") <= TOP_K)
+                    ).cast("long")
+                )
                 .cast("bigint")
                 .alias("n_hits"),
             )
