@@ -146,6 +146,13 @@ HEADLINE = [
     "pseudonymize_keyed_rotation",
     "k_anonymity_audit",
     "k_anonymize_generalize",
+    # r14: retrain policy + the A/B that acts on it, the privacy-trio
+    # completions, and the real PNG decode
+    "ann_retrain_decision",
+    "ann_retrain_execute",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "multimodal_png_decode",
 ]
 
 # Index-WRITE workloads (cross-run persisted index crawl loops): real

@@ -270,6 +270,9 @@ COMPOSITES: dict[str, list[str]] = {
         # index maintainer served end-to-end
         "ann_retrain_decision", "ann_index_pressure",
         "stream_ann_index_maintain",
+        # r14: the decision ACTED ON — retrain over the grown corpus,
+        # recall measured before/after per query wave
+        "ann_retrain_execute",
     ],
     "text_tokens": [
         "token_stats", "context_length_buckets", "corpus_mix_weights",
@@ -308,7 +311,7 @@ COMPOSITES: dict[str, list[str]] = {
     "privacy_family": [
         "pseudonymize_users", "redact_pii",
         "pseudonymize_keyed_rotation", "k_anonymity_audit",
-        "l_diversity_audit", "k_anonymize_generalize",
+        "l_diversity_audit", "t_closeness_audit", "k_anonymize_generalize",
     ],
     # streaming families
     "event_windows": [

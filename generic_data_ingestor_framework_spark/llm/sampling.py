@@ -455,11 +455,104 @@ def k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T_CLOSENESS_THRESHOLDS_BP = (500, 1000, 2000, 3000)
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit — the third leg of the release-audit trio
+    (k-anonymity bounds group SIZE, l-diversity bounds sensitive
+    CARDINALITY, t-closeness bounds sensitive DISTRIBUTION): a QI
+    group whose sensitive-value mix diverges far from the corpus-wide
+    mix leaks probabilistic information even when it is large and
+    diverse (the skewness attack). Distance is total variation
+    ½·Σ|p_g(s) − p(s)| in EXACT integer basis points —
+    ``(10000·Σ|n_gs·N − n_s·n_g|) DIV (2·n_g·N)`` — so the gate
+    hash-matches DuckDB with no float in sight. QI and sensitive
+    attribute mirror ``l_diversity_audit``: ``(c_nationkey,
+    floor(c_acctbal/1000))`` vs ``c_mktsegment``. Output: one row per
+    policy threshold t with the groups whose TVD exceeds t, the rows
+    they hold, their corpus share (bp), the group count, and the
+    corpus-wide maximum TVD — the release decision plus the headroom
+    number an operator reads off.
+
+    Scale shape: one (QI, sensitive) groupBy (single shuffle,
+    map-side combinable); the group histogram is aggregate-sized, the
+    sensitive alphabet is broadcast (a handful of segments), and the
+    absent-(g,s) terms come from the group×alphabet broadcast cross —
+    never from a second corpus scan."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("bigint").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    gs = qi.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gs")
+    )
+    g = gs.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n_gs").cast("bigint").alias("n_g")
+    )
+    glob = qi.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    tot = glob.agg(F.sum("n_s").cast("bigint").alias("n_tot"))
+    # group × sensitive-alphabet cross (aggregate-sized × tiny), left
+    # join the observed (g, s) counts so absent pairs contribute the
+    # full n_s·n_g deviation
+    tvd = (
+        g.crossJoin(F.broadcast(glob))
+        .join(gs, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .withColumn("n_gs", F.coalesce("n_gs", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "bal_bucket", "n_g", "n_tot")
+        .agg(
+            F.sum(F.abs(F.col("n_gs") * F.col("n_tot") - F.col("n_s") * F.col("n_g")))
+            .cast("bigint")
+            .alias("dev")
+        )
+        .select(
+            "n_g",
+            F.expr("(dev * 10000) DIV (2 * n_g * n_tot)").alias("tvd_bp"),
+        )
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in T_CLOSENESS_THRESHOLDS_BP], "t_bp int"
+    )
+    tot2 = tvd.agg(
+        F.sum("n_g").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("tvd_bp").alias("max_tvd_bp"),
+    )
+    return (
+        tvd.crossJoin(F.broadcast(ts))
+        .groupBy("t_bp")
+        .agg(
+            F.sum(F.when(F.col("tvd_bp") > F.col("t_bp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_above_t"),
+            F.sum(F.when(F.col("tvd_bp") > F.col("t_bp"), F.col("n_g")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_above_t"),
+        )
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "t_bp",
+            "groups_above_t",
+            "rows_above_t",
+            F.expr("(rows_above_t * 10000) DIV n_rows").alias("risk_share_bp"),
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            F.col("max_tvd_bp").cast("bigint").alias("max_tvd_bp"),
+        )
+        .orderBy("t_bp")
+    )
+
+
 QUERIES = {
     "shard_export_assignment": shard_export_assignment,
     "pseudonymize_keyed_rotation": pseudonymize_keyed_rotation,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
+    "t_closeness_audit": t_closeness_audit,
     "k_anonymize_generalize": k_anonymize_generalize,
     "mix_resample_equalized": mix_resample_equalized,
     "sample_hash_mod": sample_hash_mod,
@@ -620,6 +713,54 @@ ORACLES = {
                     // (SELECT n_rows FROM tot) AS BIGINT) AS risk_share_bp,
                (SELECT n_groups FROM tot) AS n_groups
         FROM g, ls GROUP BY l ORDER BY l
+    """,
+    "t_closeness_audit": f"""
+        WITH gs AS (
+          SELECT c_nationkey,
+                 CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal_bucket,
+                 c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS n_gs
+          FROM customer GROUP BY 1, 2, 3
+        ),
+        g AS (
+          SELECT c_nationkey, bal_bucket, CAST(sum(n_gs) AS BIGINT) AS n_g
+          FROM gs GROUP BY 1, 2
+        ),
+        gsv AS (
+          SELECT c_mktsegment, CAST(sum(n_gs) AS BIGINT) AS n_s FROM gs GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM gsv),
+        tvd AS (
+          SELECT g.n_g,
+                 CAST((sum(abs(COALESCE(x.n_gs, 0) * t.n_tot
+                               - gsv.n_s * g.n_g)) * 10000)
+                      // (2 * g.n_g * t.n_tot) AS BIGINT) AS tvd_bp
+          FROM g
+          CROSS JOIN gsv
+          CROSS JOIN tot t
+          LEFT JOIN gs x
+            ON x.c_nationkey = g.c_nationkey
+           AND x.bal_bucket = g.bal_bucket
+           AND x.c_mktsegment = gsv.c_mktsegment
+          GROUP BY g.c_nationkey, g.bal_bucket, g.n_g, t.n_tot
+        ),
+        tot2 AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(max(tvd_bp) AS BIGINT) AS max_tvd_bp
+          FROM tvd
+        ),
+        ts AS (SELECT unnest([{", ".join(str(t) for t in T_CLOSENESS_THRESHOLDS_BP)}]) AS t_bp)
+        SELECT CAST(t_bp AS INT) AS t_bp,
+               CAST(sum(CASE WHEN tvd_bp > t_bp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_above_t,
+               CAST(sum(CASE WHEN tvd_bp > t_bp THEN n_g ELSE 0 END) AS BIGINT)
+                 AS rows_above_t,
+               CAST((sum(CASE WHEN tvd_bp > t_bp THEN n_g ELSE 0 END) * 10000)
+                    // (SELECT n_rows FROM tot2) AS BIGINT) AS risk_share_bp,
+               (SELECT n_groups FROM tot2) AS n_groups,
+               (SELECT max_tvd_bp FROM tot2) AS max_tvd_bp
+        FROM tvd, ts GROUP BY t_bp ORDER BY t_bp
     """,
     "k_anonymize_generalize": f"""
         WITH q AS (

@@ -177,8 +177,6 @@ def _kmeans_centroids(
     oracle reproduces the identical trajectory with chained CTEs."""
     if (sf_dir, k) in _KMEANS_CACHE:
         return _KMEANS_CACHE[(sf_dir, k)]
-    from pyspark.sql import Window as W
-
     cand = (
         _vectors(spark, sf_dir)
         .filter(F.col("vec_id") >= N_QUERY)
@@ -187,8 +185,23 @@ def _kmeans_centroids(
             F.col("v").alias("pv"),
             _norm(F.col("v")).alias("pn"),
         )
-        .cache()
     )
+    out = _kmeans_over(spark, cand, k)
+    _KMEANS_CACHE[(sf_dir, k)] = out
+    return out
+
+
+def _kmeans_over(
+    spark: SparkSession, cand: DataFrame, k: int
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop of ``_kmeans_centroids`` over an ARBITRARY
+    candidate relation (point_id, pv, pn) — split out so the retrain
+    path can train a fresh quantizer over the GROWN corpus with the
+    exact same trajectory contract (6-dp argmax, 3-dp means, seeds =
+    the k candidates with the lowest eligible ids)."""
+    from pyspark.sql import Window as W
+
+    cand = cand.cache()
     init = cand.filter(F.col("point_id") < N_QUERY + k).orderBy("point_id").collect()
     # centroid_id = vec_id - N_QUERY is the CONTRACT the DuckDB oracle
     # computes; deriving it from the id (not enumerate()) keeps the two
@@ -231,9 +244,7 @@ def _kmeans_centroids(
         for cell, dims in by_cell.items():  # empty cells keep old centroid
             cents[cell] = [dims[p] for p in range(len(dims))]
     cand.unpersist()
-    out = sorted(cents.items())
-    _KMEANS_CACHE[(sf_dir, k)] = out
-    return out
+    return sorted(cents.items())
 
 
 def _centroid_df(
@@ -2135,6 +2146,185 @@ def ann_retrain_decision_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain decision ACTED ON — the last step of the index-
+    lifecycle story (measure: ``ann_index_stats`` /
+    ``ann_recall_after_append``; decide: ``ann_retrain_decision``;
+    act: HERE): train a FRESH coarse quantizer over the GROWN corpus
+    (original candidates + both append waves, same transforms and
+    re-key offsets as the recall-drift audit), then measure per-wave
+    recall over the full grown corpus under BOTH quantizers. Output:
+    one row per query wave with the corpus size, truth size, and the
+    frozen vs retrained recall in basis points — the measured A/B an
+    operator weighs against the retrain cost. (The number can go
+    EITHER way: at operating points where the frozen quantizer's
+    drift is mild — the decision member's default scenario not firing
+    — the A/B showing retrain ≈ neutral is the policy VALIDATED, not
+    the member failing.)
+
+    Scale shape: retraining is the one full-corpus k-means the policy
+    exists to schedule (same distributed Lloyd plan as the original
+    train — centroids driver-held like MLlib); both assignments are
+    encode-only passes checkpointed once per session (the frozen
+    per-batch blocks are SHARED with the recall-drift audit via the
+    same cache keys); the before/after probe is the recall audit's
+    fused single-scan pass with TWO in-probe flags — one window, one
+    corpus scan per wave, every dot product computed once."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    vecs = _vectors(spark, sf_dir)
+    cdf_frozen = _centroid_df(spark, sf_dir)
+    cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
+    q0 = vecs.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v")
+    negate = F.transform(F.col("v"), lambda x: -x)
+    off_v, n_cand = shared_value(
+        spark,
+        ("recall_append_scalars", sf_dir),
+        lambda: tuple(
+            vecs.agg(
+                (F.max("vec_id") + 1).alias("o"),
+                F.sum((F.col("vec_id") >= N_QUERY).cast("long")).alias("n"),
+            ).collect()[0]
+        ),
+    )
+    b1 = cand0.select((F.col("vec_id") + off_v).alias("vec_id"), negate.alias("v"))
+    b2 = cand0.select(
+        (F.col("vec_id") + 2 * off_v).alias("vec_id"),
+        F.reverse(F.col("v")).alias("v"),
+    )
+    batches = [cand0, b1, b2]
+
+    def _pts(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias("point_id"),
+            F.col("v").alias("pv"),
+            _norm(F.col("v")).alias("pn"),
+        )
+
+    grown = reduce(DataFrame.unionByName, (_pts(b) for b in batches))
+    # retrain: fresh Lloyd trajectory over the grown corpus (driver-
+    # held centroids; seeds are the same lowest-id originals, so the
+    # DuckDB oracle replays the identical trajectory)
+    rt_cents = shared_value(
+        spark,
+        ("retrain_cents", sf_dir),
+        lambda: _kmeans_over(spark, grown, N_CENTROIDS),
+    )
+    cdf_rt = spark.createDataFrame(
+        rt_cents, schema="centroid_id int, cv array<double>"
+    ).withColumn("cvn", _norm(F.col("cv")))
+    # frozen assignment: the recall audit's per-batch checkpoints,
+    # shared via the same cache keys; retrained assignment: one
+    # encode-only pass over the grown corpus, checkpointed once
+    a_fr_parts = [
+        shared_value(
+            spark,
+            ("recall_append_assign", sf_dir, b),
+            lambda cb=_pts(batch): _nearest_cells(
+                cdf_frozen, cb, "pv", "pn", "point_id", 1
+            ).localCheckpoint(eager=True),
+        )
+        for b, batch in enumerate(batches)
+    ]
+    a_joint = shared_value(
+        spark,
+        ("retrain_joint_assign", sf_dir),
+        lambda: reduce(DataFrame.unionByName, a_fr_parts)
+        .select("point_id", "pv", "pn", F.col("cell").alias("cell_fr"))
+        .join(
+            _nearest_cells(cdf_rt, grown, "pv", "pn", "point_id", 1).select(
+                "point_id", F.col("cell").alias("cell_rt")
+            ),
+            "point_id",
+        )
+        .localCheckpoint(eager=True),
+    )
+    waves = [
+        (0, q0),
+        (1, q0.select("vec_id", negate.alias("v"))),
+        (2, q0.select("vec_id", F.reverse(F.col("v")).alias("v"))),
+    ]
+    sim = F.round(_dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    outs = []
+    for b, qs in waves:
+        qn = qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("qn"),
+        )
+        pf = _nearest_cells(cdf_frozen, qn, "qv", "qn", "query_id", N_PROBES)
+        pr = _nearest_cells(cdf_rt, qn, "qv", "qn", "query_id", N_PROBES)
+        scored = (
+            a_joint.crossJoin(F.broadcast(qn))
+            .join(
+                F.broadcast(
+                    pf.select(
+                        "query_id",
+                        F.col("cell").alias("cell_fr"),
+                        F.lit(1).alias("in_fr"),
+                    )
+                ),
+                ["query_id", "cell_fr"],
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    pr.select(
+                        "query_id",
+                        F.col("cell").alias("cell_rt"),
+                        F.lit(1).alias("in_rt"),
+                    )
+                ),
+                ["query_id", "cell_rt"],
+                "left",
+            )
+            .withColumn("cos_sim", sim)
+            .withColumn("truth_rank", F.row_number().over(w))
+            .withColumn(
+                "fr_rank", F.sum(F.coalesce("in_fr", F.lit(0))).over(w_run)
+            )
+            .withColumn(
+                "rt_rank", F.sum(F.coalesce("in_rt", F.lit(0))).over(w_run)
+            )
+            .filter(F.col("truth_rank") <= TOP_K)
+        )
+        outs.append(
+            scored.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(
+                    ((F.col("in_fr") == 1) & (F.col("fr_rank") <= TOP_K)).cast(
+                        "long"
+                    )
+                )
+                .cast("bigint")
+                .alias("hits_fr"),
+                F.sum(
+                    ((F.col("in_rt") == 1) & (F.col("rt_rank") <= TOP_K)).cast(
+                        "long"
+                    )
+                )
+                .cast("bigint")
+                .alias("hits_rt"),
+            ).select(
+                F.lit(b).cast("int").alias("batch"),
+                F.lit(3 * n_cand).cast("bigint").alias("corpus_n"),
+                F.col("k").cast("bigint").alias("k"),
+                F.expr("(hits_fr * 10000) div k").alias("recall_frozen_bp"),
+                F.expr("(hits_rt * 10000) div k").alias("recall_retrained_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def ann_index_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate member for the ANN family's COMPACTION-PRESSURE policy —
     the vector twin of ``band_index_pressure`` (r13 verdict #3: the
@@ -2322,6 +2512,7 @@ QUERIES = {
     "ann_index_recrawl": ann_index_recrawl,
     "ann_recall_after_append": ann_recall_after_append,
     "ann_retrain_decision": ann_retrain_decision_member,
+    "ann_retrain_execute": ann_retrain_execute,
     "ann_index_pressure": ann_index_pressure,
     "stream_ann_index_maintain": stream_ann_index_maintain,
 }
@@ -2347,13 +2538,17 @@ def _sim_sql(a: str, b: str) -> str:
     return f"round({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}), 6)"
 
 
-def _kmeans_ctes(k_sql: str = str(N_CENTROIDS)) -> str:
+def _kmeans_ctes(
+    k_sql: str = str(N_CENTROIDS), corpus: str = "vecs", sfx: str = ""
+) -> str:
     """The Lloyd-iteration trajectory of ``_kmeans_centroids`` as
     chained DuckDB CTEs (assign → per-dim rounded mean → carry empty
     cells forward), generated for N_KMEANS_ITERS iterations. ``k_sql``
     is the cell-count expression — the IVF oracles use the constant,
     the SemDeDup oracle passes a scalar subquery over ``kparam`` so k
-    scales with the corpus exactly like the engine."""
+    scales with the corpus exactly like the engine. ``corpus``/``sfx``
+    let the retrain oracle hold a SECOND trajectory (trained over the
+    grown corpus) in the same WITH without name collisions."""
     # Per-pair cost discipline (the SemDeDup oracle's k grows to ~1.5k
     # cells at sf1 → ~78M point×centroid sims PER ITERATION): point
     # norms are hoisted into `cand` ONCE (iteration-invariant),
@@ -2364,34 +2559,34 @@ def _kmeans_ctes(k_sql: str = str(N_CENTROIDS)) -> str:
     # stream. Values are identical to the window form; the sf1 check
     # dropped from ~128 s to the cost of the dots themselves.
     parts = [
-        f"""cand AS MATERIALIZED (
+        f"""cand{sfx} AS MATERIALIZED (
           SELECT vec_id AS point_id, v AS pv, {_NORM_FAST.format(a='v')} AS pn
-          FROM vecs WHERE vec_id >= {N_QUERY})""",
-        f"""cent0 AS MATERIALIZED (
+          FROM {corpus} WHERE vec_id >= {N_QUERY})""",
+        f"""cent{sfx}0 AS MATERIALIZED (
           SELECT CAST(vec_id - {N_QUERY} AS INT) AS centroid_id, v AS cv,
                  {_NORM_FAST.format(a='v')} AS cn
-          FROM vecs WHERE vec_id >= {N_QUERY} AND vec_id < {N_QUERY} + ({k_sql}))""",
+          FROM {corpus} WHERE vec_id >= {N_QUERY} AND vec_id < {N_QUERY} + ({k_sql}))""",
     ]
     for k in range(1, N_KMEANS_ITERS + 1):
-        prev = f"cent{k - 1}"
-        parts.append(f"""assign{k} AS MATERIALIZED (
+        prev = f"cent{sfx}{k - 1}"
+        parts.append(f"""assign{sfx}{k} AS MATERIALIZED (
           SELECT -p.pick.nc AS cell, c.pv FROM (
             SELECT c.point_id,
                    max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
                          / (c.pn * s.cn), 6),
                        nc := -s.centroid_id)) AS pick
-            FROM cand c, {prev} s GROUP BY c.point_id) p
-          JOIN cand c USING (point_id))""")
-        parts.append(f"""newc{k} AS MATERIALIZED (
+            FROM cand{sfx} c, {prev} s GROUP BY c.point_id) p
+          JOIN cand{sfx} c USING (point_id))""")
+        parts.append(f"""newc{sfx}{k} AS MATERIALIZED (
           SELECT cell AS centroid_id, list(val ORDER BY pos) AS cv FROM (
             SELECT cell, i AS pos, round(avg(pv[i]), 3) AS val
-            FROM (SELECT cell, pv, unnest(range(1, len(pv) + 1)) AS i FROM assign{k})
+            FROM (SELECT cell, pv, unnest(range(1, len(pv) + 1)) AS i FROM assign{sfx}{k})
             GROUP BY cell, i)
           GROUP BY cell)""")
-        parts.append(f"""cent{k} AS MATERIALIZED (
+        parts.append(f"""cent{sfx}{k} AS MATERIALIZED (
           SELECT centroid_id, cv, {_NORM_FAST.format(a='cv')} AS cn FROM (
             SELECT p.centroid_id, coalesce(n.cv, p.cv) AS cv
-            FROM {prev} p LEFT JOIN newc{k} n ON n.centroid_id = p.centroid_id))""")
+            FROM {prev} p LEFT JOIN newc{sfx}{k} n ON n.centroid_id = p.centroid_id))""")
     return ",\n        ".join(parts)
 
 
@@ -3004,6 +3199,107 @@ ORACLES["ann_recall_after_append"] = f"""
         SELECT * FROM agg0
         UNION ALL SELECT * FROM agg1
         UNION ALL SELECT * FROM agg2
+"""
+
+def _retrain_wave_ctes(b: int) -> str:
+    """One query wave of the retrain-execute oracle: wave queries,
+    brute truth over the FULL grown corpus, and the IVF probe under
+    BOTH quantizers (frozen cent{{N}}, retrained cent_rt{{N}}) —
+    mirrors the engine's fused before/after pass wave by wave."""
+    neg = "list_transform(v, x -> -x)"
+    rev = "list_reverse(v)"
+    qv = {0: "v", 1: neg, 2: rev}[b]
+    cfin, rfin = _CENT_FINAL, f"cent_rt{N_KMEANS_ITERS}"
+    return f"""
+        xq{b} AS MATERIALIZED (
+          SELECT vec_id AS query_id, {qv} AS v FROM vecs WHERE vec_id < {N_QUERY}
+        ),
+        xtruth{b} AS MATERIALIZED (
+          SELECT query_id, point_id FROM (
+            SELECT q.query_id, c.point_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {_sim_sql('q.v', 'c.pv')} DESC, c.point_id) AS rn
+            FROM xq{b} q, cand_rt c) WHERE rn <= {TOP_K}),
+        xpf{b} AS MATERIALIZED (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.v AS qv, s.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {_sim_sql('q.v', 's.cv')} DESC, s.centroid_id) AS rn
+            FROM xq{b} q, {cfin} s) WHERE rn <= {N_PROBES}),
+        xpr{b} AS MATERIALIZED (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.v AS qv, s.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {_sim_sql('q.v', 's.cv')} DESC, s.centroid_id) AS rn
+            FROM xq{b} q, {rfin} s) WHERE rn <= {N_PROBES}),
+        xivff{b} AS MATERIALIZED (
+          SELECT query_id, point_id FROM (
+            SELECT p.query_id, a.point_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY {_sim_sql('p.qv', 'a.pv')} DESC, a.point_id) AS rank
+            FROM xpf{b} p JOIN xaf a ON p.cell = a.cell)
+          WHERE rank <= {TOP_K}),
+        xivfr{b} AS MATERIALIZED (
+          SELECT query_id, point_id FROM (
+            SELECT p.query_id, a.point_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY {_sim_sql('p.qv', 'a.pv')} DESC, a.point_id) AS rank
+            FROM xpr{b} p JOIN xar a ON p.cell = a.cell)
+          WHERE rank <= {TOP_K}),
+        xagg{b} AS (
+          SELECT CAST({b} AS INT) AS batch,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cand_rt) AS corpus_n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST((sum(CASE WHEN f.point_id IS NOT NULL THEN 1 ELSE 0 END)
+                       * 10000) // count(*) AS BIGINT) AS recall_frozen_bp,
+                 CAST((sum(CASE WHEN r.point_id IS NOT NULL THEN 1 ELSE 0 END)
+                       * 10000) // count(*) AS BIGINT) AS recall_retrained_bp
+          FROM xtruth{b} t
+          LEFT JOIN xivff{b} f
+            ON t.query_id = f.query_id AND t.point_id = f.point_id
+          LEFT JOIN xivfr{b} r
+            ON t.query_id = r.query_id AND t.point_id = r.point_id)"""
+
+
+# The retrain-execute oracle replays BOTH trajectories — the frozen
+# quantizer over the original corpus and a fresh one over the grown
+# corpus (same seeds: the lowest-id original candidates) — then
+# recomputes per-wave truth and both probes over the grown corpus.
+ORACLES["ann_retrain_execute"] = f"""
+        WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        gvecs AS MATERIALIZED (
+          SELECT vec_id, v FROM vecs WHERE vec_id >= {N_QUERY}
+          UNION ALL
+          SELECT vec_id + {RECALL_O1_SQL}, list_transform(v, x -> -x)
+          FROM vecs WHERE vec_id >= {N_QUERY}
+          UNION ALL
+          SELECT vec_id + {RECALL_O2_SQL}, list_reverse(v)
+          FROM vecs WHERE vec_id >= {N_QUERY}
+        ),
+        {_kmeans_ctes()},
+        {_kmeans_ctes(corpus="gvecs", sfx="_rt")},
+        xaf AS MATERIALIZED (
+          SELECT c.point_id, c.pv, -p.pick.nc AS cell FROM (
+            SELECT c.point_id,
+                   max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
+                         / (c.pn * s.cn), 6),
+                       nc := -s.centroid_id)) AS pick
+            FROM cand_rt c, {_CENT_FINAL} s GROUP BY c.point_id) p
+          JOIN cand_rt c USING (point_id)),
+        xar AS MATERIALIZED (
+          SELECT c.point_id, c.pv, -p.pick.nc AS cell FROM (
+            SELECT c.point_id,
+                   max(struct_pack(s := round({_DOT_FAST.format(a='c.pv', b='s.cv')}
+                         / (c.pn * s.cn), 6),
+                       nc := -s.centroid_id)) AS pick
+            FROM cand_rt c, cent_rt{N_KMEANS_ITERS} s GROUP BY c.point_id) p
+          JOIN cand_rt c USING (point_id)),
+        {",".join(_retrain_wave_ctes(b) for b in (0, 1, 2))}
+        SELECT * FROM xagg0
+        UNION ALL SELECT * FROM xagg1
+        UNION ALL SELECT * FROM xagg2
 """
 
 # The retrain-decision oracle recomputes BOTH gauges from the trained

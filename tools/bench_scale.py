@@ -181,6 +181,10 @@ QUERIES = [
     "stream_ann_index_maintain",
     "l_diversity_audit",
     "multimodal_png_decode",
+    # r14 additions landed mid-round: the retrain A/B (decision acted
+    # on) and the t-closeness distribution audit
+    "ann_retrain_execute",
+    "t_closeness_audit",
 ]
 
 
