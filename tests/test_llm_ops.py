@@ -2612,3 +2612,44 @@ def test_compact_band_index_dedups_and_preserves_probes(spark):
         assert count_exchanges(probe) <= 1  # bucketing survived the rewrite
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ann_retrain_execute_ab_invariants(spark):
+    """The retrain A/B member's shape contract: one row per query
+    wave; the corpus is exactly 3x the candidate set (both waves are
+    1:1 transforms); truth size is n_queries x top_k; both recalls are
+    valid basis points. The VALUES are pinned cross-engine by the
+    DuckDB oracle (dual Lloyd trajectories) — this test pins the shape
+    invariants that make the values meaningful."""
+    rows = {r["batch"]: r for r in similarity.ann_retrain_execute(spark, SF).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    from generic_data_ingestor_framework_spark.relational import load_table
+
+    n_cand = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") >= similarity.N_QUERY)
+        .count()
+    )
+    for r in rows.values():
+        assert r["corpus_n"] == 3 * n_cand
+        assert r["k"] == similarity.N_QUERY * similarity.TOP_K
+        for c in ("recall_frozen_bp", "recall_retrained_bp"):
+            assert 0 <= r[c] <= 10000
+
+
+def test_t_closeness_threshold_monotonicity(spark):
+    """Groups above a TVD threshold can only shrink as the threshold
+    rises; at any threshold at or past the reported corpus-wide max
+    TVD the violating set must be empty; risk share is exact integer
+    basis points of the violating rows."""
+    from generic_data_ingestor_framework_spark.llm.sampling import t_closeness_audit
+
+    rows = t_closeness_audit(spark, SF).collect()
+    ts = [r["t_bp"] for r in rows]
+    assert ts == sorted(ts)
+    above = [r["groups_above_t"] for r in rows]
+    assert all(a >= b for a, b in zip(above, above[1:]))  # monotone down
+    for r in rows:
+        assert r["max_tvd_bp"] == rows[0]["max_tvd_bp"]  # one corpus max
+        if r["t_bp"] >= r["max_tvd_bp"]:
+            assert r["groups_above_t"] == 0 and r["rows_above_t"] == 0
