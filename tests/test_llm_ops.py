@@ -681,6 +681,130 @@ def test_png_codec_exercises_all_five_filters():
         mm.parse_png(rgb)
 
 
+def test_jpeg_codec_entropy_paths_and_fixture_exactness():
+    """The real baseline-JPEG codec: (a) coefficient-level round trips
+    through the full entropy coder — nonzero ACs, run lengths, ZRL,
+    negative DC/AC magnitudes, EOB — must reproduce the encoder's own
+    dequantize+IDCT reference bit-exactly (the paths SQL oracles cannot
+    reach); (b) the constant-block gate fixtures decode exactly to the
+    doc_id formula across the id space, through restart markers and
+    byte unstuffing; (c) non-baseline payloads refuse loudly."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from generic_data_ingestor_framework_spark.llm import multimodal as mm
+
+    # (a) nonzero-AC round trip at the coefficient level
+    blocks = []
+    for t in range(6):
+        blk = [0] * 64
+        blk[0] = t * 61 - 150
+        for j in (1, 5, 17, 33, 62, 63):
+            blk[j] = ((t * 13 + j * 7) % 21) - 10
+        if t == 2:
+            blk = [0] * 64
+            blk[0], blk[63] = 30, -4  # 62 zeros: ZRL (16-zero runs) path
+        if t == 3:
+            blk = [0] * 64
+            blk[0] = -1000  # large negative DC diff (high category)
+        blocks.append(blk)
+    payload = mm._encode_jpeg(24, 16, blocks)
+    px, ncomp, dri = mm.decode_jpeg_pixels(payload)
+    assert (ncomp, dri) == (1, mm._JPEG_DRI)
+    n = np.arange(8)
+    C = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    C[0, :] *= 1 / np.sqrt(2.0)
+    for i, blk in enumerate(blocks):
+        Fm = np.array(blk, dtype=float).reshape(8, 8)
+        ref = np.rint(C.T @ Fm @ C + 128).clip(0, 255).astype(np.uint8)
+        by, bx = divmod(i, 3)
+        assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == ref).all()
+
+    # (b) fixture exactness: the lossy pipeline is bit-exact on
+    # block-constant pixels, so the decode must equal the formula —
+    # including through predictor resets at restart markers
+    saw_rst = saw_stuff = False
+    for i in (0, 3, 25, 150, 526, 975, 999):
+        b = mm._jpeg_bytes(i)
+        scan = b[b.index(b"\xff\xda") :]
+        saw_rst |= any(bytes([0xFF, 0xD0 + k]) in scan for k in range(8))
+        saw_stuff |= b"\xff\x00" in scan
+        w, h, nc, d, mean = mm.parse_jpeg(b)
+        bw, bh = 2 + i % 3, 1 + i % 2
+        assert (w, h, nc, d) == (bw * 8, bh * 8, 1, mm._JPEG_DRI)
+        vals = [
+            (i * 17 + bx * 29 + by * 53) % 256
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        assert mean == round(sum(vals) / len(vals) / 255.0, 6)
+    assert saw_rst  # restart handling is actually exercised
+    assert saw_stuff  # FF00 unstuffing is actually exercised
+
+    # (c) loud refusal: progressive (SOF2) and corrupt payloads
+    good = mm._jpeg_bytes(25)
+    with pytest.raises(ValueError, match="non-baseline"):
+        mm.decode_jpeg_pixels(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(b"not a jpeg")
+
+    # record-level continue-on-error in the batch decoder
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "content": [good, good[:30], b"\xff\xd8junk"]}
+    )
+    out = pd.concat(list(mm._decode_jpeg_batches(iter([batch]))))
+    assert out.loc[out.doc_id == 1, "width"].iloc[0] == (2 + 25 % 3) * 8
+    assert out.loc[out.doc_id == 2, "width"].isna().all()
+    assert out.loc[out.doc_id == 3, "width"].isna().all()
+
+
+def test_jpeg_decode_production_path(spark):
+    """binaryFile scan → mapInPandas decode over the fixture corpus:
+    every fixture id decodes (no NULL rows) and widths obey the
+    formula."""
+    from generic_data_ingestor_framework_spark.llm import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in mm.multimodal_jpeg_decode(spark, sf).collect()}
+    assert len(rows) == 20
+    assert all(
+        r["width"] == (2 + d % 3) * 8
+        and r["height"] == (1 + d % 2) * 8
+        and r["restart_interval"] == mm._JPEG_DRI
+        and r["mean_intensity"] is not None
+        for d, r in rows.items()
+    )
+
+
+def test_randomized_response_debias_identities(spark):
+    """The local-DP randomized-response member must satisfy the exact
+    algebraic identities of the mechanism: reported counts are a
+    permutation of mass (Σ reported = Σ true = n), and the debiased
+    estimates sum EXACTLY to n (Σ n̂_c = (4k·n − k·n)/(3k) = n —
+    independent of the draws), with each estimate tracking its true
+    count within the mechanism's noise envelope."""
+    from generic_data_ingestor_framework_spark.llm.sampling import (
+        randomized_response_lang,
+    )
+
+    rows = randomized_response_lang(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty RR output"
+    k = rows[0]["k_categories"]
+    assert k == len(rows)  # one row per alphabet lang
+    n = sum(r["true_cnt"] for r in rows)
+    assert sum(r["reported_cnt"] for r in rows) == n
+    est_sum = sum(r["est_count"] for r in rows)
+    assert abs(est_sum - n) < 0.01 * len(rows)  # exact up to per-row rounding
+    # noise envelope: reported ~ Binomial mixture; at sf0.001 (n≈1000)
+    # a 6-sigma bound on |est - true| is ~6·sqrt(n·p(1-p))·4/3 ≈ 120
+    for r in rows:
+        assert abs(r["est_count"] - r["true_cnt"]) < 6 * (n ** 0.5) * 1.34 + 5, r
+    # determinism: a second run is bit-identical (hash-derived draws)
+    again = randomized_response_lang(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 def test_cachemgr_releases_previous_session_on_takeover():
     """The registry must not pin a stopped session once a new session
     starts using it: entries (which strongly reference their session

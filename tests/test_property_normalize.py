@@ -52,13 +52,26 @@ def test_normalization_total_and_structure_preserving(spark, recs):
         for v in row:
             assert isinstance(v, str)
     # structure-preserving: nested values parse back to JSON unless they
-    # collapsed by the falsy rule ({}/[]/null → "")
+    # collapsed by the falsy rule ({}/[]/null → ""). A STRING scalar that
+    # merely looks like JSON (e.g. the one-character text "{") passes
+    # through as-is and must NOT be required to parse — it just has to
+    # be one of the input scalars for that key.
+    inputs_by_key: dict[str, list] = {}
+    for r in recs:
+        for k, val in r.items():
+            inputs_by_key.setdefault(k, []).append(val)
     for row in rows:
         d = row.asDict()
         for k, v in d.items():
             if v.startswith("{") or v.startswith("["):
-                parsed = json.loads(v)
-                assert isinstance(parsed, (dict, list))
+                try:
+                    parsed = json.loads(v)
+                except json.JSONDecodeError:
+                    assert v in inputs_by_key.get(k, []), (
+                        f"unparseable non-input value for {k!r}: {v!r}"
+                    )
+                else:
+                    assert isinstance(parsed, (dict, list))
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])

@@ -182,9 +182,12 @@ QUERIES = [
     "l_diversity_audit",
     "multimodal_png_decode",
     # r14 additions landed mid-round: the retrain A/B (decision acted
-    # on) and the t-closeness distribution audit
+    # on), the t-closeness distribution audit, and the real
+    # baseline-JPEG decode (fixture-corpus-bound like the PNG member)
     "ann_retrain_execute",
     "t_closeness_audit",
+    "multimodal_jpeg_decode",
+    "randomized_response_lang",
 ]
 
 
