@@ -19,6 +19,8 @@ any dot product, which is the strategy that survives 1000× growth
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +33,80 @@ N_PLANES = 4  # LSH hyperplanes → 16 buckets
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _py_norm(v) -> float:
+    """Driver-side L2 norm, bit-identical to ``_norm``: the same
+    left-to-right fold of binary64 adds then a correctly-rounded sqrt
+    (IEEE 754 — CPython floats and JVM doubles execute the identical
+    op sequence)."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _cents_rows(cdf: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Collect a centroid relation to the driver (the MLlib-centroids
+    class: k × dim floats, KBs), sorted by centroid id."""
+    return sorted(
+        (int(r[0]), list(r[1]), float(r[2]))
+        for r in cdf.select("centroid_id", "cv", "cvn").collect()
+    )
+
+
+def _mat_scores(cents: list[list[float]], mode: str):
+    """Vectorized Arrow scorer against a DRIVER-HELD k×d matrix
+    (guide §4.2: hand whole batches to NumPy instead of evaluating k
+    interpreted HOF folds per row). Returns the RAW per-centroid scores
+    (dot products or squared L2) as ``array<double>``; rounding and
+    ranking stay in the JVM so the cross-engine contract is untouched.
+
+    Bit-identity: the accumulator walks the dimensions left-to-right —
+    ``acc = (acc + v_i·c_i)`` per element — exactly the sequential fold
+    ``_dot``/``_l2sq`` compute, and NumPy's elementwise binary64 ops are
+    IEEE-exact per element, so every score is bit-identical to the HOF
+    form (pinned by test_arrow_scorer_bit_identity)."""
+    import numpy as np
+    import pandas as pd
+
+    cm = np.array(cents, dtype=np.float64)  # k × d
+
+    @F.pandas_udf("array<double>")
+    def scores(vs: pd.Series) -> pd.Series:
+        k, d = cm.shape
+        arrs = vs.to_numpy()
+        try:
+            mat = np.vstack(arrs).astype(np.float64, copy=False)
+            if mat.shape[1] != d:
+                raise ValueError("ragged dims")
+        except ValueError:
+            # ragged fallback: same fold per row (never hit by the
+            # fixed-dim corpus, kept for API generality)
+            out = []
+            for v in arrs:
+                row = np.zeros(k, dtype=np.float64)
+                for i in range(min(len(v), d)):
+                    if mode == "dot":
+                        row = row + np.float64(v[i]) * cm[:, i]
+                    else:
+                        diff = np.float64(v[i]) - cm[:, i]
+                        row = row + diff * diff
+                out.append(row)
+            return pd.Series(out)
+        acc = np.zeros((mat.shape[0], k), dtype=np.float64)
+        if mode == "dot":
+            for i in range(d):
+                acc += mat[:, i : i + 1] * cm[:, i]
+        else:
+            for i in range(d):
+                diff = mat[:, i : i + 1] - cm[:, i]
+                acc += diff * diff
+        return pd.Series(list(acc))
+
+    return scores
 
 
 def _dot(a, b):
@@ -199,8 +275,6 @@ def _kmeans_over(
     path can train a fresh quantizer over the GROWN corpus with the
     exact same trajectory contract (6-dp argmax, 3-dp means, seeds =
     the k candidates with the lowest eligible ids)."""
-    from pyspark.sql import Window as W
-
     cand = cand.cache()
     init = cand.filter(F.col("point_id") < N_QUERY + k).orderBy("point_id").collect()
     # centroid_id = vec_id - N_QUERY is the CONTRACT the DuckDB oracle
@@ -217,21 +291,15 @@ def _kmeans_over(
             f"{N_QUERY}: wanted seeds 0..{k - 1}, got {sorted(cents)[:5]}…"
             f" ({len(cents)} of {k})"
         )
-    w = W.partitionBy("point_id").orderBy(F.desc("sim"), "centroid_id")
     for _ in range(N_KMEANS_ITERS):
-        cdf = spark.createDataFrame(
-            sorted(cents.items()), schema="centroid_id int, cv array<double>"
-        ).withColumn("cvn", _norm(F.col("cv")))
-        assigned = (
-            cand.crossJoin(F.broadcast(cdf))
-            .withColumn(
-                "sim",
-                F.round(_dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cvn")), 6),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("centroid_id").alias("cell"), "pv")
-        )
+        # assignment is a PROJECTION against the driver-held centroids
+        # (see _nearest_cells: one Arrow pass for the raw dots, JVM
+        # rounding/argmax) — the crossJoin→window form paid a k× row
+        # blowup plus a full shuffle per Lloyd iteration
+        crows = [(cid, cv, _py_norm(cv)) for cid, cv in sorted(cents.items())]
+        assigned = _nearest_cells(
+            None, cand, "pv", "pn", "point_id", 1, cents=crows
+        ).select(F.col("cell"), "pv")
         new_rows = (
             assigned.select("cell", F.posexplode("pv").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -255,19 +323,47 @@ def _centroid_df(
     ).withColumn("cvn", _norm(F.col("cv")))
 
 
-def _nearest_cells(cdf: DataFrame, df: DataFrame, vec_col, norm_col, id_col, n_cells):
-    """Broadcast-centroid scoring → per-id top-``n_cells`` window."""
-    from pyspark.sql import Window as W
+def _nearest_cells(
+    cdf: DataFrame | None,
+    df: DataFrame,
+    vec_col,
+    norm_col,
+    id_col,
+    n_cells,
+    cents: list[tuple[int, list[float], float]] | None = None,
+):
+    """Per-id top-``n_cells`` centroid assignment as a PROJECTION: the
+    centroids are driver-held (``cents``, or collected from ``cdf`` —
+    k × dim floats, the MLlib class), raw dot products come from one
+    vectorized Arrow pass (``_mat_scores``), and the per-row top-n is
+    an ``array_sort`` over k rounded sims — no k× row blowup, no
+    window shuffle (r14: the crossJoin→window form paid 2 exchanges
+    and k interpreted HOF folds per row; plan is now scan → ArrowEval
+    → project/explode with zero exchanges).
 
-    scored = df.crossJoin(F.broadcast(cdf)).withColumn(
-        "sim",
-        F.round(_dot(F.col(vec_col), F.col("cv")) / (F.col(norm_col) * F.col("cvn")), 6),
+    Ordering contract unchanged: sims rounded 6 dp in the JVM, ties on
+    centroid id ascending; ``reverse(array_sort(...))`` over
+    ``(sim, -id)`` reproduces ``desc(sim), id`` exactly (NaNs, were
+    they ever present, sort first under both forms)."""
+    cents = cents if cents is not None else _cents_rows(cdf)
+    scorer = _mat_scores([cv for _, cv, _ in cents], "dot")
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.col("__d")[i] / (F.col(norm_col) * F.lit(cvn)), 6
+                ).alias("sim"),
+                F.lit(-cid).alias("nid"),
+                F.lit(cid).alias("cid"),
+            )
+            for i, (cid, _cv, cvn) in enumerate(cents)
+        ]
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n_cells)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_cells)
-        .select(id_col, vec_col, norm_col, F.col("centroid_id").alias("cell"))
+        df.withColumn("__d", scorer(F.col(vec_col)))
+        .select(id_col, vec_col, norm_col, F.explode(top).alias("__t"))
+        .select(id_col, vec_col, norm_col, F.col("__t.cid").alias("cell"))
     )
 
 
@@ -330,8 +426,12 @@ def _ivf_topk(
         )
         probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
+    # the probe side is queries × n_probes rows — broadcast it so the
+    # (possibly corpus-sized) assignment never shuffles (the planner's
+    # size estimate for the probed subtree exceeded the threshold and
+    # chose a sort-merge join: 2 exchanges where 0 are needed)
     return (
-        probed.join(assigned, "cell")
+        F.broadcast(probed).join(assigned, "cell")
         .withColumn(
             "cos_sim",
             F.round(_dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6),
@@ -740,6 +840,75 @@ def _sub_rel(df: DataFrame, id_out: str) -> DataFrame:
     )
 
 
+def _books_rows(cdf: DataFrame) -> list[list[list[float]]]:
+    """Collect a PQ codebook relation to the driver as ``[m][j] → cv``
+    (M·K·ds floats, KBs — the MLlib-centroids class)."""
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in cdf.select("m", "j", "cv").collect():
+        books.setdefault(int(r[0]), {})[int(r[1])] = list(r[2])
+    return [[books[m][j] for j in sorted(books[m])] for m in sorted(books)]
+
+
+def _pq_mat_scores(books: list[list[list[float]]], mode: str):
+    """Vectorized Arrow scorer for PQ subspaces: per row, the raw
+    score of the m-th vector slice against every sub-centroid of
+    codebook m, for all M subspaces in one pass — ``array<double>`` of
+    M·K values, m-major. Same bit-identity argument as ``_mat_scores``
+    (dimension-ordered binary64 accumulation ≡ the sequential HOF
+    fold); rounding stays in the JVM."""
+    B = np.array(books, dtype=np.float64)  # M × K × ds
+
+    @F.pandas_udf("array<double>")
+    def scores(vs: pd.Series) -> pd.Series:
+        m_n, k, ds = B.shape
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vs.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros((mat.shape[0], m_n * k), dtype=np.float64)
+        for m in range(m_n):
+            sub = mat[:, m * ds : (m + 1) * ds]
+            cm = B[m]
+            a = acc[:, m * k : (m + 1) * k]
+            for i in range(ds):
+                if mode == "dot":
+                    a += sub[:, i : i + 1] * cm[:, i]
+                else:
+                    diff = sub[:, i : i + 1] - cm[:, i]
+                    a += diff * diff
+        return pd.Series(list(acc))
+
+    return scores
+
+
+def _pq_code_exprs(books: list[list[list[float]]]):
+    """JVM-side argmin per subspace over the raw Arrow scores in
+    ``__d``: round 6 dp, ties on sub-centroid id ascending — the exact
+    ordering the old (point_id, m) window computed.
+
+    Built from higher-order functions so the expression tree is O(1)
+    in M·K: the flat form (an ``array`` of M·K ``struct`` expressions)
+    generates a janino method too large to compile — the failed
+    compile costs seconds per plan and execution falls back to
+    interpreted anyway, so the HOF form is strictly better."""
+    k = len(books[0])
+    m_n = len(books)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_n - 1)),
+        lambda m: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda j: F.struct(
+                        F.round(F.get(F.col("__d"), m * k + j), 6).alias("d2"),
+                        j.alias("j"),
+                    ),
+                )
+            ),
+            1,
+        ).getField("j"),
+    )
+
+
 def _pq_codebooks(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, int, list[float]]]:
@@ -758,37 +927,50 @@ def _pq_codebooks(
     m-th slice, reusing the IVF seeding contract."""
     if sf_dir in _PQ_CACHE:
         return _PQ_CACHE[sf_dir]
-    from pyspark.sql import Window as W
-
-    sub = _sub_rel(
-        _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY), "point_id"
-    ).cache()
-    seed_rows = (
-        sub.filter(F.col("point_id") < N_QUERY + PQ_K)
-        .orderBy("point_id", "m")
-        .collect()
+    cand = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERY)
+        .select("vec_id", "v")
+        .cache()
     )
-    cents: dict[tuple[int, int], list[float]] = {
-        (int(r["m"]), int(r["point_id"]) - N_QUERY): list(r["sv"]) for r in seed_rows
-    }
+    # seeds: candidate vec_id N_QUERY+j's m-th slice — sliced on the
+    # driver (pure indexing, no fp ops, identical values to F.slice)
+    seed_rows = (
+        cand.filter(F.col("vec_id") < N_QUERY + PQ_K).orderBy("vec_id").collect()
+    )
+    cents: dict[tuple[int, int], list[float]] = {}
+    for r in seed_rows:
+        v = list(r["v"])
+        ds = len(v) // PQ_M
+        for m in range(PQ_M):
+            cents[(m, int(r["vec_id"]) - N_QUERY)] = v[m * ds : (m + 1) * ds]
     want = {(m, j) for m in range(PQ_M) for j in range(PQ_K)}
     if set(cents) != want:
         raise ValueError(
             f"PQ seeding expects candidate vec_ids contiguous from {N_QUERY}: "
             f"wanted {PQ_M}×{PQ_K} seeds, got {len(cents)}"
         )
-    w = W.partitionBy("point_id", "m").orderBy("d2", "j")
+    ds_col = (F.size("v") / PQ_M).cast("int")
     for _ in range(PQ_ITERS):
-        cdf = spark.createDataFrame(
-            [(m, j, cv) for (m, j), cv in sorted(cents.items())],
-            schema="m int, j int, cv array<double>",
-        )
+        # assignment is a PROJECTION against the driver-held codebooks
+        # (one Arrow pass for all M×K raw distances, JVM round/argmin)
+        # — the old per-iteration (m-join → window) shape shuffled an
+        # n·M·K-row relation twice per Lloyd iteration
+        books = [[cents[(m, j)] for j in range(PQ_K)] for m in range(PQ_M)]
+        # __codes is materialised ONCE as a column before the explode:
+        # referencing _pq_code_exprs(books)[m] per subspace would paste
+        # M copies of the M×K-struct argmin tree into the plan (8192
+        # structs — the codegen/optimizer blowup that made the first
+        # cut of this rewrite 2.4× SLOWER than the join it replaced)
         assigned = (
-            sub.join(F.broadcast(cdf), "m")
-            .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("m", F.col("j").alias("cell"), "sv")
+            cand.withColumn("__d", _pq_mat_scores(books, "l2sq")(F.col("v")))
+            .withColumn("__codes", _pq_code_exprs(books))
+            .select("v", F.posexplode("__codes").alias("m", "cell"))
+            .select(
+                "m",
+                "cell",
+                F.slice("v", F.col("m") * ds_col + 1, ds_col).alias("sv"),
+            )
         )
         new_rows = (
             assigned.select("m", "cell", F.posexplode("sv").alias("pos", "x"))
@@ -801,7 +983,7 @@ def _pq_codebooks(
             by_cell.setdefault((r["m"], r["cell"]), {})[r["pos"]] = r["val"]
         for key, dims in by_cell.items():  # empty cells keep old centroid
             cents[key] = [dims[p] for p in range(len(dims))]
-    sub.unpersist()
+    cand.unpersist()
     out = [(m, j, cv) for (m, j), cv in sorted(cents.items())]
     _PQ_CACHE[sf_dir] = out
     return out
@@ -817,17 +999,21 @@ def _encode_pq(vec_df: DataFrame, cdf: DataFrame) -> DataFrame:
     """Encode (vec_id, v) rows to ``(point_id, m, code)`` against a
     GIVEN codebook relation — shared by the session index build and
     the persisted-index append path (appended vectors are encoded with
-    the saved codebooks, never retrained — standard IVF/PQ append)."""
-    from pyspark.sql import Window as W
+    the saved codebooks, never retrained — standard IVF/PQ append).
 
-    cand_sub = _sub_rel(vec_df, "point_id")
-    wc = W.partitionBy("point_id", "m").orderBy("d2", "j")
+    r14 shape: the codebooks are collected to the driver (M·K·ds
+    floats) and encoding is a PROJECTION — one Arrow pass for the raw
+    subspace distances, JVM round/argmin, posexplode to the (m, code)
+    rows. The old shape exploded to n·M rows, joined the codebook and
+    ran a (point_id, m) window: two shuffles of an n·M·K-row relation
+    per encode, now zero."""
+    books = _books_rows(cdf)
     return (
-        cand_sub.join(F.broadcast(cdf), "m")
-        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("point_id", "m", F.col("j").alias("code"))
+        vec_df.withColumn("__d", _pq_mat_scores(books, "l2sq")(F.col("v")))
+        .select(
+            F.col("vec_id").alias("point_id"),
+            F.posexplode(_pq_code_exprs(books)).alias("m", "code"),
+        )
     )
 
 
@@ -854,12 +1040,24 @@ def _pq_lut_df(
     overrides the session-trained codebook with a loaded one."""
     vecs = _vectors(spark, sf_dir)
     cdf = cdf if cdf is not None else _pq_codebook_df(spark, sf_dir)
-    q_sub = _sub_rel(vecs.filter(F.col("vec_id") < N_QUERY), "query_id")
-    return q_sub.join(F.broadcast(cdf), "m").select(
-        "query_id",
-        "m",
-        "j",
-        F.round(_dot(F.col("sv"), F.col("cv")) * 1e6).cast("bigint").alias("pdot_i"),
+    books = _books_rows(cdf)
+    k = len(books[0])
+    # no argmin here — the LUT wants every (m, j) entry, so explode the
+    # m-major score array directly and derive (m, j) from the position
+    # (the flat 512-struct reshape this replaces broke janino codegen)
+    return (
+        vecs.filter(F.col("vec_id") < N_QUERY)
+        .withColumn("__d", _pq_mat_scores(books, "dot")(F.col("v")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("__d").alias("__i", "__dv"),
+        )
+        .select(
+            "query_id",
+            (F.col("__i") / k).cast("int").alias("m"),
+            (F.col("__i") % k).alias("j"),
+            F.round(F.col("__dv") * 1e6).cast("bigint").alias("pdot_i"),
+        )
     )
 
 

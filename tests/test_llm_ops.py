@@ -2777,3 +2777,89 @@ def test_t_closeness_threshold_monotonicity(spark):
         assert r["max_tvd_bp"] == rows[0]["max_tvd_bp"]  # one corpus max
         if r["t_bp"] >= r["max_tvd_bp"]:
             assert r["groups_above_t"] == 0 and r["rows_above_t"] == 0
+
+
+def test_arrow_scorer_bit_identity(spark):
+    """The vectorized Arrow scorers must be BIT-identical to the
+    sequential left-to-right binary64 fold the HOF expressions compute
+    (the r14 rewrite moved raw dot/L2 scoring into NumPy; ranking and
+    rounding stayed in the JVM, so any scorer drift would silently
+    flip oracle rows). Reference: the same fold in CPython floats."""
+    from generic_data_ingestor_framework_spark.llm import similarity
+
+    # awkward, non-representable values exercising cancellation
+    vecs = [
+        [0.1 + 0.3 * i * (-1) ** i for i in range(8)],
+        [1e-9, -3.7, 0.30000000000000004, 2.5, -1e9, 7.1, 0.0, -0.1],
+        [float(i) / 7.0 for i in range(8)],
+    ]
+    cents = [[0.1 * (j + 1) + 0.7 * i for i in range(8)] for j in range(5)]
+    df = spark.createDataFrame([(v,) for v in vecs], "pv array<double>")
+
+    def fold(v, c, mode):
+        acc = 0.0
+        for x, y in zip(v, c):
+            acc = acc + (x * y if mode == "dot" else (x - y) * (x - y))
+        return acc
+
+    for mode in ("dot", "l2sq"):
+        got = [
+            list(r[0])
+            for r in df.select(
+                similarity._mat_scores(cents, mode)("pv")
+            ).collect()
+        ]
+        want = [[fold(v, c, mode) for c in cents] for v in vecs]
+        assert got == want  # exact float equality == bit identity
+
+    # PQ scorer: M=2 subspaces of 4 dims, K=3 sub-centroids, m-major out
+    books = [
+        [[0.1, -0.2, 0.3, 0.7], [1.1, 2.2, -3.3, 0.4], [0.0, 0.5, 0.25, -0.125]],
+        [[-0.7, 0.9, 1.3, -2.1], [0.6, 0.0, 0.1, 0.2], [3.14, -2.72, 1.41, 0.58]],
+    ]
+    for mode in ("dot", "l2sq"):
+        got = [
+            list(r[0])
+            for r in df.select(
+                similarity._pq_mat_scores(books, mode)("pv")
+            ).collect()
+        ]
+        want = [
+            [
+                fold(v[m * 4 : (m + 1) * 4], c, mode)
+                for m in range(2)
+                for c in books[m]
+            ]
+            for v in vecs
+        ]
+        assert got == want
+
+    # driver-side norm helper used for the held centroids
+    import math
+
+    for v in vecs:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        assert similarity._py_norm(v) == math.sqrt(acc)
+
+
+def test_nearest_cells_tie_breaks_on_lowest_centroid_id(spark):
+    """Duplicate centroids produce exactly tied rounded sims; the
+    argmax must keep the LOWEST centroid id (the ordering the replaced
+    desc(sim), centroid_id window used, and what the oracle replays)."""
+    from generic_data_ingestor_framework_spark.llm import similarity
+
+    c = [1.0, 2.0, -1.0, 0.5]
+    cents = [(0, c, similarity._py_norm(c)),
+             (1, [9.0, -3.0, 2.0, 4.0], similarity._py_norm([9.0, -3.0, 2.0, 4.0])),
+             (2, c, similarity._py_norm(c))]  # dup of 0 → tie
+    df = spark.createDataFrame(
+        [(7, c)], "point_id bigint, pv array<double>"
+    ).withColumn("pn", F.expr(
+        "sqrt(aggregate(transform(pv, x -> x*x), 0.0d, (a, x) -> a + x))"
+    ))
+    out = similarity._nearest_cells(
+        None, df, "pv", "pn", "point_id", 2, cents=cents
+    ).collect()
+    assert [r["cell"] for r in out] == [0, 2]
