@@ -126,6 +126,28 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", _as_double(F.col("embedding")).alias("v"), "label")
 
 
+def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``N_QUERY`` query vectors as a LOCAL relation (vec_id, v):
+    collected once per session — a driver-held handful, the same
+    bounded class as the k-means centroids — then rebuilt with
+    ``createDataFrame``. Every probe-side derivation (wave transforms,
+    norms, probed cells) was re-scanning the corpus parquet inside its
+    broadcast build for these 5 rows (r14 opt: 3–6 such scans per
+    recall/retrain call). Values are the exact binary64 rows of the
+    corpus scan, so every downstream expression is bit-identical."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    rows = shared_value(
+        spark,
+        ("ann_query_vec_rows", sf_dir),
+        lambda: _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERY)
+        .select("vec_id", "v")
+        .collect(),
+    )
+    return spark.createDataFrame(rows, schema="vec_id bigint, v array<double>")
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: 5 query vectors vs the rest.
 
@@ -323,6 +345,21 @@ def _centroid_df(
     ).withColumn("cvn", _norm(F.col("cv")))
 
 
+def _frozen_cents(
+    spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS
+) -> list[tuple[int, list[float], float]]:
+    """The trained coarse quantizer as driver rows (cid, cv, cvn) —
+    the form ``_nearest_cells`` consumes. Reads the memoized k-means
+    result directly instead of round-tripping it through a local
+    DataFrame and a collect job per call (r14 opt: every
+    ``_nearest_cells(cdf=_centroid_df(...))`` call paid a ~0.3 s
+    collect of rows the driver already held). ``_py_norm`` is the
+    bit-identical fold of ``_norm``."""
+    return [
+        (cid, cv, _py_norm(cv)) for cid, cv in _kmeans_centroids(spark, sf_dir, k)
+    ]
+
+
 def _nearest_cells(
     cdf: DataFrame | None,
     df: DataFrame,
@@ -347,18 +384,18 @@ def _nearest_cells(
     they ever present, sort first under both forms)."""
     cents = cents if cents is not None else _cents_rows(cdf)
     scorer = _mat_scores([cv for _, cv, _ in cents], "dot")
-    sims = F.array(
-        *[
-            F.struct(
-                F.round(
-                    F.col("__d")[i] / (F.col(norm_col) * F.lit(cvn)), 6
-                ).alias("sim"),
-                F.lit(-cid).alias("nid"),
-                F.lit(cid).alias("cid"),
-            )
-            for i, (cid, _cv, cvn) in enumerate(cents)
-        ]
+    # ONE parsed SQL expression instead of k× (struct, round, lit, …)
+    # builder calls: the column-API form cost ~500 py4j round-trips
+    # (~0.35 s of driver latency) per call site. CAST('<repr>' AS
+    # DOUBLE) round-trips the centroid norm exactly (shortest-repr →
+    # correctly-rounded parse), and the struct fields/rounding are the
+    # byte-for-byte same expressions the builder form produced.
+    parts = ", ".join(
+        f"named_struct('sim', round(`__d`[{i}] / (`{norm_col}` * "
+        f"CAST('{cvn!r}' AS DOUBLE)), 6), 'nid', {-cid}, 'cid', {cid})"
+        for i, (cid, _cv, cvn) in enumerate(cents)
     )
+    sims = F.expr(f"array({parts})")
     top = F.slice(F.reverse(F.array_sort(sims)), 1, n_cells)
     return (
         df.withColumn("__d", scorer(F.col(vec_col)))
@@ -376,7 +413,6 @@ def _ivf_assigned(
     16-centroid scoring pass over the whole corpus."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_persist
 
-    cdf = _centroid_df(spark, sf_dir, k)
     others = (
         _vectors(spark, sf_dir)
         .filter(F.col("vec_id") >= N_QUERY)
@@ -389,7 +425,15 @@ def _ivf_assigned(
     return shared_persist(
         spark,
         ("ivf_assigned", sf_dir, k),
-        lambda: _nearest_cells(cdf, others, "pv", "pn", "point_id", 1),
+        lambda: _nearest_cells(
+            None,
+            others,
+            "pv",
+            "pn",
+            "point_id",
+            1,
+            cents=_frozen_cents(spark, sf_dir, k),
+        ),
     )
 
 
@@ -416,15 +460,15 @@ def _ivf_topk(
     boundary."""
     from pyspark.sql import Window as W
 
-    cdf = cdf if cdf is not None else _centroid_df(spark, sf_dir)
+    cents = _frozen_cents(spark, sf_dir) if cdf is None else None
     assigned = assigned if assigned is not None else _ivf_assigned(spark, sf_dir)
     if probed is None:
-        qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
+        qs = _query_vecs(spark, sf_dir).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             _norm(F.col("v")).alias("qn"),
         )
-        probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes)
+        probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes, cents=cents)
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     # the probe side is queries × n_probes rows — broadcast it so the
     # (possibly corpus-sized) assignment never shuffles (the planner's
@@ -1186,13 +1230,15 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: identical ADC/rerank arithmetic to ``ann_pq_topk``
     (integer-scaled partial dots, floored ranks), gated by the same
     cell assignment the IVF members verify."""
-    cdf = _centroid_df(spark, sf_dir)
-    qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
+    qs = _query_vecs(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
     )
-    probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
+    probed = _nearest_cells(
+        None, qs, "qv", "qn", "query_id", N_PROBES,
+        cents=_frozen_cents(spark, sf_dir),
+    )
     assigned = _ivf_assigned(spark, sf_dir)
     gate = (
         probed.select("query_id", "cell")
@@ -1588,7 +1634,7 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     it."""
     idx = load_ann_index(spark, sf_dir)
     cdf = idx["ivf_centroids"]
-    qs = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY).select(
+    qs = _query_vecs(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
@@ -2023,7 +2069,18 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is bit-identical to full re-assignment. The re-key
     offset, the candidate count, and the per-batch checkpoints are
     session-memoized (driver scalars + the cachemgr DataFrame case), so
-    a warm re-run pays one job."""
+    a warm re-run pays one job.
+
+    r14 (opt): the three waves are FUSED into one pass — corpus blocks
+    are tagged with their batch index b_c, queries with their wave, and
+    the per-wave crossJoins collapse into a single broadcast join on
+    wave >= b_c (wave b's corpus is exactly the blocks appended up to
+    b). One window partitioned by (wave, query_id) and one groupBy
+    replace 3 window shuffles and 3 aggregates; each checkpointed
+    block is scanned ONCE instead of once per wave it appears in
+    (3n rows read instead of 6n). Per-(wave, query) window contents and
+    ordering are unchanged, so every rank — and the output rows — are
+    identical."""
     from functools import reduce
 
     from pyspark.sql import Window as W
@@ -2031,9 +2088,9 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
 
     vecs = _vectors(spark, sf_dir)
-    cdf = _centroid_df(spark, sf_dir)  # FROZEN quantizer
+    crows = _frozen_cents(spark, sf_dir)  # FROZEN quantizer, driver rows
     cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
-    q0 = vecs.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v")
+    q0 = _query_vecs(spark, sf_dir)  # local relation — no corpus scan
     negate = F.transform(F.col("v"), lambda x: -x)
     # driver-held scalars (the MLlib-centroids class): the re-key offset
     # (wave 1: +off, wave 2: +2·off — disjoint at any SF) and the batch
@@ -2059,8 +2116,9 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1, b1, q0.select("vec_id", negate.alias("v"))),
         (2, b2, q0.select("vec_id", F.reverse(F.col("v")).alias("v"))),
     ]
-    outs = []
     a_parts: list[DataFrame] = []  # per-batch assignments, checkpointed once
+    qn_parts: list[DataFrame] = []
+    probed_parts: list[DataFrame] = []
     for b, batch, qs in stages:
         qn = qs.select(
             F.col("vec_id").alias("query_id"),
@@ -2079,70 +2137,79 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 ("recall_append_assign", sf_dir, b),
                 lambda cb=cn_b: _nearest_cells(
-                    cdf, cb, "pv", "pn", "point_id", 1
+                    None, cb, "pv", "pn", "point_id", 1, cents=crows
                 ).localCheckpoint(eager=True),
             )
         )
-        a_acc = reduce(DataFrame.unionByName, a_parts)
-        sim = F.round(
-            _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6
-        )
-        # FUSED truth+IVF pass (r13 verdict #4): one corpus scan per
-        # wave instead of two. The crossJoin rows carry the point's
-        # assigned cell, so "would the IVF probe see this point" is a
-        # broadcast (query_id, cell) lookup — in_probe — not a second
-        # corpus-sized join, and every dot product is computed ONCE.
-        # Both ranks come from the SAME window order: truth rank is
-        # row_number; the IVF rank of an in-probe row is the running
-        # count of in-probe rows up to it (identical to row_number
-        # over the probe-filtered subset under the same ordering).
-        # A hit is then truth_rank<=K ∧ in_probe ∧ ivf_rank<=K, and the
-        # old truth⋈ivf recall join collapses into the aggregate.
-        probed = _nearest_cells(cdf, qn, "qv", "qn", "query_id", N_PROBES)
-        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
-        w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        scored = (
-            a_acc.select("point_id", "pv", "pn", "cell")
-            .crossJoin(F.broadcast(qn))
-            .join(
-                F.broadcast(
-                    probed.select("query_id", "cell", F.lit(1).alias("in_probe"))
-                ),
-                ["query_id", "cell"],
-                "left",
+        qn_parts.append(qn.withColumn("wave", F.lit(b)))
+        # probe cells are a tiny per-query projection — tag and union
+        probed_parts.append(
+            _nearest_cells(
+                None, qn, "qv", "qn", "query_id", N_PROBES, cents=crows
+            ).select(
+                F.lit(b).alias("wave"),
+                "query_id",
+                "cell",
+                F.lit(1).alias("in_probe"),
             )
-            .withColumn("cos_sim", sim)
-            .withColumn("truth_rank", F.row_number().over(w))
-            .withColumn(
-                "ivf_rank", F.sum(F.coalesce("in_probe", F.lit(0))).over(w_run)
-            )
-            .filter(F.col("truth_rank") <= TOP_K)
         )
-        n_corpus = (b + 1) * n_cand  # 1:1 batches — no count job
-        outs.append(
-            scored.agg(
-                F.count(F.lit(1)).alias("k"),
-                F.sum(
-                    (
-                        (F.col("in_probe") == 1)
-                        & (F.col("ivf_rank") <= TOP_K)
-                    ).cast("long")
+    # FUSED truth+IVF pass over ALL waves (r13 verdict #4 + r14 opt):
+    # corpus block b_c joins every wave >= b_c, so one broadcast join
+    # reproduces each wave's prefix-union corpus while scanning each
+    # checkpointed block once. The crossJoin rows carry the point's
+    # assigned cell, so "would the IVF probe see this point" is a
+    # broadcast (wave, query_id, cell) lookup — in_probe — not a second
+    # corpus-sized join, and every dot product is computed ONCE.
+    # Both ranks come from the SAME window order: truth rank is
+    # row_number; the IVF rank of an in-probe row is the running
+    # count of in-probe rows up to it (identical to row_number
+    # over the probe-filtered subset under the same ordering).
+    # A hit is then truth_rank<=K ∧ in_probe ∧ ivf_rank<=K, and the
+    # old truth⋈ivf recall join collapses into the per-wave aggregate.
+    a_all = reduce(
+        DataFrame.unionByName,
+        (p.withColumn("b_c", F.lit(b)) for b, p in enumerate(a_parts)),
+    )
+    q_all = reduce(DataFrame.unionByName, qn_parts)
+    probed_all = reduce(DataFrame.unionByName, probed_parts)
+    sim = F.round(
+        _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6
+    )
+    w = W.partitionBy("wave", "query_id").orderBy(F.desc("cos_sim"), "point_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    scored = (
+        a_all.select("point_id", "pv", "pn", "cell", "b_c")
+        .join(F.broadcast(q_all), F.col("wave") >= F.col("b_c"))
+        .join(F.broadcast(probed_all), ["wave", "query_id", "cell"], "left")
+        .withColumn("cos_sim", sim)
+        .withColumn("truth_rank", F.row_number().over(w))
+        .withColumn(
+            "ivf_rank", F.sum(F.coalesce("in_probe", F.lit(0))).over(w_run)
+        )
+        .filter(F.col("truth_rank") <= TOP_K)
+    )
+    return (
+        scored.groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                ((F.col("in_probe") == 1) & (F.col("ivf_rank") <= TOP_K)).cast(
+                    "long"
                 )
-                .cast("bigint")
-                .alias("n_hits"),
             )
-            .select(
-                F.lit(b).cast("int").alias("batch"),
-                F.lit(n_corpus).cast("bigint").alias("corpus_n"),
-                F.col("k").cast("bigint").alias("k"),
-                "n_hits",
-                F.expr("(n_hits * 10000) div k").alias("recall_bp"),
-            )
+            .cast("bigint")
+            .alias("n_hits"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        .select(
+            F.col("wave").cast("int").alias("batch"),
+            ((F.col("wave").cast("bigint") + 1) * F.lit(n_cand))
+            .cast("bigint")
+            .alias("corpus_n"),
+            F.col("k").cast("bigint").alias("k"),
+            "n_hits",
+            F.expr("(n_hits * 10000) div k").alias("recall_bp"),
+        )
+    )
 
 
 # Deterministic recrawl cohorts over the candidate ids: vec_id%5==0
@@ -2377,8 +2444,10 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode-only passes checkpointed once per session (the frozen
     per-batch blocks are SHARED with the recall-drift audit via the
     same cache keys); the before/after probe is the recall audit's
-    fused single-scan pass with TWO in-probe flags — one window, one
-    corpus scan per wave, every dot product computed once."""
+    fused single-scan pass with TWO in-probe flags — the three query
+    waves are wave-tagged and probed in ONE corpus scan, one window,
+    one groupBy (r14 opt: was one scan per wave), every dot product
+    computed once."""
     from functools import reduce
 
     from pyspark.sql import Window as W
@@ -2386,9 +2455,9 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
 
     vecs = _vectors(spark, sf_dir)
-    cdf_frozen = _centroid_df(spark, sf_dir)
+    crows_fr = _frozen_cents(spark, sf_dir)  # frozen quantizer, driver rows
     cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
-    q0 = vecs.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v")
+    q0 = _query_vecs(spark, sf_dir)  # local relation — no corpus scan
     negate = F.transform(F.col("v"), lambda x: -x)
     off_v, n_cand = shared_value(
         spark,
@@ -2423,9 +2492,7 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("retrain_cents", sf_dir),
         lambda: _kmeans_over(spark, grown, N_CENTROIDS),
     )
-    cdf_rt = spark.createDataFrame(
-        rt_cents, schema="centroid_id int, cv array<double>"
-    ).withColumn("cvn", _norm(F.col("cv")))
+    crows_rt = [(cid, cv, _py_norm(cv)) for cid, cv in rt_cents]
     # frozen assignment: the recall audit's per-batch checkpoints,
     # shared via the same cache keys; retrained assignment: one
     # encode-only pass over the grown corpus, checkpointed once
@@ -2434,7 +2501,7 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             ("recall_append_assign", sf_dir, b),
             lambda cb=_pts(batch): _nearest_cells(
-                cdf_frozen, cb, "pv", "pn", "point_id", 1
+                None, cb, "pv", "pn", "point_id", 1, cents=crows_fr
             ).localCheckpoint(eager=True),
         )
         for b, batch in enumerate(batches)
@@ -2445,9 +2512,9 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: reduce(DataFrame.unionByName, a_fr_parts)
         .select("point_id", "pv", "pn", F.col("cell").alias("cell_fr"))
         .join(
-            _nearest_cells(cdf_rt, grown, "pv", "pn", "point_id", 1).select(
-                "point_id", F.col("cell").alias("cell_rt")
-            ),
+            _nearest_cells(
+                None, grown, "pv", "pn", "point_id", 1, cents=crows_rt
+            ).select("point_id", F.col("cell").alias("cell_rt")),
             "point_id",
         )
         .localCheckpoint(eager=True),
@@ -2457,81 +2524,88 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1, q0.select("vec_id", negate.alias("v"))),
         (2, q0.select("vec_id", F.reverse(F.col("v")).alias("v"))),
     ]
+    # r14 (opt): the three query waves probe the SAME grown corpus, so
+    # they fuse into one pass — queries and probe-cell sets tagged with
+    # their wave, one crossJoin of a_joint against all 3·N_QUERY
+    # broadcast queries, one window partitioned by (wave, query_id),
+    # one groupBy. a_joint is scanned once instead of once per wave;
+    # per-(wave, query) window contents/ordering — and the output
+    # rows — are unchanged.
     sim = F.round(_dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6)
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
+    w = W.partitionBy("wave", "query_id").orderBy(F.desc("cos_sim"), "point_id")
     w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    outs = []
+    qn_parts, pf_parts, pr_parts = [], [], []
     for b, qs in waves:
         qn = qs.select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             _norm(F.col("v")).alias("qn"),
         )
-        pf = _nearest_cells(cdf_frozen, qn, "qv", "qn", "query_id", N_PROBES)
-        pr = _nearest_cells(cdf_rt, qn, "qv", "qn", "query_id", N_PROBES)
-        scored = (
-            a_joint.crossJoin(F.broadcast(qn))
-            .join(
-                F.broadcast(
-                    pf.select(
-                        "query_id",
-                        F.col("cell").alias("cell_fr"),
-                        F.lit(1).alias("in_fr"),
-                    )
-                ),
-                ["query_id", "cell_fr"],
-                "left",
-            )
-            .join(
-                F.broadcast(
-                    pr.select(
-                        "query_id",
-                        F.col("cell").alias("cell_rt"),
-                        F.lit(1).alias("in_rt"),
-                    )
-                ),
-                ["query_id", "cell_rt"],
-                "left",
-            )
-            .withColumn("cos_sim", sim)
-            .withColumn("truth_rank", F.row_number().over(w))
-            .withColumn(
-                "fr_rank", F.sum(F.coalesce("in_fr", F.lit(0))).over(w_run)
-            )
-            .withColumn(
-                "rt_rank", F.sum(F.coalesce("in_rt", F.lit(0))).over(w_run)
-            )
-            .filter(F.col("truth_rank") <= TOP_K)
-        )
-        outs.append(
-            scored.agg(
-                F.count(F.lit(1)).alias("k"),
-                F.sum(
-                    ((F.col("in_fr") == 1) & (F.col("fr_rank") <= TOP_K)).cast(
-                        "long"
-                    )
-                )
-                .cast("bigint")
-                .alias("hits_fr"),
-                F.sum(
-                    ((F.col("in_rt") == 1) & (F.col("rt_rank") <= TOP_K)).cast(
-                        "long"
-                    )
-                )
-                .cast("bigint")
-                .alias("hits_rt"),
+        qn_parts.append(qn.withColumn("wave", F.lit(b)))
+        pf_parts.append(
+            _nearest_cells(
+                None, qn, "qv", "qn", "query_id", N_PROBES, cents=crows_fr
             ).select(
-                F.lit(b).cast("int").alias("batch"),
-                F.lit(3 * n_cand).cast("bigint").alias("corpus_n"),
-                F.col("k").cast("bigint").alias("k"),
-                F.expr("(hits_fr * 10000) div k").alias("recall_frozen_bp"),
-                F.expr("(hits_rt * 10000) div k").alias("recall_retrained_bp"),
+                F.lit(b).alias("wave"),
+                "query_id",
+                F.col("cell").alias("cell_fr"),
+                F.lit(1).alias("in_fr"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        pr_parts.append(
+            _nearest_cells(
+                None, qn, "qv", "qn", "query_id", N_PROBES, cents=crows_rt
+            ).select(
+                F.lit(b).alias("wave"),
+                "query_id",
+                F.col("cell").alias("cell_rt"),
+                F.lit(1).alias("in_rt"),
+            )
+        )
+    q_all = reduce(DataFrame.unionByName, qn_parts)
+    pf_all = reduce(DataFrame.unionByName, pf_parts)
+    pr_all = reduce(DataFrame.unionByName, pr_parts)
+    scored = (
+        a_joint.crossJoin(F.broadcast(q_all))
+        .join(F.broadcast(pf_all), ["wave", "query_id", "cell_fr"], "left")
+        .join(F.broadcast(pr_all), ["wave", "query_id", "cell_rt"], "left")
+        .withColumn("cos_sim", sim)
+        .withColumn("truth_rank", F.row_number().over(w))
+        .withColumn(
+            "fr_rank", F.sum(F.coalesce("in_fr", F.lit(0))).over(w_run)
+        )
+        .withColumn(
+            "rt_rank", F.sum(F.coalesce("in_rt", F.lit(0))).over(w_run)
+        )
+        .filter(F.col("truth_rank") <= TOP_K)
+    )
+    return (
+        scored.groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                ((F.col("in_fr") == 1) & (F.col("fr_rank") <= TOP_K)).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("hits_fr"),
+            F.sum(
+                ((F.col("in_rt") == 1) & (F.col("rt_rank") <= TOP_K)).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("hits_rt"),
+        )
+        .select(
+            F.col("wave").cast("int").alias("batch"),
+            F.lit(3 * n_cand).cast("bigint").alias("corpus_n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.expr("(hits_fr * 10000) div k").alias("recall_frozen_bp"),
+            F.expr("(hits_rt * 10000) div k").alias("recall_retrained_bp"),
+        )
+    )
 
 
 def ann_index_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
