@@ -241,15 +241,22 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched once per classifier."""
     from generic_data_ingestor_framework_spark.llm.textstats import lang_id_heuristic
 
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
     nb = nb_lang_predictions(spark, sf_dir).select("doc_id", "pred_lang")
     h = lang_id_heuristic(spark, sf_dir).select("doc_id", "lang_guess")
     # classes² rows, but its lineage is both classifier pipelines; the
-    # three rollups below must read materialized rows, not re-score
-    cont = (
-        nb.join(h, "doc_id")
+    # three rollups below must read materialized rows, not re-score.
+    # Session-memoized (r14 opt): the eager checkpoint re-scored both
+    # classifiers during DataFrame CONSTRUCTION on every call (~0.9 s
+    # warm); cachemgr releases the blocks at clear_caches.
+    cont = shared_value(
+        spark,
+        ("kappa_contingency", sf_dir),
+        lambda: nb.join(h, "doc_id")
         .groupBy(F.col("pred_lang").alias("a"), F.col("lang_guess").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     ra = cont.groupBy("a").agg(F.sum("n").alias("ra"))
     rb = cont.groupBy("b").agg(F.sum("n").alias("rb"))

@@ -1566,8 +1566,12 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = hc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     x = hc.select(F.col("doc_id").alias("doc_a"), "sh")
     y = hc.select(F.col("doc_id").alias("doc_b"), "sh")
+    # r14 opt: broadcast the pair side into the doc_a expansion (same
+    # bounded class as est's build side) so the candidate-shingle
+    # relation streams instead of shuffling by doc_a — 2 Exchange → 0
+    # on that join
     inter = (
-        pairs.join(x, "doc_a")
+        F.broadcast(pairs).join(x, "doc_a")
         .join(y, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -1576,8 +1580,11 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     est_j = F.col("m") / F.lit(float(N_PERM))
     exact_j = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    # r14 opt: inter (≤ sampled-pair rows after the aggregate) joins as
+    # the broadcast build side — the left-outer was a SortMergeJoin (the
+    # LEFT side cannot broadcast), 2 Exchange + 2 Sort → 0
     return (
-        est.join(inter, ["doc_a", "doc_b"], "left")
+        est.join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
         .withColumn("i", F.coalesce("i", F.lit(0)))
         .join(F.broadcast(sza), "doc_a")
         .join(F.broadcast(szb), "doc_b")
@@ -1626,7 +1633,10 @@ def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
-    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+    from generic_data_ingestor_framework_spark.cachemgr import (
+        shared_persist,
+        shared_value,
+    )
 
     hs = shared_persist(
         spark,
@@ -1670,11 +1680,19 @@ def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bucket-count relation is ≤11 rows but its lineage is the whole
     # audit: truncate it so the totals/zero-row derivations below read
-    # the materialized rows instead of re-running the pipeline
-    per_bucket = flagged.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("cand").alias("n_candidates"),
-    ).localCheckpoint(eager=True)
+    # the materialized rows instead of re-running the pipeline.
+    # Session-memoized (r14 opt): the eager checkpoint ran the full
+    # quadratic ground-truth join during DataFrame CONSTRUCTION on
+    # every call — ~1.5 s per warm call for rows the session already
+    # held (cachemgr releases the blocks at clear_caches).
+    per_bucket = shared_value(
+        spark,
+        ("scurve_per_bucket", sf_dir),
+        lambda: flagged.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cand").alias("n_candidates"),
+        ).localCheckpoint(eager=True),
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     totals = per_bucket.agg(
         F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("nz"),

@@ -1414,11 +1414,67 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str | None = None) ->
     )
     _pq_codes_df(spark, sf_dir).write.mode("overwrite").parquet(f"{root}/pq_codes")
     _write_index_meta(spark, root, n_cand)
+    _bump_ann_epoch(root)
     return root
+
+
+# Per-root mutation counter: every writer (save/append/supersede/
+# delete/compact) bumps it, so the session-memoized load_ann_index
+# result can never serve a stale view of an index THIS process
+# mutated. Out-of-process mutation is caught by the meta fingerprint
+# below: every contract-following writer finishes by rewriting
+# ``index_meta``, so its file listing (names, mtimes, sizes — one FS
+# metadata call, no Spark job) changes on any mutation.
+_ANN_INDEX_EPOCH: dict[str, int] = {}
+
+
+def _bump_ann_epoch(root: str) -> None:
+    _ANN_INDEX_EPOCH[root] = _ANN_INDEX_EPOCH.get(root, 0) + 1
+
+
+def _ann_meta_fingerprint(spark: SparkSession, root: str) -> tuple:
+    """(name, mtime, size) of every file under ``{root}/index_meta`` —
+    a pure FS-metadata probe that changes whenever any writer commits
+    (all of them rewrite the meta relation last)."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_fs_path
+
+    fs, p = hadoop_fs_path(spark, f"{root}/index_meta")
+    if not fs.exists(p):
+        return ()
+    return tuple(
+        sorted(
+            (st.getPath().getName(), st.getModificationTime(), st.getLen())
+            for st in fs.listStatus(p)
+        )
+    )
 
 
 def load_ann_index(
     spark: SparkSession, sf_dir: str, root: str | None = None
+) -> dict[str, DataFrame]:
+    """Session-memoized ``_load_ann_index_fresh`` (r14 opt): the
+    staleness probes — meta collect, corpus count, batch-dir listings,
+    two effective-relation counts — cost ~6 driver actions (~1 s) per
+    call, re-verifying an index nothing touched. The memo key carries
+    the per-root mutation epoch (any in-process writer invalidates it)
+    AND the meta-directory fingerprint (any out-of-process writer that
+    follows the write protocol — meta committed last — invalidates
+    it), so the staleness contract of the fresh loader is preserved at
+    the cost of one FS metadata call instead of ~6 driver actions."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    root = root or _ann_index_root(spark, sf_dir)
+    epoch = _ANN_INDEX_EPOCH.get(root, 0)
+    fp = _ann_meta_fingerprint(spark, root)
+    return shared_value(
+        spark,
+        ("ann_index_loaded", sf_dir, root, epoch, fp),
+        lambda: _load_ann_index_fresh(spark, sf_dir, root),
+    )
+
+
+def _load_ann_index_fresh(
+    spark: SparkSession, sf_dir: str, root: str
 ) -> dict[str, DataFrame]:
     """Load the persisted ANN index, (re)building it first when absent,
     version-mismatched, trained on a different candidate count, or
@@ -1435,7 +1491,6 @@ def load_ann_index(
         hadoop_list_dirs,
     )
 
-    root = root or _ann_index_root(spark, sf_dir)
     stale = True
     if hadoop_exists(spark, f"{root}/index_meta"):
         meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
@@ -1537,6 +1592,7 @@ def append_ann_index(
         new_vectors.unpersist()
     n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
     _write_index_meta(spark, root, n_total)
+    _bump_ann_epoch(root)
     return n_new
 
 
@@ -1587,6 +1643,7 @@ def supersede_ann_index(
         new_vectors.unpersist()
     n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
     _write_index_meta(spark, root, n_total)
+    _bump_ann_epoch(root)
     return n_new
 
 
@@ -1612,6 +1669,7 @@ def delete_ann_index_ids(
     ).write.mode("overwrite").parquet(f"{root}/tombstones/{tag}")
     n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
     _write_index_meta(spark, root, n_total)
+    _bump_ann_epoch(root)
     return n_total
 
 
@@ -1645,14 +1703,21 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calls reuse one cached copy instead of leaking one per call —
     # the relation is deterministic per corpus (rounded sims, id
     # tie-breaks), so the key is just the corpus.
-    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+    from generic_data_ingestor_framework_spark.cachemgr import (
+        shared_persist,
+        shared_value,
+    )
 
     probed = shared_persist(
         spark,
         ("ivf_probed_persisted", sf_dir),
         lambda: _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES),
     )
-    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    cells = shared_value(
+        spark,
+        ("ivf_probed_cells_persisted", sf_dir),
+        lambda: [r["cell"] for r in probed.select("cell").distinct().collect()],
+    )
     return _ivf_topk(
         spark,
         sf_dir,
@@ -1799,6 +1864,7 @@ def compact_ann_index(spark: SparkSession, root: str) -> int:
     hadoop_delete(spark, f"{root}/tombstones")
     n_total = spark.read.parquet(f"{root}/ivf_assigned").count()
     _write_index_meta(spark, root, n_total)
+    _bump_ann_epoch(root)
     return n_total
 
 
