@@ -1527,11 +1527,25 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     at a fixed 1-in-4) — membership is portable hash arithmetic and
     the modulus an integer tier function, so both engines audit the
     identical subset at every scale."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).filter(
-        portable_hash32(
-            F.concat(F.col("doc_a").cast("string"), F.lit("_"),
-                     F.col("doc_b").cast("string"))
-        ) % _acc_sample_mod(spark, sf_dir) == 0
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    # Session-memoized eager checkpoint (r14 opt): the sampled pair set
+    # is referenced by est, the candidate pruning, AND the intersection
+    # join — un-truncated, the LSH self-join subtree repeats hundreds
+    # of times through the downstream plan and Catalyst re-plans it all
+    # on every call. The checkpoint collapses every reference to a
+    # sampled-pair-sized leaf; cachemgr releases it at clear_caches.
+    pairs = shared_value(
+        spark,
+        ("mh_acc_pairs", sf_dir),
+        lambda: dedup_minhash_lsh_pairs(spark, sf_dir)
+        .filter(
+            portable_hash32(
+                F.concat(F.col("doc_a").cast("string"), F.lit("_"),
+                         F.col("doc_b").cast("string"))
+            ) % _acc_sample_mod(spark, sf_dir) == 0
+        )
+        .localCheckpoint(eager=True),
     )
     sig = _minhash_sig_df(spark, sf_dir)
     a = sig.select(
@@ -1570,16 +1584,27 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # referenced by sizes + both sides of the intersection join: persist
     # the candidate-pruned relation once (bounded by candidate docs)
     hc = shared_persist(spark, ("mh_acc_cand_shingles", sf_dir), _cand_shingles)
-    sizes = hc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # candidate-doc-sized; referenced as BOTH join sides below, which
+    # re-ran the aggregate twice per call — checkpoint it once
+    sizes = shared_value(
+        spark,
+        ("mh_acc_sizes", sf_dir),
+        lambda: hc.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=True),
+    )
     x = hc.select(F.col("doc_id").alias("doc_a"), "sh")
     y = hc.select(F.col("doc_id").alias("doc_b"), "sh")
     # r14 opt: broadcast the pair side into the doc_a expansion (same
     # bounded class as est's build side) so the candidate-shingle
     # relation streams instead of shuffling by doc_a — 2 Exchange → 0
-    # on that join
+    # on that join. The y side is the SAME candidate-pruned persisted
+    # relation (bounded by candidate docs × their shingles), so the
+    # set-intersection join broadcasts too instead of planning a
+    # sort-merge join — another 2 Exchange + 2 Sort removed.
     inter = (
         F.broadcast(pairs).join(x, "doc_a")
-        .join(y, ["doc_b", "sh"])
+        .join(F.broadcast(y), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -1796,8 +1821,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # referenced five times below (three wedge sides + both degree
-    # unions): persist the induced edge list once per session
-    e = shared_persist(spark, ("tri_capped_edges", sf_dir), _capped_edges)
+    # unions): checkpoint the induced edge list once per session —
+    # persist() kept the full LSH lineage in the logical plan, so each
+    # of the five references re-embedded (and Catalyst re-optimized)
+    # the whole pair-generation subtree per call; the checkpoint is the
+    # same executor storage with a truncated plan (r14 opt)
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    e = shared_value(
+        spark,
+        ("tri_capped_edges", sf_dir),
+        lambda: _capped_edges().localCheckpoint(eager=True),
+    )
     x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
     tri = (
         x.join(y, F.col("x.b") == F.col("y.a"))

@@ -2236,8 +2236,26 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         DataFrame.unionByName,
         (p.withColumn("b_c", F.lit(b)) for b, p in enumerate(a_parts)),
     )
-    q_all = reduce(DataFrame.unionByName, qn_parts)
-    probed_all = reduce(DataFrame.unionByName, probed_parts)
+    # The wave-tagged query/probe-cell relations are a few dozen rows,
+    # but building them costs 1 ExistingRDD scan + 3 ArrowEvalPython
+    # rounds (Python-worker latency, ~2-3 s/call warm at sf0.1 — the
+    # dominant cost of the member once everything else is checkpointed).
+    # Session-memoized eager checkpoints: re-scans are JVM-only block
+    # reads; cachemgr releases them at clear_caches (r14 opt).
+    q_all = shared_value(
+        spark,
+        ("recall_q_all", sf_dir),
+        lambda: reduce(DataFrame.unionByName, qn_parts).localCheckpoint(
+            eager=True
+        ),
+    )
+    probed_all = shared_value(
+        spark,
+        ("recall_probed_all", sf_dir),
+        lambda: reduce(DataFrame.unionByName, probed_parts).localCheckpoint(
+            eager=True
+        ),
+    )
     sim = F.round(
         _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6
     )
@@ -2628,9 +2646,31 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).alias("in_rt"),
             )
         )
-    q_all = reduce(DataFrame.unionByName, qn_parts)
-    pf_all = reduce(DataFrame.unionByName, pf_parts)
-    pr_all = reduce(DataFrame.unionByName, pr_parts)
+    # Same r14 memoization as the recall audit: these are ≤45-row
+    # relations whose construction pays 1 ExistingRDD scan + 6
+    # ArrowEvalPython rounds per call (~4.8 s warm at sf0.1 — measured
+    # as the member's dominant cost); checkpointed once per session.
+    q_all = shared_value(
+        spark,
+        ("retrain_q_all", sf_dir),
+        lambda: reduce(DataFrame.unionByName, qn_parts).localCheckpoint(
+            eager=True
+        ),
+    )
+    pf_all = shared_value(
+        spark,
+        ("retrain_pf_all", sf_dir),
+        lambda: reduce(DataFrame.unionByName, pf_parts).localCheckpoint(
+            eager=True
+        ),
+    )
+    pr_all = shared_value(
+        spark,
+        ("retrain_pr_all", sf_dir),
+        lambda: reduce(DataFrame.unionByName, pr_parts).localCheckpoint(
+            eager=True
+        ),
+    )
     scored = (
         a_joint.crossJoin(F.broadcast(q_all))
         .join(F.broadcast(pf_all), ["wave", "query_id", "cell_fr"], "left")
