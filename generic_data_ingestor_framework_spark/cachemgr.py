@@ -103,6 +103,36 @@ def shared_persist(
     return df
 
 
+def evict_prefix(spark: SparkSession, prefix: tuple) -> None:
+    """Release every memoized value/relation of this session whose key
+    TUPLE starts with ``prefix``. For memo families whose key embeds a
+    version (mutation epoch, content fingerprint): without eviction the
+    superseded versions' entries — and any executor blocks they hold —
+    linger until ``clear_caches``, a slow leak in long sessions that
+    mutate repeatedly (the index-lifecycle members)."""
+    sid = _track(spark)
+
+    def _stale(k: tuple) -> bool:
+        key = k[1]
+        return (
+            k[0] == sid
+            and isinstance(key, tuple)
+            and key[: len(prefix)] == prefix
+        )
+
+    for store in (_VALUES, _REGISTRY):
+        for k in [k for k in store if _stale(k)]:
+            _release(store[k])
+            del store[k]
+
+
+def has_value(spark: SparkSession, key: Hashable) -> bool:
+    """True when ``shared_value`` already memoized ``key`` this session
+    (no build). Lets version-keyed callers evict superseded entries
+    exactly once, when a new version first appears."""
+    return (_track(spark), key) in _VALUES
+
+
 def shared_value(spark: SparkSession, key: Hashable, builder: Callable[[], object]):
     """Memoize a value per (session, key): the first call runs
     ``builder`` (typically one collect job), later calls in the same

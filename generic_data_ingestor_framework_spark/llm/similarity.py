@@ -1082,27 +1082,44 @@ def _pq_lut_df(
     """Per-query ADC lookup table (query_id, m, j, integer-scaled
     partial dot) — queries x M x K rows, broadcast-sized. ``cdf``
     overrides the session-trained codebook with a loaded one."""
-    vecs = _vectors(spark, sf_dir)
     cdf = cdf if cdf is not None else _pq_codebook_df(spark, sf_dir)
     books = _books_rows(cdf)
     k = len(books[0])
+
     # no argmin here — the LUT wants every (m, j) entry, so explode the
     # m-major score array directly and derive (m, j) from the position
     # (the flat 512-struct reshape this replaces broke janino codegen)
-    return (
-        vecs.filter(F.col("vec_id") < N_QUERY)
-        .withColumn("__d", _pq_mat_scores(books, "dot")(F.col("v")))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.posexplode("__d").alias("__i", "__dv"),
+    def build() -> DataFrame:
+        return (
+            _query_vecs(spark, sf_dir)
+            .withColumn("__d", _pq_mat_scores(books, "dot")(F.col("v")))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.posexplode("__d").alias("__i", "__dv"),
+            )
+            .select(
+                "query_id",
+                (F.col("__i") / k).cast("int").alias("m"),
+                (F.col("__i") % k).alias("j"),
+                F.round(F.col("__dv") * 1e6).cast("bigint").alias("pdot_i"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select(
-            "query_id",
-            (F.col("__i") / k).cast("int").alias("m"),
-            (F.col("__i") % k).alias("j"),
-            F.round(F.col("__dv") * 1e6).cast("bigint").alias("pdot_i"),
-        )
-    )
+
+    # queries × M × K rows, broadcast below — session-memoized KEYED BY
+    # THE CODEBOOK CONTENT (books is already a driver-held nested list),
+    # so a loaded codebook that differs from the session-trained one can
+    # never serve a stale LUT, while every caller passing equal books —
+    # flat, IVF-gated, persisted, crawl — shares one ArrowEval pass
+    # instead of re-running it per call (r14 opt). The query side comes
+    # from the _query_vecs driver memo (exact binary64 rows of the
+    # corpus scan), not a fresh corpus scan.
+    import hashlib
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    bkey = hashlib.md5(repr(books).encode()).hexdigest()
+    return shared_value(spark, ("pq_lut", sf_dir, bkey), build)
 
 
 def _pq_adc(
@@ -1145,18 +1162,24 @@ def _pq_rerank(
     resolve every shortlisted point's full vector."""
     from pyspark.sql import Window as W
 
-    vecs = _vectors(spark, sf_dir)
-    norms = vecs.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    qn = norms.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    # query side from the _query_vecs driver memo (exact binary64 rows
+    # of the corpus scan, so the norms below are bit-identical) — the
+    # corpus parquet is no longer scanned just to build the 5-row
+    # broadcast side (r14 opt)
+    qn = _query_vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
     cn = (
         cand_vecs
         if cand_vecs is not None
-        else norms.filter(F.col("vec_id") >= N_QUERY).select(
+        else _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERY)
+        .select(
             F.col("vec_id").alias("point_id"),
             F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
+            _norm(F.col("v")).alias("cn"),
         )
     )
     w1 = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "point_id")
@@ -1461,15 +1484,24 @@ def load_ann_index(
     follows the write protocol — meta committed last — invalidates
     it), so the staleness contract of the fresh loader is preserved at
     the cost of one FS metadata call instead of ~6 driver actions."""
-    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+    from generic_data_ingestor_framework_spark.cachemgr import (
+        evict_prefix,
+        has_value,
+        shared_value,
+    )
 
     root = root or _ann_index_root(spark, sf_dir)
     epoch = _ANN_INDEX_EPOCH.get(root, 0)
     fp = _ann_meta_fingerprint(spark, root)
+    key = ("ann_index_loaded", sf_dir, root, epoch, fp)
+    if not has_value(spark, key):
+        # new (epoch, fingerprint): superseded versions of THIS root can
+        # never be served again — drop their memo entries before adding
+        # the fresh one (mutation-heavy members would otherwise
+        # accumulate one stale entry per write for the whole session)
+        evict_prefix(spark, ("ann_index_loaded", sf_dir, root))
     return shared_value(
-        spark,
-        ("ann_index_loaded", sf_dir, root, epoch, fp),
-        lambda: _load_ann_index_fresh(spark, sf_dir, root),
+        spark, key, lambda: _load_ann_index_fresh(spark, sf_dir, root)
     )
 
 

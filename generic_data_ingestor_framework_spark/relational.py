@@ -188,7 +188,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t("lineitem")
         .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        # the dim chain is customer-dim-sized, but the planner's
+        # post-join size estimate balloons past the broadcast threshold
+        # and picked a SortMergeJoin of the fact against it (2 Exchange
+        # + 2 Sort); hint it like every other member's dim chain
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name")
         # per-term quantize to integer 1e-4 units BEFORE summing (the
         # q7/q9 r9 fix): Spark's partial-agg merge order is scheduling-

@@ -435,6 +435,55 @@ def test_cachemgr_clear_unpersists_shared_value_dataframes(spark):
     cachemgr.clear_caches()
 
 
+def test_cachemgr_evict_prefix_releases_only_matching_entries(spark):
+    """evict_prefix drops (and unpersists) every memoized entry whose
+    key tuple starts with the prefix, and nothing else — the eviction
+    load_ann_index uses so superseded (epoch, fingerprint) versions of
+    a mutated index don't accumulate for the session's lifetime."""
+    from generic_data_ingestor_framework_spark import cachemgr
+
+    released = []
+
+    class FakeCkpt:
+        def unpersist(self):
+            released.append(1)
+
+    cachemgr.shared_value(spark, ("fam", "r1", 0), FakeCkpt)
+    cachemgr.shared_value(spark, ("fam", "r1", 1), FakeCkpt)
+    keep = cachemgr.shared_value(spark, ("fam", "r2", 0), lambda: {"v": 9})
+    cachemgr.evict_prefix(spark, ("fam", "r1"))
+    assert released == [1, 1]
+    assert cachemgr.has_value(spark, ("fam", "r2", 0))
+    assert not cachemgr.has_value(spark, ("fam", "r1", 0))
+    # the surviving entry still memoizes
+    assert cachemgr.shared_value(spark, ("fam", "r2", 0), dict) is keep
+    cachemgr.clear_caches()
+
+
+def test_load_ann_index_memo_evicts_superseded_epochs(spark):
+    """After a writer mutates the index, the memo for the OLD
+    (epoch, fingerprint) is gone — only the current version's entry
+    stays registered for the root."""
+    from generic_data_ingestor_framework_spark import cachemgr
+    from generic_data_ingestor_framework_spark.llm import similarity as S
+
+    root = S._ann_index_root(spark, SF)
+    S.load_ann_index(spark, SF)
+    n_before = sum(
+        1
+        for (_, k) in cachemgr._VALUES
+        if isinstance(k, tuple) and k[:3] == ("ann_index_loaded", SF, root)
+    )
+    S._bump_ann_epoch(root)  # what every writer does after committing
+    S.load_ann_index(spark, SF)
+    n_after = sum(
+        1
+        for (_, k) in cachemgr._VALUES
+        if isinstance(k, tuple) and k[:3] == ("ann_index_loaded", SF, root)
+    )
+    assert n_before == 1 and n_after == 1
+
+
 def test_multimodal_real_codecs_roundtrip(spark):
     """The real-codec path end-to-end: fixture BMP/WAV bytes are valid
     (stdlib wave reads the WAV; the BMP parser recovers the header
