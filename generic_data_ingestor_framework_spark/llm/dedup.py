@@ -769,7 +769,14 @@ def dedup_against_band_index(
     from pyspark.sql import Window as W
 
     idx = spark.table(table)
-    nb = bands_per_row(new_docs.select(id_col, text_col), id_col, text_col)
+    # Eager checkpoint (r14 opt, guide §2.4): nb is referenced by hit,
+    # loser AND signed — three copies of the tokenize→minhash pipeline
+    # in one plan (Catalyst does not share common subtrees across
+    # joins). Materializing it once turns the probe into three block
+    # reads of a batch-sized relation.
+    nb = bands_per_row(
+        new_docs.select(id_col, text_col), id_col, text_col
+    ).localCheckpoint(eager=True)
     hit = nb.join(idx, "band_key", "semi").select(id_col).distinct()
     w = W.partitionBy("band_key").orderBy(id_col)
     loser = (
@@ -783,6 +790,42 @@ def dedup_against_band_index(
         new_docs.join(signed, id_col, "semi")
         .join(hit, id_col, "anti")
         .join(loser, id_col, "anti")
+    )
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Cheap pre-write guard for a table the caller is ABOUT TO
+    OVERWRITE: when the table is already registered, do nothing (the
+    overwrite owns the swap — dropping it first just doubles the
+    metastore round-trips); when a previous PROCESS left its warehouse
+    directory behind without a metastore entry, delete the directory so
+    ``saveAsTable`` does not refuse with LOCATION_ALREADY_EXISTS.
+    NOT a substitute for ``_reset_managed_table`` where the caller
+    needs the table GONE (e.g. the pipeline's admitted-table existence
+    check uses presence as a completed-run marker)."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_delete
+
+    if spark.catalog.tableExists(table):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    hadoop_delete(spark, f"{wh}/{table.lower()}")
+
+
+def _ensure_empty_delta(spark: SparkSession, delta_table: str) -> None:
+    """Reset a versioned-index DELTA table to empty: TRUNCATE when a
+    schema-compatible table already exists (one catalog op, no Spark
+    job — the common warm path), else create it fresh (clearing any
+    stale location first)."""
+    expected = [c.split()[0] for c in _BAND_DELTA_SCHEMA.split(", ")]
+    if (
+        spark.catalog.tableExists(delta_table)
+        and [f.name for f in spark.table(delta_table).schema.fields] == expected
+    ):
+        spark.sql(f"TRUNCATE TABLE {delta_table}")
+        return
+    _reset_managed_table(spark, delta_table)
+    spark.createDataFrame([], _BAND_DELTA_SCHEMA).write.mode("overwrite").saveAsTable(
+        delta_table
     )
 
 
@@ -842,8 +885,10 @@ def band_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     run0 = d.filter(run == 0).select("doc_id", "text")
     run1 = d.filter(run == 1).select("doc_id", "lang", "text")
     run2 = d.filter(run == 2).select("doc_id", "lang", "text")
-    _reset_managed_table(spark, idx_tbl)
-    _reset_managed_table(spark, adm_tbl)
+    # both tables are rewritten in OVERWRITE mode below; only a
+    # stale dir-without-table from a foreign process needs clearing
+    _clear_stale_location(spark, idx_tbl)
+    _clear_stale_location(spark, adm_tbl)
     save_band_index(spark, run0, idx_tbl)
     adm1 = dedup_against_band_index(spark, run1, idx_tbl)
     adm1.write.mode("overwrite").saveAsTable(adm_tbl)
@@ -898,9 +943,7 @@ def save_band_index_versioned(
     rows.write.mode("overwrite").bucketBy(n_buckets, "band_key").saveAsTable(
         base_table
     )
-    spark.createDataFrame([], _BAND_DELTA_SCHEMA).write.mode("overwrite").saveAsTable(
-        delta_table
-    )
+    _ensure_empty_delta(spark, delta_table)
 
 
 def supersede_band_index(
@@ -920,10 +963,18 @@ def supersede_band_index(
     bands = bands_per_row(docs, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), "band_key"
     )
+    # a doc has no bands IFF its token count is < 3 (the bands_per_row
+    # admission rule: >= k tokens produce >= 1 shingle) — deriving the
+    # markers from that filter avoids re-running the whole
+    # tokenize→minhash pipeline a second time just to anti-join it
+    # (r14 opt; same rows as the previous anti join by construction)
     marker = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(bands.select("doc_id").distinct(), "doc_id", "anti")
-        .withColumn("band_key", F.lit(None).cast("string"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_col(text_col)).alias("__ntok"),
+        )
+        .filter(F.col("__ntok") < 3)
+        .select("doc_id", F.lit(None).cast("string").alias("band_key"))
     )
     rows = (
         bands.unionByName(marker)
@@ -977,6 +1028,7 @@ def dedup_against_band_index_versioned(
     delta_table: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """``dedup_against_band_index`` against the EFFECTIVE view of a
     versioned index: live history = base rows of docs untouched by the
@@ -994,11 +1046,24 @@ def dedup_against_band_index_versioned(
     exact set the mask broadcasts, and the same quantity
     ``band_index_pressure_stats`` / ``maybe_compact_band_index`` police
     — estimates past the session's broadcast budget, so the compaction
-    policy's trigger always dominates this guard."""
+    policy's trigger always dominates this guard.
+
+    ``bands``: optionally the PRE-COMPUTED ``bands_per_row`` of
+    ``new_docs`` (a caller probing the same batch against several index
+    states — the recrawl gate member's two phases — computes it once);
+    when absent it is computed and checkpointed here, since the plan
+    references it four times (two semi joins + loser window + signed)
+    and Catalyst does not share common subtrees across joins."""
     from pyspark.sql import Window as W
 
     base = spark.table(base_table)
-    nb = bands_per_row(new_docs.select(id_col, text_col), id_col, text_col)
+    nb = (
+        bands
+        if bands is not None
+        else bands_per_row(
+            new_docs.select(id_col, text_col), id_col, text_col
+        ).localCheckpoint(eager=True)
+    )
     if delta_table is None:
         hit = nb.join(base, "band_key", "semi").select(id_col).distinct()
     else:
@@ -1071,8 +1136,13 @@ def band_index_pressure_stats(
 
     base_docs = spark.table(base_table).select("doc_id").distinct().count()
     delta = spark.table(delta_table)
-    delta_rows = delta.count()
-    delta_docs = delta.select("doc_id").distinct().count()
+    # one aggregate job for both delta gauges (r14 opt; was two jobs —
+    # doc_id is never NULL in the delta, so count_distinct ≡ the
+    # previous distinct().count())
+    drow = delta.agg(
+        F.count(F.lit(1)).alias("r"), F.count_distinct("doc_id").alias("d")
+    ).collect()[0]
+    delta_rows, delta_docs = drow["r"], drow["d"]
     threshold = broadcast_threshold_bytes(spark)
     est_bytes = delta_docs * BCAST_BYTES_PER_ID
     return {
@@ -1092,6 +1162,7 @@ def maybe_compact_band_index(
     delta_table: str,
     max_delta_ratio: float = 0.10,
     n_buckets: int = 32,
+    stats: dict | None = None,
 ) -> dict:
     """AUTO-COMPACT policy for a versioned band index: compact when the
     delta's doc set exceeds ``max_delta_ratio`` of the base's docs OR
@@ -1101,8 +1172,13 @@ def maybe_compact_band_index(
     its supersede/delete steps (pipeline op ``band_auto_compact``) so
     deferred compaction can never silently accumulate into a
     driver-sized broadcast. Returns the pressure stats plus the
-    decision (``compacted``, ``reason``)."""
-    stats = band_index_pressure_stats(spark, base_table, delta_table)
+    decision (``compacted``, ``reason``). ``stats``: optionally the
+    CURRENT ``band_index_pressure_stats`` result, when the caller just
+    measured it (the pressure gate member) — passing it skips an
+    identical back-to-back recomputation; it must reflect the tables'
+    present state."""
+    if stats is None:
+        stats = band_index_pressure_stats(spark, base_table, delta_table)
     over_ratio = stats["delta_docs"] > max_delta_ratio * stats["base_docs"]
     reason = (
         "delta_ratio" if over_ratio
@@ -1142,13 +1218,16 @@ def band_index_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     run0 = d.filter(h % 3 == 0)
     changed = run0.filter(h % 5 == 0).select("doc_id", modified.alias("text"))
     deleted = run0.filter(h % 7 == 0).select("doc_id")
-    _reset_managed_table(spark, base_tbl)
-    _reset_managed_table(spark, delta_tbl)
+    # base is rewritten in OVERWRITE mode by save_band_index_versioned,
+    # which also drains the delta (TRUNCATE when it already exists)
+    _clear_stale_location(spark, base_tbl)
     save_band_index_versioned(spark, run0.select("doc_id", "text"), base_tbl, delta_tbl)
     supersede_band_index(spark, changed, delta_tbl, gen=1)
     delete_band_index_docs(spark, deleted, delta_tbl, gen=2)
     p1 = band_index_pressure_stats(spark, base_tbl, delta_tbl)
-    dec = maybe_compact_band_index(spark, base_tbl, delta_tbl)
+    # p1 measured the exact state maybe_compact would re-measure —
+    # pass it through (r14 opt: one stats pass instead of two)
+    dec = maybe_compact_band_index(spark, base_tbl, delta_tbl, stats=p1)
     p2 = band_index_pressure_stats(spark, base_tbl, delta_tbl)
     rows = [
         (1, p1["base_docs"], p1["delta_docs"], p1["pressure_bp"], False),
@@ -1190,10 +1269,12 @@ def compact_band_index_versioned(
     live.write.mode("overwrite").bucketBy(n_buckets, "band_key").saveAsTable(
         base_table
     )
-    spark.createDataFrame([], _BAND_DELTA_SCHEMA).write.mode("overwrite").saveAsTable(
-        delta_table
-    )
-    return spark.table(base_table).count()
+    # the delta table provably exists (read above): TRUNCATE drains it
+    # in one catalog op instead of an empty-relation overwrite job
+    spark.sql(f"TRUNCATE TABLE {delta_table}")
+    # the write just materialized exactly `live`; counting the
+    # checkpointed blocks (no table re-scan) returns the same number
+    return live.count()
 
 
 # re-crawled old-content copies are re-keyed past max(doc_id) — the
@@ -1247,20 +1328,31 @@ def band_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.col("__off")).alias("doc_id"), "lang", "text"
     )
     batch = d.filter(h % 3 == 1).select("doc_id", "lang", "text").unionByName(copies)
-    _reset_managed_table(spark, base_tbl)
-    _reset_managed_table(spark, delta_tbl)
+    # base is rewritten in OVERWRITE mode by save_band_index_versioned,
+    # which also drains the delta (TRUNCATE when it already exists)
+    _clear_stale_location(spark, base_tbl)
     save_band_index_versioned(
         spark, run0.select("doc_id", "text"), base_tbl, delta_tbl
     )
     supersede_band_index(spark, changed, delta_tbl, gen=1)
     delete_band_index_docs(spark, deleted, delta_tbl, gen=2)
-    adm1 = dedup_against_band_index_versioned(spark, batch, base_tbl, delta_tbl)
+    # both probe phases sign the SAME batch — compute its bands once
+    # (r14 opt; each probe otherwise re-ran the tokenize→minhash
+    # pipeline, and referenced it 3-4x inside its own plan)
+    nb = bands_per_row(
+        batch.select("doc_id", "text"), "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    adm1 = dedup_against_band_index_versioned(
+        spark, batch, base_tbl, delta_tbl, bands=nb
+    )
     # materialize phase 1 BEFORE compaction rewrites the tables it reads
     out1 = adm1.select(
         F.lit(1).alias("phase"), "doc_id", "lang"
     ).localCheckpoint(eager=True)
     compact_band_index_versioned(spark, base_tbl, delta_tbl)
-    adm2 = dedup_against_band_index_versioned(spark, batch, base_tbl, None)
+    adm2 = dedup_against_band_index_versioned(
+        spark, batch, base_tbl, None, bands=nb
+    )
     return out1.unionAll(adm2.select(F.lit(2).alias("phase"), "doc_id", "lang"))
 
 

@@ -1416,26 +1416,49 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str | None = None) ->
     writing ``index_meta`` LAST."""
     from generic_data_ingestor_framework_spark.fileops import hadoop_delete
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
     root = root or _ann_index_root(spark, sf_dir)
     hadoop_delete(spark, f"{root}/index_meta")  # invalidate before mutating
     hadoop_delete(spark, f"{root}/ivf_assigned_batches")
     hadoop_delete(spark, f"{root}/pq_codes_batches")
     hadoop_delete(spark, f"{root}/tombstones")
-    n_cand = _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count()
-    _centroid_df(spark, sf_dir).write.mode("overwrite").parquet(
-        f"{root}/ivf_centroids"
+    # the corpus candidate count is deterministic per corpus — memoized
+    # next to the other corpus scalars (r14 opt: a lifecycle member that
+    # saves per run re-counted the corpus per save)
+    n_cand = shared_value(
+        spark,
+        ("ann_n_cand", sf_dir),
+        lambda: _vectors(spark, sf_dir).filter(F.col("vec_id") >= N_QUERY).count(),
     )
-    # the assignment is PARTITIONED BY CELL — the on-disk layout IS the
-    # inverted list: a probe filtered to its probed cells prunes the
-    # scan to n_probes/k of the index (at 100 TB, the difference
-    # between reading ~1% of the corpus and all of it)
-    _ivf_assigned(spark, sf_dir).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(f"{root}/ivf_assigned")
-    _pq_codebook_df(spark, sf_dir).write.mode("overwrite").parquet(
-        f"{root}/pq_codebook"
-    )
-    _pq_codes_df(spark, sf_dir).write.mode("overwrite").parquet(f"{root}/pq_codes")
+
+    # Construct the four relations SEQUENTIALLY on this thread — the
+    # constructors run the session-memoized training collects (k-means /
+    # PQ codebooks), and the cachemgr memos are not thread-safe — then
+    # overlap the four independent WRITE jobs so the tail tasks of one
+    # back-fill the cores the others leave idle (guide §2.6); meta
+    # still commits strictly LAST, preserving crash-consistency.
+    # The assignment is PARTITIONED BY CELL — the on-disk layout IS
+    # the inverted list: a probe filtered to its probed cells prunes
+    # the scan to n_probes/k of the index (at 100 TB, the difference
+    # between reading ~1% of the corpus and all of it).
+    writes = [
+        (_centroid_df(spark, sf_dir), f"{root}/ivf_centroids", None),
+        (_ivf_assigned(spark, sf_dir), f"{root}/ivf_assigned", "cell"),
+        (_pq_codebook_df(spark, sf_dir), f"{root}/pq_codebook", None),
+        (_pq_codes_df(spark, sf_dir), f"{root}/pq_codes", None),
+    ]
+
+    def _w(df: DataFrame, path: str, part: str | None) -> None:
+        w = df.write.mode("overwrite")
+        (w.partitionBy(part) if part else w).parquet(path)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(_w, *args) for args in writes]
+        for f in futs:
+            f.result()
     _write_index_meta(spark, root, n_cand)
     _bump_ann_epoch(root)
     return root
@@ -1579,7 +1602,11 @@ def _load_ann_index_fresh(
 
 
 def append_ann_index(
-    spark: SparkSession, new_vectors: DataFrame, root: str, batch_tag: str
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    root: str,
+    batch_tag: str,
+    write_meta: bool = True,
 ) -> int:
     """Add a NEW batch of candidate vectors to a saved ANN index
     WITHOUT retraining — the every-crawl loop for vectors, the
@@ -1596,7 +1623,13 @@ def append_ann_index(
     double-count). Returns the appended row count. Encoding is
     deterministic (rounded sims/distances, id tie-breaks), so
     re-encoding an identical vector reproduces its cell and codes
-    exactly."""
+    exactly.
+
+    ``write_meta=False`` leaves the index UNCOMMITTED (meta deleted,
+    batch dirs written) for a caller issuing several mutations
+    back-to-back — only the LAST one recounts and commits meta. The
+    intermediate state equals the mid-writer crash state the meta-last
+    protocol already handles, so crash-consistency is unchanged."""
     from generic_data_ingestor_framework_spark.fileops import (
         hadoop_delete,
         sf_tag,
@@ -1613,19 +1646,49 @@ def append_ann_index(
             F.col("v").alias("pv"),
             _norm(F.col("v")).alias("pn"),
         )
-        _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1).write.partitionBy(
-            "cell"
-        ).mode("overwrite").parquet(f"{root}/ivf_assigned_batches/{tag}")
-        _encode_pq(new_vectors, codebook).write.mode("overwrite").parquet(
-            f"{root}/pq_codes_batches/{tag}"
+        _write_batch_pair(
+            spark,
+            _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1),
+            f"{root}/ivf_assigned_batches/{tag}",
+            _encode_pq(new_vectors, codebook),
+            f"{root}/pq_codes_batches/{tag}",
         )
         n_new = new_vectors.count()
     finally:
         new_vectors.unpersist()
-    n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
-    _write_index_meta(spark, root, n_total)
+    if write_meta:
+        n_total = _load_index_relation(
+            spark, root, "ivf_assigned", allow_large_delta=True
+        ).count()
+        _write_index_meta(spark, root, n_total)
     _bump_ann_epoch(root)
     return n_new
+
+
+def _write_batch_pair(
+    spark: SparkSession,
+    assigned: DataFrame,
+    assigned_path: str,
+    codes: DataFrame,
+    codes_path: str,
+) -> None:
+    """Write a mutation batch's two relations CONCURRENTLY (guide
+    §2.6): they are independent jobs over the same persisted batch, so
+    one job's straggler tail back-fills with the other's tasks. Both
+    inputs must already be fully constructed (no cachemgr builds happen
+    on the pool threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _wa():
+        assigned.write.partitionBy("cell").mode("overwrite").parquet(assigned_path)
+
+    def _wc():
+        codes.write.mode("overwrite").parquet(codes_path)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(w) for w in (_wa, _wc)]
+        for f in futs:
+            f.result()
 
 
 def supersede_ann_index(
@@ -1634,6 +1697,7 @@ def supersede_ann_index(
     root: str,
     batch_tag: str,
     gen: int,
+    write_meta: bool = True,
 ) -> int:
     """Register RE-CRAWLED CHANGED vectors: same saved-quantizer encode
     as ``append_ann_index`` (assign to nearest SAVED centroid, encode
@@ -1645,7 +1709,9 @@ def supersede_ann_index(
     them. Per-tag overwrite keeps retries idempotent; meta is
     recomputed from the EFFECTIVE assignment (never incremented
     blind). ``gen`` must exceed every generation previously written
-    for these ids (the crawl loop's monotonic batch counter)."""
+    for these ids (the crawl loop's monotonic batch counter).
+    ``write_meta=False``: see ``append_ann_index`` — defer the meta
+    commit to the last mutation of a back-to-back sequence."""
     from generic_data_ingestor_framework_spark.fileops import (
         hadoop_delete,
         sf_tag,
@@ -1662,25 +1728,34 @@ def supersede_ann_index(
             F.col("v").alias("pv"),
             _norm(F.col("v")).alias("pn"),
         )
-        _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1).withColumn(
-            "gen", F.lit(gen)
-        ).write.partitionBy("cell").mode("overwrite").parquet(
-            f"{root}/ivf_assigned_batches/{tag}"
+        _write_batch_pair(
+            spark,
+            _nearest_cells(cdf, pts, "pv", "pn", "point_id", 1).withColumn(
+                "gen", F.lit(gen)
+            ),
+            f"{root}/ivf_assigned_batches/{tag}",
+            _encode_pq(new_vectors, codebook).withColumn("gen", F.lit(gen)),
+            f"{root}/pq_codes_batches/{tag}",
         )
-        _encode_pq(new_vectors, codebook).withColumn(
-            "gen", F.lit(gen)
-        ).write.mode("overwrite").parquet(f"{root}/pq_codes_batches/{tag}")
         n_new = new_vectors.count()
     finally:
         new_vectors.unpersist()
-    n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
-    _write_index_meta(spark, root, n_total)
+    if write_meta:
+        n_total = _load_index_relation(
+            spark, root, "ivf_assigned", allow_large_delta=True
+        ).count()
+        _write_index_meta(spark, root, n_total)
     _bump_ann_epoch(root)
     return n_new
 
 
 def delete_ann_index_ids(
-    spark: SparkSession, ids: DataFrame, root: str, batch_tag: str, gen: int
+    spark: SparkSession,
+    ids: DataFrame,
+    root: str,
+    batch_tag: str,
+    gen: int,
+    write_meta: bool = True,
 ) -> int:
     """Tombstone vectors out of a saved ANN index at generation ``gen``
     (the crawl loop's 'document gone' signal). ``ids``: a (vec_id)
@@ -1688,7 +1763,9 @@ def delete_ann_index_ids(
     retries); probes stop serving the ids immediately
     (latest-generation-wins, tombstone wins a gen tie), compaction
     drops their rows physically. Returns the effective candidate count
-    after the delete."""
+    after the delete (or -1 with ``write_meta=False``, which defers the
+    recount + meta commit to the last mutation of a back-to-back
+    sequence — see ``append_ann_index``)."""
     from generic_data_ingestor_framework_spark.fileops import (
         hadoop_delete,
         sf_tag,
@@ -1699,6 +1776,9 @@ def delete_ann_index_ids(
     ids.select(
         F.col("vec_id").alias("point_id"), F.lit(gen).alias("gen")
     ).write.mode("overwrite").parquet(f"{root}/tombstones/{tag}")
+    if not write_meta:
+        _bump_ann_epoch(root)
+        return -1
     n_total = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True).count()
     _write_index_meta(spark, root, n_total)
     _bump_ann_epoch(root)
@@ -1882,11 +1962,17 @@ def compact_ann_index(spark: SparkSession, root: str) -> int:
     # loop accumulates is paid at compaction, and the tombstone dirs
     # themselves are cleared below.
     assigned = _load_index_relation(spark, root, "ivf_assigned", allow_large_delta=True)
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(
-        f"{root}/ivf_assigned_compact"
-    )
     codes = _load_index_relation(spark, root, "pq_codes", allow_large_delta=True)
-    codes.write.mode("overwrite").parquet(f"{root}/pq_codes_compact")
+    # the two folded rewrites are independent — overlap them (guide
+    # §2.6); both views were constructed above, so the pool threads
+    # only run write jobs
+    _write_batch_pair(
+        spark,
+        assigned,
+        f"{root}/ivf_assigned_compact",
+        codes,
+        f"{root}/pq_codes_compact",
+    )
     for name in ("ivf_assigned", "pq_codes"):
         hadoop_delete(spark, f"{root}/{name}")
         hadoop_delete(spark, f"{root}/{name}_batches")
@@ -1942,7 +2028,10 @@ def ann_index_pressure_stats(spark: SparkSession, root: str) -> dict:
 
 
 def maybe_compact_ann_index(
-    spark: SparkSession, root: str, max_delta_ratio: float = 0.10
+    spark: SparkSession,
+    root: str,
+    max_delta_ratio: float = 0.10,
+    stats: dict | None = None,
 ) -> dict:
     """AUTO-COMPACT policy for a persisted ANN index: compact when the
     delta's mark set exceeds ``max_delta_ratio`` of the base ids OR its
@@ -1951,8 +2040,13 @@ def maybe_compact_ann_index(
     pipeline runs this after its supersede/delete steps (pipeline op
     ``ann_auto_compact``); between runs, ``_load_index_relation``'s
     guard refuses oversized broadcasts loudly. Returns the pressure
-    stats plus the decision."""
-    stats = ann_index_pressure_stats(spark, root)
+    stats plus the decision. ``stats``: optionally the CURRENT
+    ``ann_index_pressure_stats`` result, when the caller just measured
+    it (the pressure gate member) — passing it skips an identical
+    back-to-back recomputation; it must reflect the index's present
+    state."""
+    if stats is None:
+        stats = ann_index_pressure_stats(spark, root)
     over_ratio = stats["delta_ids"] > max_delta_ratio * stats["base_ids"]
     reason = (
         "delta_ratio" if over_ratio
@@ -2388,7 +2482,9 @@ def ann_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = vecs.filter(
         cand & (F.col("vec_id") % RECRAWL_DELETED_MOD == RECRAWL_DELETED_RES)
     ).select("vec_id")
-    supersede_ann_index(spark, changed, root, "recrawl_b1", gen=1)
+    # back-to-back mutations: only the last commits meta (one
+    # effective-view recount instead of two — r14 opt)
+    supersede_ann_index(spark, changed, root, "recrawl_b1", gen=1, write_meta=False)
     delete_ann_index_ids(spark, deleted, root, "recrawl_b2", gen=2)
 
     cdf = spark.read.parquet(f"{root}/ivf_centroids")
@@ -2789,10 +2885,14 @@ def ann_index_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = vecs.filter(
         cand & (F.col("vec_id") % RECRAWL_DELETED_MOD == RECRAWL_DELETED_RES)
     ).select("vec_id")
-    supersede_ann_index(spark, changed, root, "pressure_b1", gen=1)
+    # back-to-back mutations: only the last commits meta (one
+    # effective-view recount instead of two — r14 opt)
+    supersede_ann_index(spark, changed, root, "pressure_b1", gen=1, write_meta=False)
     delete_ann_index_ids(spark, deleted, root, "pressure_b2", gen=2)
     p1 = ann_index_pressure_stats(spark, root)
-    dec = maybe_compact_ann_index(spark, root)
+    # p1 measured the exact state maybe_compact would re-measure —
+    # pass it through (r14 opt: one stats pass instead of two)
+    dec = maybe_compact_ann_index(spark, root, stats=p1)
     p2 = ann_index_pressure_stats(spark, root)
     rows = [
         (1, p1["base_ids"], p1["delta_ids"], p1["pressure_bp"], False),

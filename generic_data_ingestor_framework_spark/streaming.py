@@ -1448,9 +1448,16 @@ def stream_ann_index_upsert(
         )
         dels = batch_df.filter(is_del).select(F.col(id_col).alias("vec_id"))
         sess = batch_df.sparkSession
-        if not ups.isEmpty():
-            supersede_ann_index(sess, ups, index_root, f"stream_s{batch_id}", gen)
-        if not dels.isEmpty():
+        has_ups, has_dels = not ups.isEmpty(), not dels.isEmpty()
+        if has_ups:
+            # when a delete follows in the SAME micro-batch, defer the
+            # meta commit to it — one effective-view recount per batch
+            # instead of two (r14 opt; the batch is the commit unit)
+            supersede_ann_index(
+                sess, ups, index_root, f"stream_s{batch_id}", gen,
+                write_meta=not has_dels,
+            )
+        if has_dels:
             delete_ann_index_ids(sess, dels, index_root, f"stream_d{batch_id}", gen)
 
     q = (
