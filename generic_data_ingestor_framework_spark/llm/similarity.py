@@ -437,6 +437,29 @@ def _ivf_assigned(
     )
 
 
+def _probed_frozen(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
+    """Session-shared query→probed-cell routing against the
+    session-trained (frozen) centroids: queries × n_probes rows,
+    deterministic per (corpus, probe count). Each evaluation costs an
+    ArrowEvalPython round (~0.7 s of Python-worker latency for 5 query
+    rows at sf0.1) — the IVF and IVF-PQ members re-derived it per call
+    while the persisted path already shared one copy (r14 opt)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    def build() -> DataFrame:
+        qs = _query_vecs(spark, sf_dir).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("qn"),
+        )
+        return _nearest_cells(
+            None, qs, "qv", "qn", "query_id", n_probes,
+            cents=_frozen_cents(spark, sf_dir),
+        ).localCheckpoint(eager=True)
+
+    return shared_value(spark, ("ivf_probed_frozen", sf_dir, n_probes), build)
+
+
 def _ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -463,12 +486,20 @@ def _ivf_topk(
     cents = _frozen_cents(spark, sf_dir) if cdf is None else None
     assigned = assigned if assigned is not None else _ivf_assigned(spark, sf_dir)
     if probed is None:
-        qs = _query_vecs(spark, sf_dir).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            _norm(F.col("v")).alias("qn"),
-        )
-        probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", n_probes, cents=cents)
+        if cdf is None:
+            # session-trained path: the query→cell routing is
+            # deterministic per (corpus, probe count) — share one
+            # materialized copy like the persisted path already does
+            probed = _probed_frozen(spark, sf_dir, n_probes)
+        else:
+            qs = _query_vecs(spark, sf_dir).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                _norm(F.col("v")).alias("qn"),
+            )
+            probed = _nearest_cells(
+                cdf, qs, "qv", "qn", "query_id", n_probes, cents=cents
+            )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "point_id")
     # the probe side is queries × n_probes rows — broadcast it so the
     # (possibly corpus-sized) assignment never shuffles (the planner's
@@ -1125,23 +1156,21 @@ def _pq_lut_df(
 def _pq_adc(
     spark: SparkSession,
     sf_dir: str,
-    gate: DataFrame | None = None,
     codes: DataFrame | None = None,
     cdf: DataFrame | None = None,
 ) -> DataFrame:
-    """ADC scores (query_id, point_id, adot_i). ``gate`` — an optional
-    (query_id, point_id) relation — restricts the scan BEFORE the
-    aggregate (the IVF-gated path scores only points in probed cells).
-    ``codes``/``cdf`` override the session-built compressed index and
-    codebook with LOADED relations (``ann_pq_persisted``)."""
+    """Flat ADC scores (query_id, point_id, adot_i) — every code row
+    against every query's LUT. ``codes``/``cdf`` override the
+    session-built compressed index and codebook with LOADED relations
+    (``ann_pq_persisted``). The IVF-gated composition lives in
+    ``ann_ivf_pq_topk`` (cell-annotated codes ⋈ broadcast probed
+    pairs)."""
     codes = codes if codes is not None else _pq_codes_df(spark, sf_dir)
     lut = _pq_lut_df(spark, sf_dir, cdf=cdf)
     scored = codes.join(
         F.broadcast(lut),
         (codes["m"] == lut["m"]) & (codes["code"] == lut["j"]),
     )
-    if gate is not None:
-        scored = scored.join(gate, ["query_id", "point_id"])
     return scored.groupBy("query_id", "point_id").agg(
         F.sum("pdot_i").alias("adot_i")
     )
@@ -1244,31 +1273,42 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes the two session-persisted indexes this module already
     maintains — the IVF assignment (``_ivf_assigned``) and the PQ code
-    relation (``_pq_codes_df``) — via a (query, point) gate joined
-    BEFORE the ADC aggregate, so the scan cost is
-    probed-cells × codes-per-cell, not corpus × M. At 100 TB this is
-    the memory AND compute story: the coarse index bounds candidates,
-    the codes bound bytes per candidate.
+    relation (``_pq_codes_df``) — by annotating each code row with its
+    point's COARSE CELL (joined once per session, persisted) and
+    broadcast-joining the probed (query, cell) pairs BEFORE the ADC
+    expansion, so the scan cost is probed-cells × codes-per-cell, not
+    corpus × M × queries. r14 opt: the previous shape expanded codes
+    against the LUT for EVERY query and then pruned with a
+    (query, point) SortMergeJoin — 2 Exchange + 2 Sort of the expanded
+    relation; now the only exchange before the rerank is the ADC
+    aggregate's. At 100 TB this is the memory AND compute story: the
+    coarse index bounds candidates, the codes bound bytes per
+    candidate, and the corpus-sized relations never shuffle before the
+    per-(query, point) aggregate.
 
     Determinism: identical ADC/rerank arithmetic to ``ann_pq_topk``
-    (integer-scaled partial dots, floored ranks), gated by the same
-    cell assignment the IVF members verify."""
-    qs = _query_vecs(spark, sf_dir).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qn"),
+    (integer-scaled partial dots, floored ranks — the broadcast gate
+    admits exactly the (query, point) pairs the previous join did:
+    each point lives in one cell), gated by the same cell assignment
+    the IVF members verify."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_persist
+
+    probed = _probed_frozen(spark, sf_dir, N_PROBES)
+    codes_cell = shared_persist(
+        spark,
+        ("pq_codes_cell", sf_dir),
+        lambda: _pq_codes_df(spark, sf_dir).join(
+            _ivf_assigned(spark, sf_dir).select("point_id", "cell"), "point_id"
+        ),
     )
-    probed = _nearest_cells(
-        None, qs, "qv", "qn", "query_id", N_PROBES,
-        cents=_frozen_cents(spark, sf_dir),
+    lut = _pq_lut_df(spark, sf_dir).withColumnRenamed("j", "code")
+    adc = (
+        codes_cell.join(F.broadcast(probed.select("query_id", "cell")), "cell")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "point_id")
+        .agg(F.sum("pdot_i").alias("adot_i"))
     )
-    assigned = _ivf_assigned(spark, sf_dir)
-    gate = (
-        probed.select("query_id", "cell")
-        .join(assigned.select("cell", "point_id"), "cell")
-        .select("query_id", "point_id")
-    )
-    return _pq_rerank(spark, sf_dir, _pq_adc(spark, sf_dir, gate=gate))
+    return _pq_rerank(spark, sf_dir, adc)
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
