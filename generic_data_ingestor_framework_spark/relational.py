@@ -1282,7 +1282,11 @@ def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")).alias("qty_i")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ referenced by the mean aggregate AND the heavy filter — without
+    # the checkpoint the part-filtered fact scan + aggregate ran twice
+    # (pair-count-bounded: distinct (supplier, part) of the "small%"
+    # part set; r14 opt)
     mean = pairs.agg(
         F.sum("qty_i").alias("total_i"), F.count(F.lit(1)).alias("n_pairs")
     )
@@ -1766,6 +1770,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1_supp), F.col("l_suppkey") == F.col("s_suppkey"), "semi")
         .groupBy("l_partkey")
         .agg(val_i)
+        # referenced by BOTH the threshold aggregate and the output rows
+        # — Catalyst duplicates unshared subtrees, so without this the
+        # fact scan + semi join + aggregate ran TWICE (plan audit: 2
+        # lineitem scans). The checkpoint is part-count-bounded at any
+        # corpus size (r14 opt: 1 fact pass instead of 2).
+        .localCheckpoint(eager=True)
     )
     total = per_part.agg(
         F.sum("value_i").alias("total_i"), F.count(F.lit(1)).alias("n_parts")
@@ -1867,6 +1877,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        # referenced by the max aggregate AND the equality filter —
+        # checkpointed so the fact scan + aggregate run once, not twice
+        # (supplier-count-bounded at any corpus size; r14 opt)
+        .localCheckpoint(eager=True)
     )
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -1897,26 +1911,33 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-subquery semi join — customers whose
     orders exceed a total-quantity threshold, top 100 by price.
 
-    Scale shape: the qualifying-order set is a fact-side hash
-    aggregate (partial combine) semi-joined back into lineitem on the
-    order key; customer is broadcast. No correlated re-scan."""
+    Scale shape (r14 opt): ONE fact pass. The per-order quantity
+    aggregate both decides qualification AND is the output sum — the
+    previous shape semi-joined the qualifying keys back into a second
+    lineitem scan and re-aggregated the same sum (plan audit: 2
+    lineitem scans, 2 aggregates). Now the filtered aggregate (already
+    order-grained, so the downstream joins and sort see one row per
+    qualifying order) joins orders directly; customer is broadcast.
+    Output values are identical: per qualifying order,
+    sum(l_quantity) over its semi-joined lines IS the aggregate's qty,
+    and o_totalprice/o_orderdate are 1:1 with the order key."""
     t = _t(spark, sf_dir)
     li = t("lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 250)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
-                F.col("l_orderkey") == F.col("b_orderkey"), "semi")
-        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.first("o_totalprice"), 2).alias("o_totalprice"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("qty"), 2).alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
