@@ -250,18 +250,24 @@ def pseudonymize_keyed_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the translation table is user-dimension-sized
     (broadcast or co-bucketed at 100 TB); the re-key is one hash join
-    on the old pseudonym; everything else is map-side md5."""
+    on the old pseudonym; everything else is map-side md5. r14 opt:
+    the direct-e2 reference values are computed on the SAME event scan
+    as the stored epoch-1 pseudonyms (they are per-row md5s of the
+    same rows), so the former fact-fact re-alignment join on event_id
+    — a full shuffle of the event stream on both sides — is gone; the
+    check it aligned (translate(p1) vs direct p2, per event) is
+    unchanged."""
     e = load_table(spark, sf_dir, "events")
     p1 = _epoch_pseudo(F.col("user_id"), 1)
     p2 = _epoch_pseudo(F.col("user_id"), 2)
-    stored = e.select("event_id", "event_type", p1.alias("user_pseudo_e1"))
+    stored = e.select(
+        "event_id", "event_type", p1.alias("user_pseudo_e1"), p2.alias("direct_e2")
+    )
     trans = (
         e.select("user_id").distinct()
         .select(p1.alias("user_pseudo_e1"), p2.alias("user_pseudo_e2"))
     )
-    rekeyed = stored.join(trans, "user_pseudo_e1")
-    direct = e.select("event_id", p2.alias("direct_e2"))
-    j = rekeyed.join(direct, "event_id")
+    j = stored.join(trans, "user_pseudo_e1")
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_pseudo_e1").cast("bigint").alias("n_users_e1"),
@@ -488,7 +494,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gs = qi.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gs")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ aggregate-sized (groups x segments); referenced by the group
+    # totals AND the left join below — without the checkpoint the
+    # corpus scan + aggregate ran once per reference (r14 opt)
     g = gs.groupBy("c_nationkey", "bal_bucket").agg(
         F.sum("n_gs").cast("bigint").alias("n_g")
     )
@@ -514,6 +523,9 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_g",
             F.expr("(dev * 10000) DIV (2 * n_g * n_tot)").alias("tvd_bp"),
         )
+        # group-count-sized; referenced by the corpus-wide rollup AND
+        # the per-threshold aggregation (r14 opt)
+        .localCheckpoint(eager=True)
     )
     ts = spark.createDataFrame(
         [(t,) for t in T_CLOSENESS_THRESHOLDS_BP], "t_bp int"
@@ -578,6 +590,10 @@ def randomized_response_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang")
         .distinct()
         .withColumn("idx", F.row_number().over(W.orderBy("lang")) - F.lit(1))
+        # alphabet-sized; referenced by the draw join, the k-count and
+        # the output spine — each reference re-ran the corpus distinct
+        # (plan audit: 7 documents scans in this member; r14 opt)
+        .localCheckpoint(eager=True)
     )
     kk = alpha.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -610,8 +626,11 @@ def randomized_response_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         alpha.select("lang")
-        .join(true_cnt, "lang", "left")
-        .join(rep_cnt, "lang", "left")
+        # lang-alphabet-sized aggregates: broadcast them (the planner
+        # estimated the aggregate subtrees past the threshold and
+        # planned two SortMergeJoins)
+        .join(F.broadcast(true_cnt), "lang", "left")
+        .join(F.broadcast(rep_cnt), "lang", "left")
         .crossJoin(F.broadcast(kk))
         .crossJoin(F.broadcast(tot))
         .select(

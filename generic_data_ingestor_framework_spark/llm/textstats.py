@@ -586,43 +586,40 @@ def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula scaled to integer millionths before averaging (integer
     sums are order-exact); rates are floor-truncated at 4 dp.
 
-    Scale shape: duplicate membership is one hash-aggregate on text
-    md5 plus a semi join back (both shuffles on the hash, no
-    broadcast of corpus-sized state); the rest aggregates to source
-    granularity."""
+    Scale shape (r14 opt: ONE corpus pass): per-doc (source, md5,
+    quality-int) is projected once; duplicate membership is a COUNT
+    window over the md5 (one hash shuffle — same key the old
+    aggregate-plus-semi-join used, but without re-scanning and
+    re-tokenizing the corpus for each of its three references), then
+    everything folds in one source-grain aggregate. No corpus-sized
+    broadcast anywhere."""
+    from pyspark.sql import Window as W
+
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.coalesce(F.col("text"), F.lit("")))
-    docs = d.select("doc_id", "source", h.alias("h"))
-    dup_h = (
-        docs.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
-    ).select("h")
-    dup_per_src = (
-        docs.join(dup_h, "h", "semi")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
-    )
     qint = F.round(_quality_expr(tokens_col()) * 1000000.0, 0).cast("long")
+    docs = d.select("source", h.alias("h"), qint.alias("qint"))
+    c = F.count(F.lit(1)).over(W.partitionBy("h"))
     per_src = (
-        d.select("source", qint.alias("qint"))
+        docs.withColumn("dup", (c >= 2).cast("long"))
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("qint").alias("qsum"))
-    )
-    return (
-        per_src.join(dup_per_src, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
-            (
-                F.floor(F.coalesce("n_dup_docs", F.lit(0)) * 10000.0 / F.col("n_docs"))
-                / 10000.0
-            ).alias("dup_rate"),
-            (F.floor(F.col("qsum") / F.col("n_docs") / 100.0) / 10000.0).alias(
-                "mean_quality"
-            ),
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("qint").alias("qsum"),
+            F.sum("dup").alias("n_dup_docs"),
         )
-        .orderBy("source")
     )
+    return per_src.select(
+        "source",
+        "n_docs",
+        F.col("n_dup_docs").alias("n_dup_docs"),
+        (F.floor(F.col("n_dup_docs") * 10000.0 / F.col("n_docs")) / 10000.0).alias(
+            "dup_rate"
+        ),
+        (F.floor(F.col("qsum") / F.col("n_docs") / 100.0) / 10000.0).alias(
+            "mean_quality"
+        ),
+    ).orderBy("source")
 
 
 # Count-min sketch shape: d hash rows × w buckets, fixed memory
@@ -661,7 +658,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (thousands) instead of the corpus token stream (billions at
     # scale). This is how a production sketch pass is structured:
     # map-side combine first, sketch fold second.
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    ).localCheckpoint(eager=True)
+    # ^ vocabulary-bounded; referenced by the sketch fold, the top-k and
+    # the total — each reference re-ran the corpus token pass (r14 opt)
 
     rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
     bucket = portable_hash32(F.concat_ws(":", F.col("r"), F.col("tok"))) % CMS_W

@@ -759,21 +759,41 @@ def scd2_apply(
     close_cur = has_c & has_u & (is_del | differs)
     open_new = has_u & ~is_del & ((has_c & differs) | ~has_c)
     gl = F.lit(gen)
-    out_cur = j.filter(keep_open_cur | close_cur).select(
-        F.col("__k").alias(key),
-        *[F.col(f"__c_{a}").alias(a) for a in attrs],
-        F.col("__c_from").alias("valid_from"),
-        F.when(close_cur, gl).otherwise(F.lit(None).cast("int")).alias("valid_to"),
+    # Both output branches come from ONE pass over the join (r14 opt):
+    # referencing `j` twice made Catalyst duplicate the whole join
+    # subtree — the dimension and update batch were scanned and joined
+    # TWICE per merge, and chained merges compounded it (the 2-gen
+    # member read the base dimension 8x). A row yields its surviving
+    # current version, its new version, both (close + reopen), or
+    # neither — exactly the rows the two filters produced.
+    cur_row = F.when(
+        keep_open_cur | close_cur,
+        F.struct(
+            F.col("__k").alias(key),
+            *[F.col(f"__c_{a}").alias(a) for a in attrs],
+            F.col("__c_from").alias("valid_from"),
+            F.when(close_cur, gl).otherwise(F.lit(None).cast("int")).alias(
+                "valid_to"
+            ),
+        ),
     )
-    out_new = j.filter(open_new).select(
-        F.col("__k").alias(key),
-        *[F.col(f"__u_{a}").alias(a) for a in attrs],
-        gl.alias("valid_from"),
-        F.lit(None).cast("int").alias("valid_to"),
+    new_row = F.when(
+        open_new,
+        F.struct(
+            F.col("__k").alias(key),
+            *[F.col(f"__u_{a}").alias(a) for a in attrs],
+            gl.alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+        ),
+    )
+    merged = (
+        j.select(F.explode(F.array(cur_row, new_row)).alias("__r"))
+        .filter(F.col("__r").isNotNull())
+        .select("__r.*")
     )
     return closed.select(
         key, *attrs, "valid_from", "valid_to"
-    ).unionByName(out_cur).unionByName(out_new)
+    ).unionByName(merged)
 
 
 def scd2_validate_gen(history: DataFrame, gen: int) -> None:
@@ -931,7 +951,10 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen-2 update set."""
     _, _, _, updates2 = _scd2_customer_parts(spark, sf_dir)
     hist2 = _scd2_hist2(spark, sf_dir)
-    keys = updates2.select("c_custkey").distinct()
+    # batch-sized; referenced by both snapshots' semi joins — without
+    # the checkpoint the 3-cohort update derivation (3 dimension scans)
+    # ran once per snapshot (r14 opt)
+    keys = updates2.select("c_custkey").distinct().localCheckpoint(eager=True)
 
     def snap(g: int) -> DataFrame:
         vis = (F.col("valid_from") <= g) & (
