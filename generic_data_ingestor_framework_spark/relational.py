@@ -1992,8 +1992,17 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (no OTHER supplier failed it), both equi on the order key
     with the supplier inequality as a residual join predicate.
 
-    Scale shape: every join is keyed on l_orderkey (one shuffle key
-    throughout, AQE-coalesced); nation and supplier are broadcast."""
+    Scale shape (r14 opt: ONE lineitem pass). The EXISTS/NOT-EXISTS
+    pair decides per ORDER, so a single per-order aggregate replaces
+    both self-joins: a supplier s is waiting on order o iff s is the
+    ONLY supplier with an 'R' line in o (NOT EXISTS ⟺ distinct R
+    suppliers = 1) and o has at least one other supplier (EXISTS ⟺
+    distinct suppliers ≥ 2), and each of s's R lines in o counts once
+    (the decorrelated count(*) is over l1 ROWS) — carried as the
+    order's R-line count. The previous shape shuffled/broadcast
+    lineitem three times (l1 ⋈ l2 semi, ⋈ l3 anti); now lineitem is
+    shuffled ONCE by order key, the qualifying-order semi join reuses
+    that partitioning, and nation/supplier stay broadcast."""
     t = _t(spark, sf_dir)
     li = t("lineitem")
     n2_supp = (
@@ -2004,35 +2013,35 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "semi",
         )
     )
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
+    is_r = F.col("l_returnflag") == "R"
+    # two-level aggregate instead of two count_distincts (which plan as
+    # a 3x EXPAND of the fact): per (order, supplier) first — map-side
+    # combinable, one shuffle — then per order over supplier-grain rows
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(is_r.cast("long")).alias("r_lines")
+    )
+    has_r = F.col("r_lines") > 0
+    per_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_all_supp"),
+            F.sum(has_r.cast("long")).alias("n_r_supp"),
+            F.max(F.when(has_r, F.col("l_suppkey"))).alias("r_supp"),
+            F.sum("r_lines").alias("n_r_lines"),
+        )
+        .filter((F.col("n_r_supp") == 1) & (F.col("n_all_supp") >= 2))
         .join(
             t("orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "semi",
         )
     )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-            "semi",
-        ).join(
-            l3,
-            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
-            "anti",
-        )
-    )
     return (
-        waiting.join(F.broadcast(n2_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.join(
+            F.broadcast(n2_supp), F.col("r_supp") == F.col("s_suppkey")
+        )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_lines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
