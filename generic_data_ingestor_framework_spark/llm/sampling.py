@@ -309,7 +309,9 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
         F.count(F.lit(1)).alias("gsz")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ aggregate-sized; referenced by the totals AND the threshold
+    # fold — one corpus scan instead of two (r14 opt)
     ks = spark.createDataFrame([(k,) for k in K_ANON_THRESHOLDS], "k int")
     tot = groups.agg(
         F.sum("gsz").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
@@ -366,7 +368,9 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = qi.groupBy("c_nationkey", "bal_bucket").agg(
         F.count(F.lit(1)).alias("gsz"),
         F.countDistinct("c_mktsegment").alias("ndist"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ aggregate-sized; referenced by the totals AND the threshold
+    # fold — one corpus scan instead of two (r14 opt)
     ls = spark.createDataFrame([(l,) for l in L_DIVERSITY_THRESHOLDS], "l int")
     tot = groups.agg(
         F.sum("gsz").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
