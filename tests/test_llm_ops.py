@@ -2912,3 +2912,82 @@ def test_nearest_cells_tie_breaks_on_lowest_centroid_id(spark):
         None, df, "pv", "pn", "point_id", 2, cents=cents
     ).collect()
     assert [r["cell"] for r in out] == [0, 2]
+
+
+def test_ann_write_meta_deferred_commit(spark, tmp_path):
+    """r14 opt contract: ``write_meta=False`` leaves the index
+    UNCOMMITTED (meta absent — exactly the mid-writer crash state), the
+    following mutation's default commit recomputes meta from the stored
+    effective view, and the final state equals the all-default
+    sequence's."""
+    from generic_data_ingestor_framework_spark.fileops import hadoop_exists
+
+    root = str(tmp_path / "ann_idx_wm")
+    similarity.save_ann_index(spark, SF, root)
+    n0 = spark.read.parquet(f"{root}/ivf_assigned").count()
+
+    vecs = similarity._vectors(spark, SF)
+    cand = F.col("vec_id") >= similarity.N_QUERY
+    changed = vecs.filter(cand & (F.col("vec_id") % 5 == 0)).select(
+        "vec_id", F.reverse(F.col("v")).alias("v")
+    )
+    deleted = vecs.filter(cand & (F.col("vec_id") % 7 == 3)).select("vec_id")
+
+    similarity.supersede_ann_index(
+        spark, changed, root, "wm_b1", gen=1, write_meta=False
+    )
+    # uncommitted between the two mutations: meta was invalidated and
+    # NOT rewritten — a crash here is the already-handled retrain case
+    assert not hadoop_exists(spark, f"{root}/index_meta")
+    # deferred-commit delete returns -1 (no recount) and stays uncommitted
+    assert (
+        similarity.delete_ann_index_ids(
+            spark, deleted.limit(0), root, "wm_b0", gen=2, write_meta=False
+        )
+        == -1
+    )
+    assert not hadoop_exists(spark, f"{root}/index_meta")
+    n_eff = similarity.delete_ann_index_ids(spark, deleted, root, "wm_b2", gen=3)
+    assert n_eff == n0 - deleted.count()
+    meta = spark.read.parquet(f"{root}/index_meta").collect()[0]
+    assert meta["n_candidates"] == n_eff
+
+
+def test_supersede_band_marker_token_rule(spark, tmp_path):
+    """r14 opt: NULL-band markers now derive from the token-count rule
+    (size(tokens) < 3 ⟺ bands_per_row emits nothing) instead of a
+    second minhash pass + anti join — a superseded doc whose new
+    content is unshingleable must still kill its old bands."""
+    from generic_data_ingestor_framework_spark.llm.dedup import (
+        _reset_managed_table,
+        dedup_against_band_index_versioned,
+        save_band_index_versioned,
+        supersede_band_index,
+    )
+
+    base_tbl, delta_tbl = "t_marker_base", "t_marker_delta"
+    for t in (base_tbl, delta_tbl):
+        _reset_managed_table(spark, t)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    save_band_index_versioned(spark, docs, base_tbl, delta_tbl)
+    # doc 1 re-crawled as a two-token text: no shingle, no bands —
+    # ONLY the marker row can retire its old bands
+    short = spark.createDataFrame([(1, "too short")], "doc_id bigint, text string")
+    supersede_band_index(spark, short, delta_tbl, gen=1)
+    delta = spark.table(delta_tbl)
+    markers = delta.filter(F.col("band_key").isNull() & ~F.col("tombstone"))
+    assert [r["doc_id"] for r in markers.collect()] == [1]
+    # probing doc 1's ORIGINAL text is now admitted (its old bands are
+    # dead); a near-dup of the untouched doc 2 is still rejected
+    probe = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),
+            (11, "zeta eta theta iota kappa"),
+        ],
+        "doc_id bigint, text string",
+    )
+    adm = dedup_against_band_index_versioned(spark, probe, base_tbl, delta_tbl)
+    assert sorted(r["doc_id"] for r in adm.collect()) == [10]
