@@ -135,9 +135,19 @@ def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build for these 5 rows (r14 opt: 3–6 such scans per
     recall/retrain call). Values are the exact binary64 rows of the
     corpus scan, so every downstream expression is bit-identical."""
+    return spark.createDataFrame(
+        _query_vec_rows(spark, sf_dir), schema="vec_id bigint, v array<double>"
+    )
+
+
+def _query_vec_rows(spark: SparkSession, sf_dir: str):
+    """The collected (vec_id, v) query rows behind ``_query_vecs`` —
+    exposed so driver-side consumers (the pairwise Arrow scorer's
+    wave-transformed query matrix) read the memoized rows directly
+    instead of round-tripping them through a local DataFrame."""
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
 
-    rows = shared_value(
+    return shared_value(
         spark,
         ("ann_query_vec_rows", sf_dir),
         lambda: _vectors(spark, sf_dir)
@@ -145,7 +155,6 @@ def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v")
         .collect(),
     )
-    return spark.createDataFrame(rows, schema="vec_id bigint, v array<double>")
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +411,207 @@ def _nearest_cells(
         .select(id_col, vec_col, norm_col, F.explode(top).alias("__t"))
         .select(id_col, vec_col, norm_col, F.col("__t.cid").alias("cell"))
     )
+
+
+def _wave_query_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, list[float], float]]:
+    """Driver-held (wave, query_id, qv, qn) rows for the three append
+    waves (0: identity, 1: negated, 2: dimension-reversed) — the query
+    side of the recall-drift / retrain A-B pairwise scorer, derived
+    with ZERO jobs from the memoized query-vector rows.
+
+    Bit-identity with the JVM-built wave relations: negation and
+    reversal are exact IEEE-754 ops, and ``_py_norm`` is the same
+    left-to-right binary64 fold ``_norm`` computes — over the
+    TRANSFORMED element order, exactly as the JVM evaluated
+    ``_norm(F.reverse(v))``."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    def build():
+        base = [
+            (int(r["vec_id"]), list(r["v"]))
+            for r in _query_vec_rows(spark, sf_dir)
+        ]
+        out = []
+        for w in range(3):
+            for qid, v in base:
+                vv = (
+                    v
+                    if w == 0
+                    else ([-x for x in v] if w == 1 else list(reversed(v)))
+                )
+                out.append((w, qid, vv, _py_norm(vv)))
+        return out
+
+    return shared_value(spark, ("wave_query_rows", sf_dir), build)
+
+
+def _pairwise_wave_scores(
+    points: DataFrame,
+    qrows: list[tuple[int, int, list[float], float]],
+    keep_cols: list[str],
+) -> DataFrame:
+    """Score every point row (``pv``, ``pn``) against the DRIVER-HELD
+    (wave, query) vectors in ONE vectorized Arrow pass, then explode
+    back to exactly the per-(point, wave, query) pair rows the
+    crossJoin + interpreted-HOF form produced (guide §4.2: the
+    broadcast join evaluated |q| interpreted ``aggregate(zip_with())``
+    folds PER POINT — the dominant cost of the recall/retrain members).
+
+    Bit-identity: ``_mat_scores`` walks dimensions left-to-right with
+    elementwise binary64 ops (pinned by test_arrow_scorer_bit_identity),
+    multiplication is IEEE-commutative, and the rounding/division stay
+    in the JVM with the same expression shape — every ``cos_sim`` is
+    bit-identical to ``round(_dot(qv, pv) / (qn * pn), 6)``."""
+    scorer = _mat_scores([qv for _, _, qv, _ in qrows], "dot")
+    parts = ", ".join(
+        f"named_struct('wave', {int(w)}, "
+        f"'query_id', CAST({int(qid)} AS BIGINT), "
+        f"'cos_sim', round(`__d`[{i}] / (CAST('{qn!r}' AS DOUBLE) * `pn`), 6))"
+        for i, (w, qid, _qv, qn) in enumerate(qrows)
+    )
+    return (
+        points.withColumn("__d", scorer(F.col("pv")))
+        .select(*keep_cols, "pn", F.explode(F.expr(f"array({parts})")).alias("__q"))
+        .select(
+            *keep_cols,
+            F.col("__q.wave").alias("wave"),
+            F.col("__q.query_id").alias("query_id"),
+            F.col("__q.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+def _recall_scalars(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Driver-held recall/retrain scalars — the re-key offset and the
+    candidate count — memoized per session. Construction (one corpus
+    aggregate) happens only on the first call; a memo hit costs zero
+    jobs AND zero py4j round-trips (r15: the member-level eager
+    construction of these relations was ~60% of warm latency)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    def build():
+        return tuple(
+            _vectors(spark, sf_dir)
+            .agg(
+                (F.max("vec_id") + 1).alias("o"),
+                F.sum((F.col("vec_id") >= N_QUERY).cast("long")).alias("n"),
+            )
+            .collect()[0]
+        )
+
+    return shared_value(spark, ("recall_append_scalars", sf_dir), build)
+
+
+def _pts_of(df: DataFrame) -> DataFrame:
+    """(vec_id, v) → (point_id, pv, pn) with the shared norm fold."""
+    return df.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("v").alias("pv"),
+        _norm(F.col("v")).alias("pn"),
+    )
+
+
+def _append_batches(spark: SparkSession, sf_dir: str, off_v: int) -> list[DataFrame]:
+    """The three append-wave corpus batches (0: original candidates,
+    1: negated re-keyed +off, 2: dimension-reversed re-keyed +2·off) —
+    the deterministic new-region transforms both the recall-drift audit
+    and the retrain A/B grow the corpus with."""
+    vecs = _vectors(spark, sf_dir)
+    cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
+    negate = F.transform(F.col("v"), lambda x: -x)
+    b1 = cand0.select((F.col("vec_id") + off_v).alias("vec_id"), negate.alias("v"))
+    b2 = cand0.select(
+        (F.col("vec_id") + 2 * off_v).alias("vec_id"),
+        F.reverse(F.col("v")).alias("v"),
+    )
+    return [cand0, b1, b2]
+
+
+def _append_assigns(
+    spark: SparkSession,
+    sf_dir: str,
+    crows_fr: list[tuple[int, list[float], float]],
+) -> list[DataFrame]:
+    """The three per-batch FROZEN-quantizer assignments, eagerly
+    checkpointed once per session (encode-only: batch b is never
+    re-scored when later waves arrive). Batch lineage is constructed
+    INSIDE the memo builder, so warm calls pay a dict lookup instead of
+    re-deriving the corpus transforms through py4j (r15)."""
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    out = []
+    for b in range(3):
+        def build(b: int = b) -> DataFrame:
+            off_v, _ = _recall_scalars(spark, sf_dir)
+            cb = _pts_of(_append_batches(spark, sf_dir, off_v)[b])
+            return _nearest_cells(
+                None, cb, "pv", "pn", "point_id", 1, cents=crows_fr
+            ).localCheckpoint(eager=True)
+
+        out.append(
+            shared_value(spark, ("recall_append_assign", sf_dir, b), build)
+        )
+    return out
+
+
+def _wave_qn_parts(spark: SparkSession, sf_dir: str):
+    """Per-wave (query_id, qv, qn) relations over the LOCAL query rows
+    (wave 0 identity, 1 negated, 2 dimension-reversed)."""
+    q0 = _query_vecs(spark, sf_dir)
+    negate = F.transform(F.col("v"), lambda x: -x)
+    waves = [
+        (0, q0),
+        (1, q0.select("vec_id", negate.alias("v"))),
+        (2, q0.select("vec_id", F.reverse(F.col("v")).alias("v"))),
+    ]
+    return [
+        (
+            b,
+            qs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                _norm(F.col("v")).alias("qn"),
+            ),
+        )
+        for b, qs in waves
+    ]
+
+
+def _wave_probed(
+    spark: SparkSession,
+    sf_dir: str,
+    key: tuple,
+    cents: list[tuple[int, list[float], float]],
+    cell_alias: str,
+    flag_alias: str,
+) -> DataFrame:
+    """Wave-tagged query→probed-cell relation against ``cents``
+    (≤ 3·N_QUERY·N_PROBES rows), eagerly checkpointed and memoized
+    under ``key``. Construction — 3 ArrowEvalPython rounds of
+    Python-worker latency plus their py4j plan building — runs only on
+    the first call per session (r15: previously rebuilt per call and
+    discarded on memo hit)."""
+    from functools import reduce
+
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    def build() -> DataFrame:
+        parts = [
+            _nearest_cells(
+                None, qn, "qv", "qn", "query_id", N_PROBES, cents=cents
+            ).select(
+                F.lit(b).alias("wave"),
+                "query_id",
+                F.col("cell").alias(cell_alias),
+                F.lit(1).alias(flag_alias),
+            )
+            for b, qn in _wave_qn_parts(spark, sf_dir)
+        ]
+        return reduce(DataFrame.unionByName, parts).localCheckpoint(eager=True)
+
+    return shared_value(spark, key, build)
 
 
 def _ivf_assigned(
@@ -2312,79 +2522,30 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     block is scanned ONCE instead of once per wave it appears in
     (3n rows read instead of 6n). Per-(wave, query) window contents and
     ordering are unchanged, so every rank — and the output rows — are
-    identical."""
+    identical. r15 (opt, guide §4.2 + §5): pairwise truth scoring is
+    ONE vectorized Arrow pass + explode instead of 5-15 interpreted
+    ``aggregate(zip_with())`` folds per corpus point (bit-identical —
+    ``_pairwise_wave_scores``), and each memoized relation's lineage
+    is built INSIDE its memo builder, so warm calls skip the py4j
+    re-derivation entirely."""
     from functools import reduce
 
     from pyspark.sql import Window as W
 
-    from generic_data_ingestor_framework_spark.cachemgr import shared_value
-
-    vecs = _vectors(spark, sf_dir)
     crows = _frozen_cents(spark, sf_dir)  # FROZEN quantizer, driver rows
-    cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
-    q0 = _query_vecs(spark, sf_dir)  # local relation — no corpus scan
-    negate = F.transform(F.col("v"), lambda x: -x)
     # driver-held scalars (the MLlib-centroids class): the re-key offset
     # (wave 1: +off, wave 2: +2·off — disjoint at any SF) and the batch
     # size — each batch is a 1:1 transform of cand0, so wave b's corpus
     # is exactly (b+1)·n_cand rows with no per-wave count job
-    off_v, n_cand = shared_value(
-        spark,
-        ("recall_append_scalars", sf_dir),
-        lambda: tuple(
-            vecs.agg(
-                (F.max("vec_id") + 1).alias("o"),
-                F.sum((F.col("vec_id") >= N_QUERY).cast("long")).alias("n"),
-            ).collect()[0]
-        ),
+    off_v, n_cand = _recall_scalars(spark, sf_dir)
+    # encode-only: assign each BATCH, checkpoint it once per session
+    # (cachemgr releases the blocks at clear_caches), grow lazily
+    a_parts = _append_assigns(spark, sf_dir, crows)
+    # probe cells are a tiny per-query projection — wave-tagged union,
+    # checkpointed once per session
+    probed_all = _wave_probed(
+        spark, sf_dir, ("recall_probed_all", sf_dir), crows, "cell", "in_probe"
     )
-    b1 = cand0.select((F.col("vec_id") + off_v).alias("vec_id"), negate.alias("v"))
-    b2 = cand0.select(
-        (F.col("vec_id") + 2 * off_v).alias("vec_id"),
-        F.reverse(F.col("v")).alias("v"),
-    )
-    stages = [
-        (0, cand0, q0),
-        (1, b1, q0.select("vec_id", negate.alias("v"))),
-        (2, b2, q0.select("vec_id", F.reverse(F.col("v")).alias("v"))),
-    ]
-    a_parts: list[DataFrame] = []  # per-batch assignments, checkpointed once
-    qn_parts: list[DataFrame] = []
-    probed_parts: list[DataFrame] = []
-    for b, batch, qs in stages:
-        qn = qs.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            _norm(F.col("v")).alias("qn"),
-        )
-        cn_b = batch.select(
-            F.col("vec_id").alias("point_id"),
-            F.col("v").alias("pv"),
-            _norm(F.col("v")).alias("pn"),
-        )
-        # encode-only: assign the BATCH, checkpoint it once per session
-        # (cachemgr releases the blocks at clear_caches), grow lazily
-        a_parts.append(
-            shared_value(
-                spark,
-                ("recall_append_assign", sf_dir, b),
-                lambda cb=cn_b: _nearest_cells(
-                    None, cb, "pv", "pn", "point_id", 1, cents=crows
-                ).localCheckpoint(eager=True),
-            )
-        )
-        qn_parts.append(qn.withColumn("wave", F.lit(b)))
-        # probe cells are a tiny per-query projection — tag and union
-        probed_parts.append(
-            _nearest_cells(
-                None, qn, "qv", "qn", "query_id", N_PROBES, cents=crows
-            ).select(
-                F.lit(b).alias("wave"),
-                "query_id",
-                "cell",
-                F.lit(1).alias("in_probe"),
-            )
-        )
     # FUSED truth+IVF pass over ALL waves (r13 verdict #4 + r14 opt):
     # corpus block b_c joins every wave >= b_c, so one broadcast join
     # reproduces each wave's prefix-union corpus while scanning each
@@ -2402,36 +2563,22 @@ def ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         DataFrame.unionByName,
         (p.withColumn("b_c", F.lit(b)) for b, p in enumerate(a_parts)),
     )
-    # The wave-tagged query/probe-cell relations are a few dozen rows,
-    # but building them costs 1 ExistingRDD scan + 3 ArrowEvalPython
-    # rounds (Python-worker latency, ~2-3 s/call warm at sf0.1 — the
-    # dominant cost of the member once everything else is checkpointed).
-    # Session-memoized eager checkpoints: re-scans are JVM-only block
-    # reads; cachemgr releases them at clear_caches (r14 opt).
-    q_all = shared_value(
-        spark,
-        ("recall_q_all", sf_dir),
-        lambda: reduce(DataFrame.unionByName, qn_parts).localCheckpoint(
-            eager=True
-        ),
-    )
-    probed_all = shared_value(
-        spark,
-        ("recall_probed_all", sf_dir),
-        lambda: reduce(DataFrame.unionByName, probed_parts).localCheckpoint(
-            eager=True
-        ),
-    )
-    sim = F.round(
-        _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6
-    )
     w = W.partitionBy("wave", "query_id").orderBy(F.desc("cos_sim"), "point_id")
     w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # r15 (opt, guide §4.2): the broadcast(q_all) join evaluated 5-15
+    # interpreted aggregate(zip_with()) folds per corpus point; one
+    # Arrow pass + explode produces the identical pair rows (wave
+    # membership is the same wave >= b_c predicate, applied post-
+    # explode), so window contents/ordering — and the output — are
+    # bit-identical (see _pairwise_wave_scores).
     scored = (
-        a_all.select("point_id", "pv", "pn", "cell", "b_c")
-        .join(F.broadcast(q_all), F.col("wave") >= F.col("b_c"))
+        _pairwise_wave_scores(
+            a_all.select("point_id", "pv", "pn", "cell", "b_c"),
+            _wave_query_rows(spark, sf_dir),
+            ["point_id", "cell", "b_c"],
+        )
+        .filter(F.col("wave") >= F.col("b_c"))
         .join(F.broadcast(probed_all), ["wave", "query_id", "cell"], "left")
-        .withColumn("cos_sim", sim)
         .withColumn("truth_rank", F.row_number().over(w))
         .withColumn(
             "ivf_rank", F.sum(F.coalesce("in_probe", F.lit(0))).over(w_run)
@@ -2699,157 +2846,76 @@ def ann_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused single-scan pass with TWO in-probe flags — the three query
     waves are wave-tagged and probed in ONE corpus scan, one window,
     one groupBy (r14 opt: was one scan per wave), every dot product
-    computed once."""
+    computed once. r15 (opt, guide §4.2 + §5): the pairwise truth
+    scoring is ONE vectorized Arrow pass + explode instead of 15
+    interpreted ``aggregate(zip_with())`` folds per corpus point
+    (bit-identical — ``_pairwise_wave_scores``), and every memoized
+    relation's lineage is now built INSIDE its memo builder, so a
+    warm call costs ~0.2 s of plan construction instead of ~1 s of
+    py4j re-derivation that was immediately discarded on memo hit."""
     from functools import reduce
 
     from pyspark.sql import Window as W
 
     from generic_data_ingestor_framework_spark.cachemgr import shared_value
 
-    vecs = _vectors(spark, sf_dir)
     crows_fr = _frozen_cents(spark, sf_dir)  # frozen quantizer, driver rows
-    cand0 = vecs.filter(F.col("vec_id") >= N_QUERY).select("vec_id", "v")
-    q0 = _query_vecs(spark, sf_dir)  # local relation — no corpus scan
-    negate = F.transform(F.col("v"), lambda x: -x)
-    off_v, n_cand = shared_value(
-        spark,
-        ("recall_append_scalars", sf_dir),
-        lambda: tuple(
-            vecs.agg(
-                (F.max("vec_id") + 1).alias("o"),
-                F.sum((F.col("vec_id") >= N_QUERY).cast("long")).alias("n"),
-            ).collect()[0]
-        ),
-    )
-    b1 = cand0.select((F.col("vec_id") + off_v).alias("vec_id"), negate.alias("v"))
-    b2 = cand0.select(
-        (F.col("vec_id") + 2 * off_v).alias("vec_id"),
-        F.reverse(F.col("v")).alias("v"),
-    )
-    batches = [cand0, b1, b2]
+    off_v, n_cand = _recall_scalars(spark, sf_dir)
 
-    def _pts(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias("point_id"),
-            F.col("v").alias("pv"),
-            _norm(F.col("v")).alias("pn"),
+    def grown() -> DataFrame:
+        return reduce(
+            DataFrame.unionByName,
+            (_pts_of(b) for b in _append_batches(spark, sf_dir, off_v)),
         )
 
-    grown = reduce(DataFrame.unionByName, (_pts(b) for b in batches))
     # retrain: fresh Lloyd trajectory over the grown corpus (driver-
     # held centroids; seeds are the same lowest-id originals, so the
     # DuckDB oracle replays the identical trajectory)
     rt_cents = shared_value(
         spark,
         ("retrain_cents", sf_dir),
-        lambda: _kmeans_over(spark, grown, N_CENTROIDS),
+        lambda: _kmeans_over(spark, grown(), N_CENTROIDS),
     )
     crows_rt = [(cid, cv, _py_norm(cv)) for cid, cv in rt_cents]
     # frozen assignment: the recall audit's per-batch checkpoints,
     # shared via the same cache keys; retrained assignment: one
     # encode-only pass over the grown corpus, checkpointed once
-    a_fr_parts = [
-        shared_value(
-            spark,
-            ("recall_append_assign", sf_dir, b),
-            lambda cb=_pts(batch): _nearest_cells(
-                None, cb, "pv", "pn", "point_id", 1, cents=crows_fr
-            ).localCheckpoint(eager=True),
-        )
-        for b, batch in enumerate(batches)
-    ]
     a_joint = shared_value(
         spark,
         ("retrain_joint_assign", sf_dir),
-        lambda: reduce(DataFrame.unionByName, a_fr_parts)
+        lambda: reduce(
+            DataFrame.unionByName, _append_assigns(spark, sf_dir, crows_fr)
+        )
         .select("point_id", "pv", "pn", F.col("cell").alias("cell_fr"))
         .join(
             _nearest_cells(
-                None, grown, "pv", "pn", "point_id", 1, cents=crows_rt
+                None, grown(), "pv", "pn", "point_id", 1, cents=crows_rt
             ).select("point_id", F.col("cell").alias("cell_rt")),
             "point_id",
         )
         .localCheckpoint(eager=True),
     )
-    waves = [
-        (0, q0),
-        (1, q0.select("vec_id", negate.alias("v"))),
-        (2, q0.select("vec_id", F.reverse(F.col("v")).alias("v"))),
-    ]
-    # r14 (opt): the three query waves probe the SAME grown corpus, so
-    # they fuse into one pass — queries and probe-cell sets tagged with
-    # their wave, one crossJoin of a_joint against all 3·N_QUERY
-    # broadcast queries, one window partitioned by (wave, query_id),
-    # one groupBy. a_joint is scanned once instead of once per wave;
-    # per-(wave, query) window contents/ordering — and the output
-    # rows — are unchanged.
-    sim = F.round(_dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn")), 6)
+    pf_all = _wave_probed(
+        spark, sf_dir, ("retrain_pf_all", sf_dir), crows_fr, "cell_fr", "in_fr"
+    )
+    pr_all = _wave_probed(
+        spark, sf_dir, ("retrain_pr_all", sf_dir), crows_rt, "cell_rt", "in_rt"
+    )
     w = W.partitionBy("wave", "query_id").orderBy(F.desc("cos_sim"), "point_id")
     w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    qn_parts, pf_parts, pr_parts = [], [], []
-    for b, qs in waves:
-        qn = qs.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            _norm(F.col("v")).alias("qn"),
-        )
-        qn_parts.append(qn.withColumn("wave", F.lit(b)))
-        pf_parts.append(
-            _nearest_cells(
-                None, qn, "qv", "qn", "query_id", N_PROBES, cents=crows_fr
-            ).select(
-                F.lit(b).alias("wave"),
-                "query_id",
-                F.col("cell").alias("cell_fr"),
-                F.lit(1).alias("in_fr"),
-            )
-        )
-        pr_parts.append(
-            _nearest_cells(
-                None, qn, "qv", "qn", "query_id", N_PROBES, cents=crows_rt
-            ).select(
-                F.lit(b).alias("wave"),
-                "query_id",
-                F.col("cell").alias("cell_rt"),
-                F.lit(1).alias("in_rt"),
-            )
-        )
-    # Same r14 memoization as the recall audit: these are ≤45-row
-    # relations whose construction pays 1 ExistingRDD scan + 6
-    # ArrowEvalPython rounds per call (~4.8 s warm at sf0.1 — measured
-    # as the member's dominant cost); checkpointed once per session.
-    q_all = shared_value(
-        spark,
-        ("retrain_q_all", sf_dir),
-        lambda: reduce(DataFrame.unionByName, qn_parts).localCheckpoint(
-            eager=True
-        ),
-    )
-    pf_all = shared_value(
-        spark,
-        ("retrain_pf_all", sf_dir),
-        lambda: reduce(DataFrame.unionByName, pf_parts).localCheckpoint(
-            eager=True
-        ),
-    )
-    pr_all = shared_value(
-        spark,
-        ("retrain_pr_all", sf_dir),
-        lambda: reduce(DataFrame.unionByName, pr_parts).localCheckpoint(
-            eager=True
-        ),
-    )
     scored = (
-        a_joint.crossJoin(F.broadcast(q_all))
+        _pairwise_wave_scores(
+            a_joint,
+            _wave_query_rows(spark, sf_dir),
+            ["point_id", "cell_fr", "cell_rt"],
+        )
         .join(F.broadcast(pf_all), ["wave", "query_id", "cell_fr"], "left")
         .join(F.broadcast(pr_all), ["wave", "query_id", "cell_rt"], "left")
-        .withColumn("cos_sim", sim)
-        .withColumn("truth_rank", F.row_number().over(w))
-        .withColumn(
-            "fr_rank", F.sum(F.coalesce("in_fr", F.lit(0))).over(w_run)
-        )
-        .withColumn(
-            "rt_rank", F.sum(F.coalesce("in_rt", F.lit(0))).over(w_run)
+        .select(
+            "*",
+            F.row_number().over(w).alias("truth_rank"),
+            F.sum(F.coalesce("in_fr", F.lit(0))).over(w_run).alias("fr_rank"),
+            F.sum(F.coalesce("in_rt", F.lit(0))).over(w_run).alias("rt_rank"),
         )
         .filter(F.col("truth_rank") <= TOP_K)
     )

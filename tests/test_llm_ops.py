@@ -2893,6 +2893,55 @@ def test_arrow_scorer_bit_identity(spark):
         assert similarity._py_norm(v) == math.sqrt(acc)
 
 
+def test_pairwise_wave_scores_matches_hof_crossjoin(spark):
+    """The r15 Arrow pairwise scorer must produce EXACTLY the pair rows
+    the broadcast-crossJoin + interpreted-HOF form produced — same
+    (wave, query_id) fan-out, bit-identical rounded cos_sim (the
+    recall/retrain members' window ordering rides on it)."""
+    from pyspark.sql import functions as F
+
+    from generic_data_ingestor_framework_spark.llm import similarity as sim
+
+    pts_rows = [
+        (10, [0.1, -3.7, 2.5, 0.3]),
+        (11, [1e-9, 0.30000000000000004, -1.1, 7.0]),
+        (12, [4.2, -0.001, 123.456, 0.125]),
+    ]
+    pts = spark.createDataFrame(
+        pts_rows, "point_id bigint, pv array<double>"
+    ).withColumn("pn", sim._norm(F.col("pv")))
+    qrows = [
+        (w, qid, v, sim._py_norm(v))
+        for w, qid, v in [
+            (0, 0, [0.5, 0.25, -0.125, 3.0]),
+            (1, 0, [-0.5, -0.25, 0.125, -3.0]),
+            (2, 1, [1.0 / 3.0, 0.7, -2.2, 0.9]),
+        ]
+    ]
+    got = sorted(
+        tuple(r)
+        for r in sim._pairwise_wave_scores(pts, qrows, ["point_id"]).collect()
+    )
+    q = spark.createDataFrame(
+        [(w, qid, v, qn) for w, qid, v, qn in qrows],
+        "wave int, query_id bigint, qv array<double>, qn double",
+    )
+    hof = (
+        pts.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                sim._dot(F.col("qv"), F.col("pv"))
+                / (F.col("qn") * F.col("pn")),
+                6,
+            ),
+        )
+        .select("point_id", "wave", "query_id", "cos_sim")
+    )
+    want = sorted(tuple(r) for r in hof.collect())
+    assert got == want  # exact equality == bit identity after rounding
+
+
 def test_nearest_cells_tie_breaks_on_lowest_centroid_id(spark):
     """Duplicate centroids produce exactly tied rounded sims; the
     argmax must keep the LOWEST centroid id (the ordering the replaced
