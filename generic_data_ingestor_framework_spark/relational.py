@@ -1256,10 +1256,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: avg-quantity correlated filter.
 
-    Decorrelated as groupBy-per-part then broadcast join back (the
-    Brand#4/ECONOMY part set is tiny, so its lineitems — and hence the
-    per-part aggregate — stay broadcastable even at 100 TB).
+    Decorrelated as a per-part WINDOW average over ONE pass of the
+    part-filtered lineitems (r15, guide §2.4: the groupBy-then-join-back
+    form scanned lineitem twice — the window computes the identical
+    per-part cap on the single scan, one hash exchange on l_partkey).
+    FP-safe: l_quantity is integer-valued, so the partition sum — and
+    hence the average — is exact binary64 regardless of aggregation
+    order; the cap comparison cannot flip between the two shapes
+    (oracle-verified at sf0.001/0.01/0.1 and the sf1 decade-up).
     """
+    from pyspark.sql import Window as W
+
     t = _t(spark, sf_dir)
     part = t("part").filter((F.col("p_brand") == "Brand#4") & (F.col("p_type") == "ECONOMY"))
     li = t("lineitem").join(
@@ -1267,11 +1274,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey") == F.col("p_partkey"),
         "semi",
     )
-    caps = li.groupBy(F.col("l_partkey").alias("cap_partkey")).agg(
-        (F.avg("l_quantity") * 0.5).alias("qty_cap")
-    )
+    qty_cap = (F.avg("l_quantity").over(W.partitionBy("l_partkey")) * 0.5)
     return (
-        li.join(F.broadcast(caps), F.col("l_partkey") == F.col("cap_partkey"))
+        li.withColumn("qty_cap", qty_cap)
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
