@@ -260,8 +260,12 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ra = cont.groupBy("a").agg(F.sum("n").alias("ra"))
     rb = cont.groupBy("b").agg(F.sum("n").alias("rb"))
+    # both marginals are bounded by the number of distinct classes at
+    # ANY corpus size — broadcast one side so the member plan carries
+    # no SortMergeJoin (r15, guide §3.1; the planner saw unsized
+    # checkpoint lineage and chose SMJ: 2 extra sorts per call)
     pe_sum = (
-        ra.join(rb, ra["a"] == rb["b"])
+        ra.join(F.broadcast(rb), ra["a"] == rb["b"])
         .agg(F.coalesce(F.sum(F.col("ra") * F.col("rb")), F.lit(0)).alias("s"))
     )
     tot = cont.agg(
