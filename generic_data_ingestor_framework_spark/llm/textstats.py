@@ -586,27 +586,32 @@ def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula scaled to integer millionths before averaging (integer
     sums are order-exact); rates are floor-truncated at 4 dp.
 
-    Scale shape (r14 opt: ONE corpus pass): per-doc (source, md5,
-    quality-int) is projected once; duplicate membership is a COUNT
-    window over the md5 (one hash shuffle — same key the old
-    aggregate-plus-semi-join used, but without re-scanning and
-    re-tokenizing the corpus for each of its three references), then
-    everything folds in one source-grain aggregate. No corpus-sized
-    broadcast anywhere."""
+    Scale shape (r14 opt: ONE corpus pass; r15: skew-safe grain): the
+    corpus is folded to (md5, source) grain FIRST — a hash aggregate
+    with map-side partials, so a hot md5 (e.g. millions of empty texts
+    coalescing to md5('')) is combined per mapper instead of funneling
+    doc-grain rows into one window task (the r14 ADVICE straggler
+    hazard). Corpus-wide duplicate counts then come from a window over
+    that much smaller aggregated relation, and everything folds in one
+    source-grain aggregate. No corpus-sized broadcast anywhere."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.coalesce(F.col("text"), F.lit("")))
     qint = F.round(_quality_expr(tokens_col()) * 1000000.0, 0).cast("long")
-    docs = d.select("source", h.alias("h"), qint.alias("qint"))
-    c = F.count(F.lit(1)).over(W.partitionBy("h"))
+    g = (
+        d.select("source", h.alias("h"), qint.alias("qint"))
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qint").alias("qs"))
+    )
+    occ = F.sum("n").over(W.partitionBy("h"))
     per_src = (
-        docs.withColumn("dup", (c >= 2).cast("long"))
+        g.withColumn("dup_n", F.when(occ >= 2, F.col("n")).otherwise(F.lit(0)))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("qint").alias("qsum"),
-            F.sum("dup").alias("n_dup_docs"),
+            F.sum("n").alias("n_docs"),
+            F.sum("qs").alias("qsum"),
+            F.sum("dup_n").alias("n_dup_docs"),
         )
     )
     return per_src.select(
