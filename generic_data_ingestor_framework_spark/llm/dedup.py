@@ -83,7 +83,15 @@ def tokens_col(text_col="text"):
     return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
-def shingles_from_tokens(tok_col, k: int = 3):
+# Word-shingle width for the MinHash/band pipeline. Three call sites
+# depend on the SAME k for the "no bands ⟺ <k tokens" invariant
+# (shingles_from_tokens, bands_per_row's token-count filter, and the
+# supersede NULL-band marker rule) — a k changed in one place but not
+# the others would silently stop retiring stale bands (r14 ADVICE).
+SHINGLE_K = 3
+
+
+def shingles_from_tokens(tok_col, k: int = SHINGLE_K):
     """Distinct word k-gram shingles from an ALREADY-MATERIALIZED token
     array column. Callers must project the token split into its own
     column first: Catalyst re-inlines aliased expressions into lambda
@@ -640,7 +648,7 @@ def bands_per_row(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     # filter alone cost ~8x the rest of the pipeline at sf0.1).
     staged = (
         df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
-        .filter(F.size(F.col("__toks")) >= 3)
+        .filter(F.size(F.col("__toks")) >= SHINGLE_K)
         .withColumn("__sh", shingles_from_tokens(F.col("__toks")))
         .withColumn("__hs", F.transform("__sh", lambda s: portable_hash32(s)))
     )
@@ -805,6 +813,15 @@ def _clear_stale_location(spark: SparkSession, table: str) -> None:
     check uses presence as a completed-run marker)."""
     from generic_data_ingestor_framework_spark.fileops import hadoop_delete
 
+    # location inference below assumes an UNQUALIFIED default-database
+    # name (<warehouse>/<lowercased name>); a qualified db.table would
+    # compute a wrong path — at best a no-op, at worst deleting an
+    # unrelated directory named like the qualified string (r14 ADVICE)
+    if "." in table:
+        raise ValueError(
+            f"_clear_stale_location expects an unqualified default-db "
+            f"table name, got {table!r}"
+        )
     if spark.catalog.tableExists(table):
         return
     wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -815,11 +832,21 @@ def _ensure_empty_delta(spark: SparkSession, delta_table: str) -> None:
     """Reset a versioned-index DELTA table to empty: TRUNCATE when a
     schema-compatible table already exists (one catalog op, no Spark
     job — the common warm path), else create it fresh (clearing any
-    stale location first)."""
-    expected = [c.split()[0] for c in _BAND_DELTA_SCHEMA.split(", ")]
+    stale location first). Compatibility compares field TYPES as well
+    as names (r14 ADVICE: a name-only check would TRUNCATE-and-reuse a
+    foreign table whose matching names carry different types, and later
+    generation-tagged appends would fail or silently coerce)."""
+    expected = [
+        (c.split()[0], c.split(" ", 1)[1].replace(" ", ""))
+        for c in _BAND_DELTA_SCHEMA.split(", ")
+    ]
     if (
         spark.catalog.tableExists(delta_table)
-        and [f.name for f in spark.table(delta_table).schema.fields] == expected
+        and [
+            (f.name, f.dataType.simpleString())
+            for f in spark.table(delta_table).schema.fields
+        ]
+        == expected
     ):
         spark.sql(f"TRUNCATE TABLE {delta_table}")
         return
@@ -963,9 +990,9 @@ def supersede_band_index(
     bands = bands_per_row(docs, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), "band_key"
     )
-    # a doc has no bands IFF its token count is < 3 (the bands_per_row
-    # admission rule: >= k tokens produce >= 1 shingle) — deriving the
-    # markers from that filter avoids re-running the whole
+    # a doc has no bands IFF its token count is < SHINGLE_K (the
+    # bands_per_row admission rule: >= k tokens produce >= 1 shingle) —
+    # deriving the markers from that filter avoids re-running the whole
     # tokenize→minhash pipeline a second time just to anti-join it
     # (r14 opt; same rows as the previous anti join by construction)
     marker = (
@@ -973,7 +1000,7 @@ def supersede_band_index(
             F.col(id_col).alias("doc_id"),
             F.size(tokens_col(text_col)).alias("__ntok"),
         )
-        .filter(F.col("__ntok") < 3)
+        .filter(F.col("__ntok") < SHINGLE_K)
         .select("doc_id", F.lit(None).cast("string").alias("band_key"))
     )
     rows = (
@@ -1247,9 +1274,21 @@ def compact_band_index_versioned(
     effective view (untouched base rows + the delta's latest-generation
     live bands) into a fresh bucketed base and truncate the delta —
     superseded and tombstoned rows are PHYSICALLY dropped, restoring
-    the zero-delta probe path. localCheckpoint so the overwrite does
-    not read the table it replaces. Returns the compacted row count.
-    Single-writer contract (see ``_reset_managed_table``)."""
+    the zero-delta probe path. Returns the compacted row count.
+    Single-writer contract (see ``_reset_managed_table``).
+
+    The effective view is STAGED into a temporary table and swapped in
+    by catalog rename (r15, guide §5/§6 — the ``compact_ann_index``
+    protocol): the old shape eagerly ``localCheckpoint``-ed the entire
+    effective view so the overwrite would not read the table it
+    replaces — INDEX-SIZED executor storage at the 100 TB design point.
+    Staging writes the one full copy compaction inherently owes straight
+    to disk instead. Crash windows are no worse than the overwrite
+    path: a crash during staging leaves base+delta untouched (the stale
+    staging table is reaped on the next compaction); a crash inside the
+    drop→rename swap leaves the base absent — exactly the overwrite
+    path's mid-rewrite window — and the crawl loop's save step rebuilds
+    it."""
     base = spark.table(base_table)
     delta = spark.table(delta_table)
     # NO forced-broadcast hint here (unlike the probe path): compaction
@@ -1264,17 +1303,21 @@ def compact_band_index_versioned(
         base.join(touched, "doc_id", "anti")
         .unionByName(_band_delta_live(delta))
         .dropDuplicates(["doc_id", "band_key", "gen"])
-        .localCheckpoint(eager=True)
     )
+    staging = f"{base_table}__compact"
+    _reset_managed_table(spark, staging)  # reap a dead run's leftover
     live.write.mode("overwrite").bucketBy(n_buckets, "band_key").saveAsTable(
-        base_table
+        staging
     )
+    # count the staged parquet (metadata-count job) BEFORE the swap so
+    # the returned number provably describes what was written
+    n_live = spark.table(staging).count()
+    _reset_managed_table(spark, base_table)
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {base_table}")
     # the delta table provably exists (read above): TRUNCATE drains it
     # in one catalog op instead of an empty-relation overwrite job
     spark.sql(f"TRUNCATE TABLE {delta_table}")
-    # the write just materialized exactly `live`; counting the
-    # checkpointed blocks (no table re-scan) returns the same number
-    return live.count()
+    return n_live
 
 
 # re-crawled old-content copies are re-keyed past max(doc_id) — the
