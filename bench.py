@@ -180,6 +180,22 @@ INDEX_BUILDS = [
     "stream_ann_index_maintain",
 ]
 
+# Members whose OUTPUT is replayed from a session memo on warm calls
+# (ann_retrain_decision: collected gauge rows; scd2_customer_multigen:
+# the checkpointed 2-gen history shared with the as-of member). Their
+# steady medians measured a dict lookup (r14 verdict: 0.207 s / 0.013 s
+# "steady" vs 1.7 s / 1.3 s cold — hollow numbers padding the headline
+# total). The bench now EVICTS exactly that memo before every steady
+# run, so the steady median is an honest rebuild on top of the
+# legitimately-shared session infrastructure (gauge sub-relations,
+# update-batch checkpoints). Cold runs are unchanged. This makes both
+# members' steady medians HIGHER than r14's by construction — a
+# measurement fix, not a regression (OPTIMIZATION_r15.md).
+MEMO_EVICT: dict[str, tuple] = {
+    "ann_retrain_decision": ("retrain_gauge_rows",),
+    "scd2_customer_multigen": ("scd2_hist2",),
+}
+
 REGRESSION_RATIO = 1.3
 RAW_RATIO_CEIL = 2.0  # flag regardless of drift — normalization must not hide big ones
 STEADY_RUNS = 5  # report per-query medians; 5 runs so one JIT/GC-warming
@@ -424,6 +440,12 @@ def main() -> None:
         # MEDIAN of STEADY_RUNS runs plus the min/max spread.
         runs = []
         for _ in range(STEADY_RUNS):
+            if name in MEMO_EVICT:
+                from generic_data_ingestor_framework_spark.cachemgr import (
+                    evict_prefix,
+                )
+
+                evict_prefix(spark, MEMO_EVICT[name])
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
@@ -504,7 +526,18 @@ def main() -> None:
         "sf": sf,
     }))
     print(json.dumps({"metric": "headline_vs_prev", **(vs_prev or {})}))
-    print(json.dumps(full, separators=(",", ":")))
+    # The full line cannot fit the driver's 2000-char tail at 87
+    # members: the query NAMES alone sum to ~1.7 KB and the map syntax
+    # floor is ~2.0 KB, over the ~1.8 KB left beside the canonical
+    # final line — no value encoding fixes that, and renaming members
+    # is forbidden. Print the map at 2 dp ("queries" last) so a
+    # head-truncated tail copy still holds the maximum number of
+    # complete entries; the authoritative full record is the committed
+    # BENCH_FULL.json (3 dp, plus vs_prev per-member ratios).
+    print(json.dumps(
+        {**full, "queries": {k: round(v, 2) for k, v in times.items()}},
+        separators=(",", ":"),
+    ))
     # canonical micro-record: ~250 bytes, ALWAYS inside the tail window
     print(json.dumps({
         "metric": "headline_queries_total",
