@@ -135,9 +135,26 @@ def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build for these 5 rows (r14 opt: 3–6 such scans per
     recall/retrain call). Values are the exact binary64 rows of the
     corpus scan, so every downstream expression is bit-identical."""
-    return spark.createDataFrame(
-        _query_vec_rows(spark, sf_dir), schema="vec_id bigint, v array<double>"
-    )
+    from generic_data_ingestor_framework_spark.cachemgr import shared_value
+
+    # Materialized as a JVM-side SQL VALUES LocalRelation, memoized per
+    # session: createDataFrame(rows) produces a pickled-RDD-backed frame
+    # (Scan ExistingRDD) whose every broadcast/collect pays a Python
+    # task round, and rebuilding it per call cost ~0.1-0.2 s of py4j.
+    # CAST('<repr>' AS DOUBLE) round-trips each binary64 exactly
+    # (shortest repr → correctly-rounded parse, the _nearest_cells
+    # literal trick), so values are bit-identical to the corpus rows.
+    def build() -> DataFrame:
+        vals = ", ".join(
+            "(CAST({} AS BIGINT), array({}))".format(
+                int(r["vec_id"]),
+                ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in r["v"]),
+            )
+            for r in _query_vec_rows(spark, sf_dir)
+        )
+        return spark.sql(f"SELECT vec_id, v FROM (VALUES {vals}) AS t(vec_id, v)")
+
+    return shared_value(spark, ("ann_query_vec_df", sf_dir), build)
 
 
 def _query_vec_rows(spark: SparkSession, sf_dir: str):
@@ -168,12 +185,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     # norms are projected ONCE per vector before the cross join — the
     # per-pair work is then a single dot product (identical doubles, so
-    # the oracle contract is unchanged)
-    q = vecs.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qn"),
-    )
+    # the oracle contract is unchanged); the query side is the local
+    # memoized relation, so the corpus parquet is scanned once (r15)
+    q = _query_side(spark, sf_dir)
     c = vecs.filter(F.col("vec_id") >= N_QUERY).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
@@ -410,6 +424,21 @@ def _nearest_cells(
         df.withColumn("__d", scorer(F.col(vec_col)))
         .select(id_col, vec_col, norm_col, F.explode(top).alias("__t"))
         .select(id_col, vec_col, norm_col, F.col("__t.cid").alias("cell"))
+    )
+
+
+def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (query_id, qv, qn) probe side as a LOCAL relation over the
+    memoized query-vector rows — no corpus scan. Values are the exact
+    binary64 rows of the corpus parquet (collected once per session),
+    so every downstream expression is bit-identical to the
+    filter-the-corpus form it replaces (r15: the crawl/recrawl/stream
+    members and the brute-force probes each paid a full parquet scan
+    to materialize these 5 rows)."""
+    return _query_vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
 
 
@@ -912,22 +941,27 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(127.0)
     )
-    base = vecs.select("vec_id", "v", sc.alias("sc"))
-    base = base.select(
-        "vec_id",
-        "v",
-        "sc",
-        F.transform("v", lambda x: F.round(x / F.col("sc")).cast("int")).alias("q"),
-        _norm(F.col("v")).alias("nrm"),
-    )
-    qs = base.filter(F.col("vec_id") < N_QUERY).select(
+    def _coded(df: DataFrame) -> DataFrame:
+        b = df.select("vec_id", "v", sc.alias("sc"))
+        return b.select(
+            "vec_id",
+            "v",
+            "sc",
+            F.transform("v", lambda x: F.round(x / F.col("sc")).cast("int")).alias("q"),
+            _norm(F.col("v")).alias("nrm"),
+        )
+
+    # query side: same quantization expressions over the LOCAL memoized
+    # query rows (exact corpus binary64 values) — no second corpus scan
+    # to materialize 5 rows (r15)
+    qs = _coded(_query_vecs(spark, sf_dir)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("q").alias("qq"),
         F.col("sc").alias("qsc"),
         F.col("nrm").alias("qn"),
     )
-    cs = base.filter(F.col("vec_id") >= N_QUERY).select(
+    cs = _coded(vecs.filter(F.col("vec_id") >= N_QUERY)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.col("q").alias("cq"),
@@ -2374,8 +2408,13 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hadoop_delete(spark, root)  # idempotent re-runs
     save_ann_index(spark, sf_dir, root)
     vecs = _vectors(spark, sf_dir)
-    batch = vecs.filter(F.col("vec_id") < N_QUERY).crossJoin(_crawl_off(vecs)).select(
-        (F.col("vec_id") + F.col("__off")).alias("vec_id"), "v"
+    # the crawl batch is the 5 query vectors re-keyed past max(vec_id):
+    # both the vectors and the offset are driver-memoized scalars, so
+    # building it costs no corpus scan and no offset aggregate (r15;
+    # values are the exact collected binary64 rows — see _query_side)
+    off_v, _ = _recall_scalars(spark, sf_dir)
+    batch = _query_vecs(spark, sf_dir).select(
+        (F.col("vec_id") + off_v).alias("vec_id"), "v"
     )
     append_ann_index(spark, batch, root, "crawl_b1")
 
@@ -2384,11 +2423,7 @@ def ann_index_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = spark.read.parquet(f"{root}/pq_codebook")
     codes = _load_index_relation(spark, root, "pq_codes")
 
-    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qn"),
-    )
+    qs = _query_side(spark, sf_dir)
     probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
     cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
     ivf = _ivf_topk(
@@ -2679,11 +2714,7 @@ def ann_index_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _load_index_relation(spark, root, "ivf_assigned")
     codes = _load_index_relation(spark, root, "pq_codes")
 
-    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qn"),
-    )
+    qs = _query_side(spark, sf_dir)  # local memoized rows - no corpus scan (r15)
     probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
     cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
 
@@ -3100,11 +3131,7 @@ def stream_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdf = spark.read.parquet(f"{root}/ivf_centroids")
     assigned = _load_index_relation(spark, root, "ivf_assigned")
-    qs = vecs.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qn"),
-    )
+    qs = _query_side(spark, sf_dir)  # local memoized rows - no corpus scan (r15)
     probed = _nearest_cells(cdf, qs, "qv", "qn", "query_id", N_PROBES)
     cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
     return _ivf_topk(
