@@ -1357,8 +1357,17 @@ def _pq_lut_df(
     """Per-query ADC lookup table (query_id, m, j, integer-scaled
     partial dot) — queries x M x K rows, broadcast-sized. ``cdf``
     overrides the session-trained codebook with a loaded one."""
-    cdf = cdf if cdf is not None else _pq_codebook_df(spark, sf_dir)
-    books = _books_rows(cdf)
+    if cdf is None:
+        # session-trained codebook: build the nested list straight from
+        # the driver-memoized training output — the codebook-DataFrame
+        # round-trip cost a ~0.3 s collect on EVERY warm flat/IVF-PQ
+        # call just to recompute the content key (r15)
+        by_m: dict[int, dict[int, list[float]]] = {}
+        for m, j, cv in _pq_codebooks(spark, sf_dir):
+            by_m.setdefault(int(m), {})[int(j)] = list(cv)
+        books = [[by_m[m][j] for j in sorted(by_m[m])] for m in sorted(by_m)]
+    else:
+        books = _books_rows(cdf)
     k = len(books[0])
 
     # no argmin here — the LUT wants every (m, j) entry, so explode the
